@@ -1,0 +1,162 @@
+"""The primary ray tracer — the engine's flagship renderer.
+
+One jitted program per frame: camera ray generation -> batched DDA/octree
+march -> face shading / water overlay / sky compositing, the whole-frame
+equivalent of the reference's compute dispatch + ``ray_color``
+(ray_tracer.wgsl:131-180, 291-316). Optionally adds a hard-shadow pass
+(one extra ``trace_rays`` toward the sun) — a capability the reference's
+active kernel lacks but its settings surface implies.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.constants import MAX_RAY_STEPS, RAY_EPS
+from ..ops.camera import CamData, generate_rays_raw
+from ..ops.materials import MaterialTable
+from ..ops.sky import ray_sky
+from ..ops.traverse import TraceResult, WorldSlice, trace_rays
+
+WATER_OVERLAY_COLOR = (0.2, 0.5, 1.0)
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Dynamic per-frame settings (reference defaults:
+    clientdesktop/src/main.rs:153-156)."""
+
+    sun_intensity: float = 4.0
+    sky_color: tuple = (0.81, 0.93, 1.0)
+    sun_pos: tuple = (0.0, 0.0, 0.0)
+    max_ray_bounces: int = 3
+    show_step_count: bool = False
+    shadows: bool = False
+    shadow_ambient: float = 0.4  # light retained in shadowed areas
+
+
+def shade_hits(
+    rs: TraceResult,
+    dirs,
+    origin,
+    materials: MaterialTable,
+    sky_color,
+    sun_pos,
+    sun_intensity,
+    world_min,
+    show_step_count=False,
+    max_steps=MAX_RAY_STEPS,
+):
+    """Composite a traced frame into linear RGB (ray_tracer.wgsl:131-157, 291-316)."""
+    color = materials.color[rs.voxel]
+    # Face tints: X faces x0.5, Z faces x0.7, bottom faces x0.2.
+    color = jnp.where((rs.norm[..., 0] != 0.0)[..., None], color * 0.5, color)
+    color = jnp.where((rs.norm[..., 2] != 0.0)[..., None], color * 0.7, color)
+    color = jnp.where((rs.norm[..., 1] == -1.0)[..., None], color * 0.2, color)
+    if show_step_count:
+        f = jnp.clip(rs.steps.astype(jnp.float32) / max_steps, 0.0, 1.0)
+        color = jnp.broadcast_to(f[..., None], color.shape)
+
+    sky = ray_sky(dirs, origin, sky_color, sun_pos, sun_intensity, world_min)
+    out = jnp.where(rs.hit[..., None], color, sky)
+
+    # Water overlay (ray_tracer.wgsl:137-141).
+    factor = jnp.clip(rs.water_dist / 14.0, 0.8, 1.0)
+    overlay = jnp.asarray(WATER_OVERLAY_COLOR, jnp.float32)
+    wet = (rs.water_dist != 0.0)[..., None]
+    out = jnp.where(wet, out * (1.0 - factor[..., None]) + overlay * factor[..., None], out)
+    return out
+
+
+class RayTracer:
+    """Flagship renderer: primary rays + face shading (+ optional hard shadows).
+
+    Static configuration (resolution-independent) lives on the instance;
+    the jitted render specializes per (width, height).
+    """
+
+    def __init__(
+        self,
+        materials: MaterialTable,
+        show_step_count=False,
+        shadows=False,
+        max_steps=MAX_RAY_STEPS,
+    ):
+        self.materials = materials
+        self.show_step_count = bool(show_step_count)
+        self.shadows = bool(shadows)
+        self.max_steps = int(max_steps)
+        self._render = jax.jit(
+            self._render_impl, static_argnames=("width", "height")
+        )
+
+    def _render_impl(
+        self,
+        nodes,
+        chunk_roots,
+        world_min,
+        inv_view,
+        inv_proj,
+        cam_pos,
+        sky_color,
+        sun_pos,
+        sun_intensity,
+        *,
+        width,
+        height,
+    ):
+        world = WorldSlice(nodes=nodes, chunk_roots=chunk_roots, world_min=world_min)
+        origin, dirs = generate_rays_raw(
+            inv_view, inv_proj, cam_pos, width, height, world_min
+        )
+        rs = trace_rays(world, self.materials.is_liquid, origin, dirs, self.max_steps)
+        img = shade_hits(
+            rs,
+            dirs,
+            origin,
+            self.materials,
+            sky_color,
+            sun_pos,
+            sun_intensity,
+            world_min,
+            show_step_count=self.show_step_count,
+            max_steps=self.max_steps,
+        )
+        if self.shadows:
+            # Hard shadows: one occlusion ray from each hit point toward the
+            # sun; shadowed surfaces keep ``shadow_ambient`` of their light.
+            sun_vec = sun_pos.astype(jnp.float32) - world_min.astype(jnp.float32) - rs.pos
+            sun_dir = sun_vec / jnp.linalg.norm(sun_vec, axis=-1, keepdims=True)
+            shadow_org = rs.pos + rs.norm * (4.0 * RAY_EPS)
+            srs = trace_rays(
+                world, self.materials.is_liquid, shadow_org, sun_dir, self.max_steps
+            )
+            shadowed = rs.hit & srs.hit
+            img = jnp.where(shadowed[..., None], img * 0.4, img)
+        return img, rs
+
+    def render(self, world: WorldSlice, cam: CamData, settings: RenderSettings = None):
+        """Render one frame; returns ``(f32[H,W,3] image, TraceResult)``."""
+        s = settings or RenderSettings()
+        w, h = cam.proj_size
+        return self._render(
+            world.nodes,
+            world.chunk_roots,
+            jnp.asarray(world.world_min, jnp.int32),
+            jnp.asarray(cam.inv_view),
+            jnp.asarray(cam.inv_proj),
+            jnp.asarray(cam.pos),
+            jnp.asarray(s.sky_color, jnp.float32),
+            jnp.asarray(s.sun_pos, jnp.float32),
+            jnp.asarray(s.sun_intensity, jnp.float32),
+            width=w,
+            height=h,
+        )
+
+
+def to_srgb8(img):
+    """Linear f32 frame -> uint8 RGB (the rgba8unorm store clamps identically)."""
+    return np.asarray(jnp.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
