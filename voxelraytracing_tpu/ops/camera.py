@@ -86,18 +86,25 @@ class CamData:
         )
 
 
-def generate_rays_raw(inv_view, inv_proj, cam_pos, width, height, world_min):
+def generate_rays_raw(
+    inv_view, inv_proj, cam_pos, width, height, world_min, y0=0, full_height=None
+):
     """Per-pixel primary rays, world-local coordinates.
 
     Returns ``(origin f32[3], dirs f32[H, W, 3])``; the origin is shared by
     every pixel (ray_tracer.wgsl:159-171). Runs in jnp so it can fold into the
     jitted frame pipeline. ``width``/``height`` must be static under jit.
+
+    ``y0``/``full_height`` select a horizontal band of a taller frame —
+    how a device renders its row block when the pixel grid is sharded
+    (``parallel/``): band ``i`` of ``n`` is ``y0=i*height, full_height=n*height``.
     """
     w, h = width, height
+    fh = full_height if full_height is not None else h
     px = jnp.arange(w, dtype=jnp.float32)
-    py = jnp.arange(h, dtype=jnp.float32)
+    py = jnp.arange(h, dtype=jnp.float32) + jnp.float32(y0)
     x = (px * 2.0) / w - 1.0
-    y = (py * 2.0) / h - 1.0
+    y = (py * 2.0) / fh - 1.0
     xg, yg = jnp.meshgrid(x, y)  # [H, W]
 
     clip = jnp.stack(

@@ -1,0 +1,155 @@
+"""Multi-device rendering: pixel-grid and sample sharding over a device mesh.
+
+The reference scales by giving every pixel its own GPU thread
+(SURVEY §2.7 P1/P6). On a TPU slice the same two axes of parallelism are
+expressed with ``jax.sharding`` + ``shard_map``:
+
+  * **rays** ("dp"): the image's row dimension is sharded across devices —
+    each chip traces a horizontal band of the frame against its (replicated)
+    node pool. No communication at all until the final frame gather.
+  * **samples** ("sp"): independent path-trace/temporal samples are sharded;
+    accumulation is one ``psum`` over the sample axis — the direct analog of
+    the reference's progressive accumulation, ridden over ICI.
+
+The node pool is replicated per device (a 30³-chunk window is ≲2 GB worst
+case and far less in practice, SURVEY §6 — it fits in HBM comfortably), so
+collectives only touch *radiance*, never world data.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.camera import generate_rays_raw
+from ..ops.traverse import WorldSlice, trace_rays
+from ..models.raytracer import shade_hits
+
+
+def make_mesh(n_samples=1, n_rays=None, devices=None):
+    """Build a ``(samples, rays)`` mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if n_rays is None:
+        n_rays = len(devices) // n_samples
+    devices = np.asarray(devices[: n_samples * n_rays]).reshape(n_samples, n_rays)
+    return Mesh(devices, ("samples", "rays"))
+
+
+class ShardedRayTracer:
+    """Primary-ray renderer with the pixel grid sharded over a mesh's
+    ``rays`` axis.
+
+    Single jitted program: XLA SPMD-partitions the whole march along the row
+    dimension; world buffers are replicated, the output image is sharded.
+    """
+
+    def __init__(self, materials, mesh, max_steps=None, shadows=False):
+        from ..core.constants import MAX_RAY_STEPS
+
+        self.materials = materials
+        self.mesh = mesh
+        self.max_steps = int(max_steps or MAX_RAY_STEPS)
+        self.shadows = bool(shadows)
+        self._render = jax.jit(self._render_impl, static_argnames=("width", "height"))
+
+    def _render_impl(
+        self,
+        nodes,
+        chunk_roots,
+        world_min,
+        inv_view,
+        inv_proj,
+        cam_pos,
+        sky_color,
+        sun_pos,
+        sun_intensity,
+        *,
+        width,
+        height,
+    ):
+        world = WorldSlice(nodes=nodes, chunk_roots=chunk_roots, world_min=world_min)
+        origin, dirs = generate_rays_raw(
+            inv_view, inv_proj, cam_pos, width, height, world_min
+        )
+        dirs = jax.lax.with_sharding_constraint(
+            dirs, NamedSharding(self.mesh, P("rays", None, None))
+        )
+        rs = trace_rays(world, self.materials.is_liquid, origin, dirs, self.max_steps)
+        img = shade_hits(
+            rs, dirs, origin, self.materials, sky_color, sun_pos, sun_intensity,
+            world_min, max_steps=self.max_steps,
+        )
+        return jax.lax.with_sharding_constraint(
+            img, NamedSharding(self.mesh, P("rays", None, None))
+        )
+
+    def render(self, world: WorldSlice, cam, settings=None):
+        from ..models.raytracer import RenderSettings
+
+        s = settings or RenderSettings()
+        w, h = cam.proj_size
+        return self._render(
+            world.nodes,
+            world.chunk_roots,
+            jnp.asarray(world.world_min, jnp.int32),
+            jnp.asarray(cam.inv_view),
+            jnp.asarray(cam.inv_proj),
+            jnp.asarray(cam.pos),
+            jnp.asarray(s.sky_color, jnp.float32),
+            jnp.asarray(s.sun_pos, jnp.float32),
+            jnp.asarray(s.sun_intensity, jnp.float32),
+            width=w,
+            height=h,
+        )
+
+
+def sharded_accumulate_step(mesh, materials, width, band_height, max_steps=64):
+    """Build a shard_map'd full frame step: trace a band per `rays`-shard with a
+    per-`samples`-shard jittered camera, then ``psum``-average over samples.
+
+    This is the engine's multi-chip "training step": worldgen output (a batch
+    of chunk node arrays) goes in, an accumulated frame comes out, with the
+    sample reduction riding ICI. Returns ``step(nodes, chunk_roots, world_min,
+    inv_view, inv_proj, cam_pos, jitter_scale) -> f32[band*n_rays, width, 3]``.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_samples = mesh.shape["samples"]
+    n_rays = mesh.shape["rays"]
+    full_h = band_height * n_rays
+
+    def local_step(nodes, chunk_roots, world_min, inv_view, inv_proj, cam_pos, jitter):
+        sid = jax.lax.axis_index("samples")
+        rid = jax.lax.axis_index("rays")
+        # Deterministic per-sample sub-pixel jitter: sample s looks through a
+        # slightly shifted camera (temporal-accumulation analog).
+        eps = (sid.astype(jnp.float32) / jnp.float32(max(n_samples, 1))) * jitter
+        cam_pos = cam_pos + eps
+        world = WorldSlice(
+            nodes=nodes, chunk_roots=chunk_roots, world_min=world_min
+        )
+        origin, dirs = generate_rays_raw(
+            inv_view, inv_proj, cam_pos, width, band_height, world_min,
+            y0=rid * band_height, full_height=full_h,
+        )
+        rs = trace_rays(world, materials.is_liquid, origin, dirs, max_steps)
+        img = shade_hits(
+            rs, dirs, origin, materials,
+            jnp.asarray((0.81, 0.93, 1.0), jnp.float32),
+            jnp.zeros(3, jnp.float32), jnp.float32(4.0), world_min,
+            max_steps=max_steps,
+        )
+        acc = jax.lax.psum(img, "samples") / jnp.float32(n_samples)
+        return acc
+
+    return jax.jit(
+        shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P(), P()),
+            out_specs=P("rays", None, None),
+            check_rep=False,
+        )
+    )
