@@ -1,0 +1,71 @@
+"""Worldgen: data-driven procedural chunk generation, TPU-first.
+
+``WorldGen`` ties the pieces together: a compiled preset (noise fields +
+biome tables, ``terrain.py``) generates dense voxel grids for a *batch* of
+chunks in one jitted tensor program; vegetation peaks come back as maps and
+become host-built feature voxel clouds (``features.py``). The equivalent of
+the reference's ``WorldGen`` + chunk-builder thread pool
+(server/src/world/gen.rs, server/src/lib.rs:67-100) — the 16-thread ×
+128-chunk fan-out becomes the batch dimension of one device program.
+"""
+
+import numpy as np
+
+from ..resources.packs import Datapack, WorldPresetCfg
+from .features import BuiltFeature, build_feature, choose_features
+from .terrain import TerrainGen
+
+__all__ = ["WorldGen", "BuiltFeature", "TerrainGen", "build_feature"]
+
+
+class WorldGen:
+    """Seeded, preset-driven chunk generator."""
+
+    def __init__(self, preset: WorldPresetCfg, features: dict, seed: int):
+        self.terrain = TerrainGen(preset, seed)
+        self.features = dict(features)
+        self.preset = preset
+        self.seed = int(seed)
+
+    @classmethod
+    def from_datapack(cls, pack: Datapack, seed, preset_name=None):
+        presets = pack.world_presets
+        if preset_name is None:
+            preset = presets[0]
+        else:
+            preset = next(p for p in presets if p.name == preset_name)
+        return cls(preset, pack.world_features, seed)
+
+    # Delegates used by server logic / tools.
+    def terrain_h_at(self, x, z):
+        h = self.terrain.terrain_height(np.asarray([[float(x), float(z)]], np.float32))
+        return int(np.asarray(h)[0])
+
+    def biome_at(self, x, z):
+        idx = self.terrain.biome_index(np.asarray([[float(x), float(z)]], np.float32))
+        return self.preset.biomes[int(np.asarray(idx)[0])]
+
+    def find_land_near(self, x, z):
+        return self.terrain.find_land_near(x, z)
+
+    def generate_chunks(self, chunk_positions):
+        """Generate a batch of chunks.
+
+        Args:
+          chunk_positions: int sequence/array ``[B, 3]`` of chunk coords.
+
+        Returns:
+          grids: device ``int32[B, 32, 32, 32]`` dense voxel grids
+            (pre-feature).
+          features: list over batch of lists of :class:`BuiltFeature` —
+            features rooted in each chunk (they may extend into neighbors;
+            deferred placement is the server world's job, SURVEY §2.2).
+        """
+        chunk_positions = np.asarray(chunk_positions, np.int64).reshape(-1, 3)
+        grids, aux = self.terrain.generate_grids(chunk_positions)
+        aux_np = {k: np.asarray(v) for k, v in aux.items()}
+        feats = []
+        for i, cpos in enumerate(chunk_positions):
+            per = {k: v[i] for k, v in aux_np.items()}
+            feats.append(choose_features(self, cpos, per))
+        return grids, feats
