@@ -1,0 +1,184 @@
+"""End-to-end client/server tests over localhost TCP.
+
+The multi-node behavior the reference only ever exercised manually
+(SURVEY §4): handshake, chunk streaming, voxel edit echo, disconnect, and
+region-file persistence — here as automated tests on the Flatland preset.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from voxelraytracing_tpu.client import ClientWorld, GameState, ServerConn
+from voxelraytracing_tpu.resources.packs import Resources, builtin_respack_path
+from voxelraytracing_tpu.server import ServerState, ServerWorld, WorldFs
+from voxelraytracing_tpu.worldgen import WorldGen
+
+
+@pytest.fixture(scope="module")
+def pack():
+    return Resources.load_from(builtin_respack_path()).datapacks["terra"]
+
+
+@pytest.fixture()
+def server(pack):
+    gen = WorldGen.from_datapack(pack, seed=42, preset_name="Flatland")
+    world = ServerWorld(gen)
+    state = ServerState(world, voxel_pack=pack.voxels)
+    state.spawn = (16.5, 14.0, 16.5)
+    port = state.start()
+    yield state, port
+    state.stop()
+
+
+def pump(state, game, ticks=50, until=None):
+    """Run server ticks + client pump until ``until()`` or budget."""
+    rs = None
+    for _ in range(ticks):
+        state.handle_clients()
+        state.update()
+        state.update_world()
+        rs = game.process_cmds_timeout(0.05)
+        if until is not None and until(rs):
+            break
+        time.sleep(0.01)
+    return rs
+
+
+def connect(port, name="tester", window=4):
+    conn = ServerConn.establish(("127.0.0.1", port), name)
+    center = np.floor_divide(np.asarray(conn.player_pos, np.int64), 32)
+    world = ClientWorld(center, max_nodes=1 << 20, size_in_chunks=window)
+    return GameState(name, world, conn)
+
+
+def test_handshake_and_chunk_streaming(server):
+    state, port = server
+    game = connect(port)
+    assert game.voxels.by_name("air") == 0
+    assert len(game.voxels) > 50
+
+    game.request_missing_chunks()
+    pump(state, game, until=lambda rs: game.world.populated_count() >= 64)
+    assert game.world.populated_count() == 64  # full 4³ window
+
+    # flatland surface: grass at y=12
+    grass = game.voxels.by_name("grass")
+    assert game.world.get_voxel((5, 12, 5)) == grass
+    assert game.world.get_voxel((5, 13, 5)) == 0
+    assert game.world.highest_voxel_at(5, 5) in (12, 13)  # 12, or a tree
+
+
+def test_set_voxel_echoes_to_other_clients(server):
+    state, port = server
+    a = connect(port, "alice")
+    b = connect(port, "bob")
+    for g in (a, b):
+        g.request_missing_chunks()
+    pump(state, a, until=lambda rs: a.world.populated_count() >= 64)
+    pump(state, b, until=lambda rs: b.world.populated_count() >= 64)
+
+    stone = a.voxels.by_name("stone")
+    a.set_voxel((8, 20, 8), stone)
+    assert a.world.get_voxel((8, 20, 8)) == stone  # local echo
+
+    def until(rs):
+        try:
+            return b.world.get_voxel((8, 20, 8)) == stone
+        except Exception:
+            return False
+
+    pump(state, b, until=until)
+    assert b.world.get_voxel((8, 20, 8)) == stone
+    # server authority updated too
+    assert state.world.get_voxel((8, 20, 8)) == stone
+
+
+def test_players_list_and_disconnect(server):
+    state, port = server
+    a = connect(port, "alice")
+    from voxelraytracing_tpu.net import ServerCmd
+
+    a.host.write(ServerCmd.GET_PLAYERS_LIST)
+    rs = pump(state, a, until=lambda rs: hasattr(a, "players"))
+    assert any(name == "alice" for _, name in a.players)
+
+    a.disconnect()
+    for _ in range(20):
+        state.handle_clients()
+        state.update()
+        if not state.clients:
+            break
+        time.sleep(0.01)
+    assert not state.clients
+
+
+def test_window_scroll_unloads_and_requests(server):
+    state, port = server
+    game = connect(port)
+    game.request_missing_chunks()
+    pump(state, game, until=lambda rs: game.world.populated_count() >= 64)
+
+    game.center_chunks((3, 0, 0))  # scroll +2 in x
+    assert game.world.populated_count() < 64
+    missing_before = len(game.world.empty_chunks())
+    assert missing_before > 0
+    game.request_missing_chunks()
+    pump(state, game, until=lambda rs: game.world.populated_count() >= 64)
+    assert game.world.populated_count() == 64
+
+
+def test_persistence_roundtrip(tmp_path, pack):
+    gen = WorldGen.from_datapack(pack, seed=42, preset_name="Flatland")
+    world = ServerWorld(gen)
+    world.generate_chunks([(0, 0, 0), (1, 0, 0)])
+    stone = pack.voxels.by_name("stone")
+    world.set_voxel((3, 20, 3), stone)
+
+    fs = WorldFs(str(tmp_path))
+    fs.add_dirty_chunk((0, 0, 0))
+    fs.add_dirty_chunk((1, 0, 0))
+    assert fs.save(world) == 2
+    assert (0, 0, 0) in fs.available_chunks
+
+    # fresh fs + world: chunk comes back from disk including the edit
+    fs2 = WorldFs(str(tmp_path))
+    world2 = ServerWorld(gen)
+    loaded = world2.generate_chunks([(0, 0, 0)], fs=fs2)
+    assert loaded == [(0, 0, 0)]
+    assert world2.get_voxel((3, 20, 3)) == stone
+    # untouched ground identical to regeneration
+    grass = pack.voxels.by_name("grass")
+    assert world2.get_voxel((3, 12, 3)) == grass
+
+
+def test_player_physics_on_flat_ground(server):
+    state, port = server
+    game = connect(port)
+    game.request_missing_chunks()
+    pump(state, game, until=lambda rs: game.world.populated_count() >= 64)
+
+    from voxelraytracing_tpu.client import PlayerInput
+
+    p = game.player
+    p.pos = np.asarray([16.5, 16.0, 16.5], np.float32)
+
+    def collisions(region):
+        return game.world.get_collisions_w(region, game.voxels)
+
+    # fall to the ground (surface at y=13 top face)
+    for _ in range(200):
+        mv = p.process_input(1.0, PlayerInput())
+        p.update(mv, collisions)
+        if p.on_ground:
+            break
+    assert p.on_ground
+    assert abs(p.pos[1] - 13.0) < 0.05
+
+    # jump leaves the ground
+    mv = p.process_input(1.0, PlayerInput(jump=True))
+    p.update(mv, collisions)
+    assert p.pos[1] > 13.01
+    assert p.jumped

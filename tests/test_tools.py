@@ -1,0 +1,74 @@
+"""Tool smoke tests: installer + dedicated server CLI."""
+
+import os
+import shutil
+import threading
+import time
+
+import pytest
+
+from voxelraytracing_tpu.resources.packs import builtin_respack_path
+
+
+def test_installer_copies_packs(tmp_path):
+    from voxelraytracing_tpu.tools.installer import install
+
+    dest, installed = install(str(tmp_path))
+    assert "datapacks/terra" in installed or os.path.isdir(
+        os.path.join(dest, "datapacks", "terra")
+    )
+    assert os.path.isfile(os.path.join(dest, "datapacks", "terra", "voxels.ron"))
+    # second run: no overwrite
+    _, installed2 = install(str(tmp_path))
+    assert installed2 == []
+
+
+def test_servercli_serves_and_saves(tmp_path):
+    from voxelraytracing_tpu.client import ServerConn
+    from voxelraytracing_tpu.tools.servercli import run_server
+
+    root = str(tmp_path / "res")
+    shutil.copytree(builtin_respack_path(), root)
+    # Flatland world for cheap generation
+    meta = os.path.join(root, "worlds", "demo", "meta.ron")
+    # point the demo world at a flat test world by rewriting its meta
+    with open(meta, "w") as f:
+        f.write(
+            '(name: "Flat Test", version: (0, 1), datapack: "terra", '
+            'stylepack: "terra", seed: 7,)'
+        )
+
+    ready = threading.Event()
+    info = {}
+
+    def on_ready(state, port):
+        info["port"] = port
+        info["state"] = state
+        ready.set()
+
+    t = threading.Thread(
+        target=run_server,
+        args=(root, "Flat Test"),
+        kwargs=dict(port=0, max_ticks=3000, quiet=True, on_ready=on_ready),
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(timeout=120)
+
+    conn = ServerConn.establish(("127.0.0.1", info["port"]), "cli-test")
+    assert len(conn.voxel_pack) > 50
+    from voxelraytracing_tpu.net import ServerCmd
+
+    conn.write(ServerCmd.LOAD_CHUNKS, chunks=[(0, 0, 0)])
+    got = []
+    for _ in range(1200):  # generous: first chunk waits on worldgen jit
+        got.extend(conn.try_read())
+        if got:
+            break
+        time.sleep(0.05)
+    assert got and got[0][1]["pos"] == (0, 0, 0)
+    conn.write(ServerCmd.DISCONNECT_NOTICE)
+    conn.close()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert info["state"].spawn is not None
