@@ -14,6 +14,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+os.environ["VOXELTPU_PLATFORM"] = "cpu"  # subprocess servers follow suit
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,330 @@
+"""Interactive engine session: the app-shell analog, headless.
+
+The reference's desktop shell (clientdesktop/src/main.rs:113-757) is a winit
+event loop marrying game state, GPU buffers and egui. The TPU engine has no
+window; this module provides the same *frame loop* as an API — embedders
+(tools, tests, notebook viewers, a future UI) drive it:
+
+    app = EngineApp.host_singleplayer(resource_root, world_name)  # or join()
+    app.update()                    # net pump + device uploads
+    app.update_input(PlayerInput(forward=True), t_delta=1.0)
+    app.update_game()               # recenter window + request chunks
+    img = app.draw_frame()          # jitted render -> f32[H,W,3]
+
+Feature parity with the shell's hotkeys/overlay is exposed as state:
+``settings.show_step_count`` (F2 heatmap), ``freeze_world_anchor`` (F9),
+``resize_world(n)`` (UI slider, 10..80), ``debug_overlay()`` (the egui
+stats panel as a dict), and voxel picking/editing via ``pick()`` /
+``place_voxel()`` / ``break_voxel()``.
+"""
+
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+from ..client import ClientWorld, GameState, PlayerInput, ServerConn
+from ..core.constants import CHUNK_SIZE
+from ..core.math import cast_ray
+from ..core.svo import NoChunk, PosOutOfBounds
+from ..models.raytracer import RayTracer, RenderSettings
+from ..ops.camera import CamData
+from ..ops.materials import make_material_table
+from ..ops.traverse import WorldSlice
+
+DEFAULT_MAX_NODES = 1 << 24  # 16M nodes ≈ 64 MB host mirror
+PICK_DISTANCE = 10.0  # voxel-edit reach (clientdesktop/src/main.rs:320-325)
+
+
+class Timers:
+    """Frame-rate accounting (clientdesktop/src/main.rs:710-757)."""
+
+    def __init__(self):
+        self.last = time.monotonic()
+        self.frame_count = 0
+        self.fps = 0.0
+        self._window_start = self.last
+
+    def tick(self):
+        now = time.monotonic()
+        self.frame_count += 1
+        if now - self._window_start >= 1.0:
+            self.fps = self.frame_count / (now - self._window_start)
+            self.frame_count = 0
+            self._window_start = now
+        dt = now - self.last
+        self.last = now
+        return dt
+
+
+class ServerProgram:
+    """Singleplayer host: the dedicated server as a child process, stopped
+    by writing ``stop`` to its stdin (clientdesktop/src/main.rs:70-110)."""
+
+    def __init__(self, proc):
+        self.proc = proc
+
+    @classmethod
+    def host(cls, resource_root, world_name, port):
+        proc = subprocess.Popen(
+            [
+                sys.executable,
+                "-m",
+                "voxelraytracing_tpu.tools.servercli",
+                resource_root,
+                world_name,
+                str(port),
+            ],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        # wait for the listener banner
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            line = proc.stdout.readline()
+            if "serving" in line:
+                return cls(proc)
+            if proc.poll() is not None:
+                raise RuntimeError(f"server exited: {line}")
+        proc.kill()
+        raise TimeoutError("server did not start")
+
+    def shutdown(self):
+        try:
+            self.proc.stdin.write("stop\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except (OSError, subprocess.TimeoutExpired):
+            self.proc.kill()
+
+
+class EngineApp:
+    """One running client session (rendering + game state)."""
+
+    def __init__(
+        self,
+        game: GameState,
+        styles=None,
+        resolution=(1280, 720),
+        world_size_chunks=30,
+        server_program=None,
+    ):
+        import jax.numpy as jnp
+
+        self.game = game
+        self.resolution = tuple(resolution)
+        self.server_program = server_program
+        self.settings = RenderSettings(sun_pos=(0.0, 10_000.0, 0.0))
+        self.freeze_world_anchor = False  # F9 analog
+        self.timers = Timers()
+        self.placing_voxel = 1  # scroll-wheel palette analog
+        self._styles = styles or {}
+        self.materials = self._build_materials()
+        self.tracer = RayTracer(self.materials)
+        self._dev_nodes = jnp.asarray(game.world.nodes)
+        self._dirty_spans = []
+
+    # ------------------------------------------------------------ setup
+
+    @classmethod
+    def join(cls, addr, user_name, resource_root=None, stylepack="terra", **kw):
+        """Connect to a running server (AppState::join_game,
+        clientdesktop/src/main.rs:189-229)."""
+        conn = ServerConn.establish(addr, user_name)
+        center = np.floor_divide(np.asarray(conn.player_pos, np.int64), CHUNK_SIZE)
+        world = ClientWorld(
+            center,
+            max_nodes=kw.pop("max_nodes", DEFAULT_MAX_NODES),
+            size_in_chunks=kw.pop("world_size_chunks", 30),
+        )
+        game = GameState(user_name, world, conn)
+        styles = cls._load_styles(resource_root, stylepack)
+        return cls(game, styles=styles, **kw)
+
+    @classmethod
+    def host_singleplayer(
+        cls, resource_root, world_name, user_name="player", port=60100, **kw
+    ):
+        """Spawn a local server child process and join it
+        (clientdesktop/src/main.rs:231-245)."""
+        prog = ServerProgram.host(resource_root, world_name, port)
+        try:
+            app = cls.join(
+                ("127.0.0.1", port), user_name, resource_root=resource_root, **kw
+            )
+        except Exception:
+            prog.shutdown()
+            raise
+        app.server_program = prog
+        return app
+
+    @staticmethod
+    def _load_styles(resource_root, stylepack):
+        if resource_root is None:
+            return {}
+        from ..resources.packs import Resources
+
+        res = Resources.load_from(resource_root)
+        return res.stylepacks[stylepack].voxel_styles if stylepack in res.stylepacks else {}
+
+    def _build_materials(self):
+        styles = {}
+        for vid in range(len(self.game.voxels)):
+            vd = self.game.voxels.get(vid)
+            st = self._styles.get(vd.name) if vd else None
+            if st is not None:
+                styles[vid] = {
+                    "color": st.color,
+                    "state": st.state,
+                    "emission": st.emission,
+                    "scatter": st.scatter,
+                }
+            elif vd is not None:
+                styles[vid] = {"color": (0.5, 0.5, 0.5), "state": vd.state}
+        return make_material_table(max(256, len(self.game.voxels)), styles)
+
+    # ------------------------------------------------------------ frame loop
+
+    def update(self, net_budget_s=0.2):
+        """Net pump + device node uploads (main.rs:278-297)."""
+        rs = self.game.process_cmds_timeout(net_budget_s)
+        for pos, start, n in rs.updated_chunks:
+            self._dirty_spans.append((start, n))
+        return rs
+
+    def update_input(self, inp: PlayerInput, t_delta=1.0):
+        """Player physics (main.rs:299-396)."""
+        p = self.game.player
+        mv = p.process_input(t_delta, inp)
+
+        def collisions(region):
+            return self.game.world.get_collisions_w(region, self.game.voxels)
+
+        p.update(mv, collisions)
+
+    def update_game(self):
+        """Window recenter + chunk requests (main.rs:268-276)."""
+        if not self.freeze_world_anchor:
+            anchor = np.floor_divide(
+                self.game.player.pos.astype(np.int64), CHUNK_SIZE
+            )
+            self.game.center_chunks(anchor)
+        self.game.request_missing_chunks()
+
+    def world_slice(self):
+        import jax.numpy as jnp
+
+        w = self.game.world
+        if self._dirty_spans:
+            # incremental device update of edited spans
+            for start, n in self._dirty_spans:
+                self._dev_nodes = self._dev_nodes.at[start : start + n].set(
+                    jnp.asarray(w.nodes[start : start + n])
+                )
+            self._dirty_spans.clear()
+        return WorldSlice(
+            nodes=self._dev_nodes,
+            chunk_roots=jnp.asarray(w.chunk_roots()),
+            world_min=jnp.asarray(w.min_voxel, jnp.int32),
+        )
+
+    def camera(self):
+        p = self.game.player
+        return CamData.create(
+            rot_deg=tuple(p.rot),
+            eye=tuple(p.cam_pos),
+            fov_deg=p.fov,
+            proj_size=self.resolution,
+        )
+
+    def draw_frame(self):
+        """Render one frame; returns ``f32[H, W, 3]`` (main.rs:398-609)."""
+        img, rs = self.tracer.render(self.world_slice(), self.camera(), self.settings)
+        self.timers.tick()
+        self._last_trace = rs
+        return img
+
+    # ------------------------------------------------------------ interaction
+
+    def pick(self):
+        """Voxel the player is looking at -> (pos, face) or None
+        (main.rs:320-325, common DDA picking)."""
+        p = self.game.player
+
+        def solid(v):
+            try:
+                vid = self.game.world.get_voxel(v)
+            except (NoChunk, PosOutOfBounds):
+                return False
+            data = self.game.voxels.get(vid)
+            return data is not None and data.is_solid
+
+        return cast_ray(p.cam_pos, p.facing(), PICK_DISTANCE, solid)
+
+    def break_voxel(self):
+        hit = self.pick()
+        if hit is None:
+            return False
+        self._edit(hit[0], 0)
+        return True
+
+    def place_voxel(self, voxel=None):
+        hit = self.pick()
+        if hit is None:
+            return False
+        pos, face = hit
+        self._edit(pos + face, voxel if voxel is not None else self.placing_voxel)
+        return True
+
+    def _edit(self, pos, voxel):
+        chunk = self.game.set_voxel(pos, voxel)
+        if chunk is not None:
+            used = chunk.alloc.last_used_addr + 1
+            self._dirty_spans.append((chunk.start, used))
+
+    # ------------------------------------------------------------ debug
+
+    def toggle_step_heatmap(self):
+        """F2 analog (main.rs:368-370): render DDA iteration counts."""
+        from dataclasses import replace
+
+        self.settings = replace(
+            self.settings, show_step_count=not self.settings.show_step_count
+        )
+        self.tracer = RayTracer(
+            self.materials, show_step_count=self.settings.show_step_count,
+            shadows=self.tracer.shadows,
+        )
+
+    def resize_world(self, size_in_chunks):
+        """Live window resize, 10..80 (ui.rs:163-168)."""
+        size_in_chunks = max(2, min(80, int(size_in_chunks)))
+        self.game.world.resize(size_in_chunks)
+        self.game.request_missing_chunks()
+
+    def debug_overlay(self):
+        """The egui overlay panel as data (ui.rs:105-178)."""
+        w = self.game.world
+        free, total = w.node_space_status()
+        p = self.game.player
+        return {
+            "fps": self.timers.fps,
+            "placing_voxel": self.placing_voxel,
+            "player_pos": tuple(float(v) for v in p.pos),
+            "on_ground": p.on_ground,
+            "flying": p.flying,
+            "world_size_chunks": w.size_in_chunks,
+            "chunks_populated": w.populated_count(),
+            "chunks_total": w.size_in_chunks**3,
+            "node_space_used_frac": 1.0 - free / total,
+        }
+
+    # ------------------------------------------------------------ teardown
+
+    def close(self):
+        self.game.disconnect()
+        if self.server_program is not None:
+            self.server_program.shutdown()

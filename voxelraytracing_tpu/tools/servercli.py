@@ -25,6 +25,20 @@ import time
 import numpy as np
 
 
+def _apply_platform_env():
+    """Honor VOXELTPU_PLATFORM=cpu|tpu before any jax backend use — the
+    axon TPU plugin ignores JAX_PLATFORMS, so subprocess servers need this
+    to run CPU-side (e.g. under tests or when a client owns the TPU)."""
+    plat = os.environ.get("VOXELTPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+_apply_platform_env()
+
+
 def run_server(resource_root, world_name, port=60000, host="127.0.0.1",
                tick_sleep=0.001, max_ticks=None, quiet=False, on_ready=None):
     from ..resources.packs import Resources
