@@ -11,6 +11,7 @@ allocator) exactly like the reference's in-place edits.
 
 import numpy as np
 
+from ..core import native
 from ..core import nodes as nodefmt
 from ..core.constants import CHUNK_INIT_FREE_MEM, CHUNK_SIZE, CHUNK_DEPTH
 from ..core.math import Aabb
@@ -19,15 +20,25 @@ from ..world.pool import ChunkAlloc
 
 
 class Chunk:
-    """A loaded chunk: pool span + chunk-relative allocator."""
+    """A loaded chunk: pool span + chunk-relative allocator.
 
-    __slots__ = ("start", "end", "alloc")
+    Edits go through the native C++ SVO core when built (core/native.py),
+    else the pure-Python spec — identical semantics either way.
+    """
+
+    __slots__ = ("start", "end", "alloc", "native")
 
     def __init__(self, start, end, used_len):
         self.start = int(start)
         self.end = int(end)
+        self.native = native.available()
         # chunk-relative allocator over [used_len, end-start)
-        self.alloc = NodeAlloc.new((0, used_len), (used_len, self.end - self.start))
+        if self.native:
+            self.alloc = native.NativeAlloc(used_len, self.end - self.start)
+        else:
+            self.alloc = NodeAlloc.new(
+                (0, used_len), (used_len, self.end - self.start)
+            )
 
 
 class ClientWorld:
@@ -164,6 +175,8 @@ class ClientWorld:
     def get_voxel(self, pos):
         chunk, local = self._chunk_at_voxel(pos)
         view = self.nodes[chunk.start : chunk.end]
+        if chunk.native:
+            return native.get_voxel(view, local)
         node = Svo(0, CHUNK_SIZE).find_node(view, local.astype(np.float32))
         return nodefmt.voxel_of(int(view[node.idx]))
 
@@ -173,9 +186,14 @@ class ClientWorld:
         for _ in range(2):
             view = self.nodes[chunk.start : chunk.end]
             try:
-                Svo(0, CHUNK_SIZE).set_node(
-                    view, local.astype(np.float32), voxel, CHUNK_DEPTH, chunk.alloc
-                )
+                if chunk.native:
+                    if not native.set_node(view, chunk.alloc, local, voxel):
+                        raise OutOfMemory()
+                else:
+                    Svo(0, CHUNK_SIZE).set_node(
+                        view, local.astype(np.float32), voxel, CHUNK_DEPTH,
+                        chunk.alloc,
+                    )
                 return chunk
             except OutOfMemory:
                 chunk = self._grow_chunk(pos, chunk)

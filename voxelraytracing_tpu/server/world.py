@@ -132,12 +132,17 @@ class ServerWorld:
         missing = [p for p in positions if p not in self.chunks]
         from_disk = []
         if fs is not None:
+            from ..core import native
+
             for p in list(missing):
                 nodes = fs.read_chunk(p)
                 if nodes is not None:
-                    from ..core.svo import svo_to_dense
+                    if native.available():
+                        grid = native.svo_to_dense(nodes.astype(np.int32))
+                    else:
+                        from ..core.svo import svo_to_dense
 
-                    grid = svo_to_dense(nodes.astype(np.int32))
+                        grid = svo_to_dense(nodes.astype(np.int32))
                     self.insert_chunk(p, ServerChunk(grid, nodes))
                     from_disk.append(p)
                     missing.remove(p)
