@@ -1,6 +1,8 @@
 import sys; sys.path.insert(0, "/root/repo")
 import time, sys
 import numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 from voxelraytracing_tpu.world.demo import demo_chunk_grids, demo_materials
 from voxelraytracing_tpu.ops import noise
 from voxelraytracing_tpu.ops.wavefront import build_render_grid, trace_wavefront
@@ -9,14 +11,13 @@ from voxelraytracing_tpu.ops.camera import CamData, generate_rays
 def log(*a):
     print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
 
-W = 8
-perm = jnp.asarray(noise.make_permutation(7))
-grids, cells = demo_chunk_grids(perm, jnp.zeros(3, jnp.int32), W, jnp.float32(W*32*0.45), jnp.int32(int(W*32*0.28)))
-mats = demo_materials()
-t0 = time.perf_counter()
-rgrid = build_render_grid(grids, cells, np.zeros(3, np.int32), W, mats)
-jax.block_until_ready(rgrid.bricks)
-log("build_render_grid:", round(time.perf_counter()-t0, 2), "s; bricks:", rgrid.bricks.shape)
+from voxelraytracing_tpu.ops import wavefront as WF
+z = np.load("/tmp/rgrid_w8.npz")
+rgrid = WF.RenderGrid(bwin=jnp.asarray(z["bwin"]), lwin=jnp.asarray(z["lwin"]),
+    brick_dir=jnp.asarray(z["brick_dir"]), bricks=jnp.asarray(z["bricks"]),
+    world_min=jnp.asarray(z["world_min"]), to_pack=jnp.asarray(z["to_pack"]),
+    n_liquid=jnp.asarray(z["n_liquid"]), size_voxels=int(z["size_voxels"]))
+log("rgrid loaded from cache")
 
 cam = CamData.create((35., 45., 0.), (128., 190., 128.), 70., (1920, 1080))
 origin, dirs = generate_rays(cam, np.zeros(3, np.int32))

@@ -1,0 +1,27 @@
+import sys; sys.path.insert(0, "/root/repo")
+import time, glob, gzip
+import numpy as np, jax, jax.numpy as jnp
+from voxelraytracing_tpu.ops import wavefront as WF
+from voxelraytracing_tpu.ops.camera import CamData, generate_rays
+
+z = np.load("/tmp/rgrid_w8.npz")
+rgrid = WF.RenderGrid(bwin=jnp.asarray(z["bwin"]), lwin=jnp.asarray(z["lwin"]),
+    brick_dir=jnp.asarray(z["brick_dir"]), bricks=jnp.asarray(z["bricks"]),
+    world_min=jnp.asarray(z["world_min"]), to_pack=jnp.asarray(z["to_pack"]),
+    n_liquid=jnp.asarray(z["n_liquid"]), size_voxels=int(z["size_voxels"]))
+cam = CamData.create((35., 45., 0.), (128., 190., 128.), 70., (1920, 1080))
+origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+dirs = jax.device_put(dirs)
+
+r = WF.trace_wavefront(rgrid, origin, dirs, width=1920, height=1080, max_rounds=4)
+jax.block_until_ready(r)
+t0 = time.perf_counter()
+r = WF.trace_wavefront(rgrid, origin, dirs, width=1920, height=1080, max_rounds=4)
+jax.block_until_ready(r)
+print("4 rounds:", round((time.perf_counter()-t0)*1e3, 1), "ms", flush=True)
+
+jax.profiler.start_trace("/tmp/wf_trace")
+r = WF.trace_wavefront(rgrid, origin, dirs, width=1920, height=1080, max_rounds=4)
+jax.block_until_ready(r)
+jax.profiler.stop_trace()
+print("trace captured", flush=True)

@@ -13,9 +13,12 @@ W = 8
 perm = jnp.asarray(noise.make_permutation(7))
 grids, cells = demo_chunk_grids(perm, jnp.zeros(3, jnp.int32), W, jnp.float32(W*32*0.45), jnp.int32(int(W*32*0.28)))
 mats = demo_materials()
-rgrid = WF.build_render_grid(grids, cells, np.zeros(3, np.int32), W, mats)
-jax.block_until_ready(rgrid.bricks)
-log("built")
+z = np.load("/tmp/rgrid_w8.npz")
+rgrid = WF.RenderGrid(bwin=jnp.asarray(z["bwin"]), lwin=jnp.asarray(z["lwin"]),
+    brick_dir=jnp.asarray(z["brick_dir"]), bricks=jnp.asarray(z["bricks"]),
+    world_min=jnp.asarray(z["world_min"]), to_pack=jnp.asarray(z["to_pack"]),
+    n_liquid=jnp.asarray(z["n_liquid"]), size_voxels=int(z["size_voxels"]))
+log("loaded")
 cam = CamData.create((35., 45., 0.), (128., 190., 128.), 70., (1920, 1080))
 origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
 dirs = jax.device_put(dirs); jax.block_until_ready(dirs)

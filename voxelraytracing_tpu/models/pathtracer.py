@@ -123,7 +123,10 @@ class PathTracer:
                 spec = _reflect(dirs, norm)
                 scat = mats.scatter[rs.voxel][..., None]
                 nd = diff * scat + spec * (1.0 - scat)
-                nd = nd / jnp.linalg.norm(nd, axis=-1, keepdims=True)
+                # guarded normalize: a zero-length mix must not divide by 0
+                # (Infs permanently degrade the TPU — see ops/wavefront.py)
+                nn = jnp.linalg.norm(nd, axis=-1, keepdims=True)
+                nd = jnp.where(nn > 1e-6, nd / jnp.maximum(nn, 1e-6), norm)
                 origin = rs.pos + norm * (4.0 * RAY_EPS)
                 dirs = nd
 

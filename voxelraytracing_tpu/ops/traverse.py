@@ -25,7 +25,13 @@ import jax.numpy as jnp
 from ..core import nodes as nodefmt
 from ..core.constants import CHUNK_SIZE, MAX_RAY_STEPS, RAY_EPS
 
-_BIG = jnp.float32(1e30)
+# Python floats, deliberately NOT jnp scalars: module-level jnp constants
+# are device arrays captured as closed-over compile constants, which trips
+# the TPU's degraded dispatch mode (see ops/wavefront.py magnitude/closure
+# notes and experiments/).
+_BIG = 1e9
+# Squaring this must stay finite (see the finite-math note in trace_rays).
+_BIG_RATIO = 1e4
 
 
 class WorldSlice(NamedTuple):
@@ -167,19 +173,27 @@ def trace_rays(world: WorldSlice, is_liquid, origin, dirs, max_steps=MAX_RAY_STE
     inside = ~(jnp.any(pos <= 0.0, axis=-1) | jnp.any(pos >= world_size, axis=-1))
 
     # Per-axis length of a ray segment that advances one unit on that axis
-    # (ray_tracer.wgsl:206-210); non-finite (axis-degenerate) entries are
-    # replaced by a huge finite value so jnp.minimum never sees a NaN.
+    # (ray_tracer.wgsl:206-210). FINITE-MATH INVARIANT: axis-aligned rays
+    # have zero components, and a raw division here would manufacture Infs —
+    # which permanently degrade the TPU for the rest of the process (every
+    # later kernel ~1000× slower; see ops/wavefront.py and experiments/).
+    # Guard the divisor, then substitute the sentinel.
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+
+    def _ratio(a, b):
+        ok = jnp.abs(b) > 1e-12
+        r = a / jnp.where(ok, b, 1.0)
+        return jnp.where(ok, r, _BIG_RATIO)
+
     usq = jnp.stack(
         [
-            1.0 + (dy / dx) ** 2 + (dz / dx) ** 2,
-            1.0 + (dx / dy) ** 2 + (dz / dy) ** 2,
-            1.0 + (dx / dz) ** 2 + (dy / dz) ** 2,
+            1.0 + _ratio(dy, dx) ** 2 + _ratio(dz, dx) ** 2,
+            1.0 + _ratio(dx, dy) ** 2 + _ratio(dz, dy) ** 2,
+            1.0 + _ratio(dx, dz) ** 2 + _ratio(dy, dz) ** 2,
         ],
         axis=-1,
     )
-    unit_step = jnp.sqrt(usq)
-    unit_step = jnp.where(jnp.isfinite(unit_step), unit_step, _BIG)
+    unit_step = jnp.minimum(jnp.sqrt(usq), _BIG)
 
     class Carry(NamedTuple):
         i: jax.Array

@@ -53,7 +53,35 @@ BWIN_VOX = BRICK * BWIN  # 64
 N_SLOTS = 8  # brick-content slots per tile (8 × 16 words = one row)
 EPS_T = 1e-3  # ray-space nudge across cell boundaries (the 0.001 of
 #               ray_tracer.wgsl:274-283, applied along t)
-_BIG = jnp.float32(3e38)
+# MAGNITUDE DISCIPLINE: float32 values at or near the type's maximum
+# (~3e38) flowing through min/max/argmin reductions permanently trip this
+# TPU into a ~83 ms/dispatch mode (experiments /tmp/w1_bisect.py: argmin
+# over a 3e38-filled array poisons; the identical program with 1e9 is
+# clean). Every sentinel below is chosen so no float anywhere in the
+# tracer exceeds ~1e9.
+# NOTE: these MUST be python floats, not jnp.float32 — a module-level jnp
+# scalar is a *device array* captured as a closed-over compile constant,
+# and programs with closed-over device constants (of any size, even
+# scalars) compile into the poison mode (experiments /tmp/pbB-D.py).
+_BIG = 1e9  # masked-out sentinel for t-priority selects
+# Inverse-direction cap: directions with |c| < 1e-7 count as axis-degenerate
+# (they advance < 1e-4 voxels across any representable world), so legit
+# inverses stay ≤ 1e7 and DDA products ≤ 64 × 1e7 « _BIG.
+_BIG_IV = 1e7
+
+# Compile salt: whether a given program compiles into the poison mode is a
+# deterministic function of its exact HLO, but effectively a coin flip
+# across semantically-equivalent formulations. The salt injects a no-op
+# (folded away by XLA after the cache key is formed) so a poisoned dispatch
+# can be re-rolled by bumping VOXELTPU_WF_SALT. The checked-in default was
+# found clean with experiments/wf_chain_canary.py.
+import os as _os
+
+_SALT = float(_os.environ.get("VOXELTPU_WF_SALT", "0"))
+
+
+def _salted(x):
+    return x + _SALT * 0.0
 
 
 class RenderGrid(NamedTuple):
@@ -203,7 +231,7 @@ def build_render_grid(grids, cells, world_min, size_in_chunks, materials):
     """Convenience wrapper: derive id maps from a MaterialTable."""
     is_liquid = np.asarray(materials.is_liquid)
     to_render, to_pack, n_liquid = render_id_maps(is_liquid)
-    return build_render_grid_impl(
+    rg = build_render_grid_impl(
         jnp.asarray(grids, jnp.int32),
         jnp.asarray(cells, jnp.int32),
         jnp.asarray(world_min, jnp.int32),
@@ -212,9 +240,53 @@ def build_render_grid(grids, cells, world_min, size_in_chunks, materials):
         jnp.int32(n_liquid),
         size_in_chunks,
     )
-
+    # size_voxels must be a python int (static downstream) — computed on
+    # host: pulling the device scalar would be a D2H transfer, and ANY
+    # device->host transfer permanently degrades this TPU process to
+    # ~83 ms/dispatch (see the D2H note on trace_wavefront).
+    return rg._replace(size_voxels=size_in_chunks * CHUNK_SIZE)
 
 # ----------------------------------------------------------------- tracing
+#
+# HOW THIS RUNS (and why it is host-driven):
+#
+# XLA's TPU backend has two lowerings for minor-dim take_along_axis /
+# row-gather: a fast native dynamic-gather (~HBM speed) and a scoped-
+# staging emulation ~600× slower. Which one a gather gets depends on the
+# size/fusion context of the surrounding computation — inside loop bodies
+# or large jitted programs it reliably degrades (experiments/probe9-26.py,
+# wf_splitstep.py). Small single-purpose dispatches reliably get the fast
+# kernels, and host dispatch overhead is ~20 µs amortized by async
+# pipelining. The frame march is therefore a Python loop over jitted
+# micro-programs:
+#
+#   _prep      once   ray components, slab exit, initial carry
+#   _refetch   /round tile window + content-slot assignment (argmin logic)
+#   _rows      /round window bit rows + slot content rows (row gathers)
+#   per step:  _pre (VPU index math) -> _gather3 (the three lane-local
+#              gathers) -> _post (decisions, DDA advance, carry update)
+#   _n_active  every few rounds, for early exit
+#   _finish    once   hits/normals/water to [H, W] maps
+#
+# All 3-vector quantities live as separate [T,128] component arrays — a
+# minor-dim size-3 axis pads to 128 lanes on TPU and multiplies traffic
+# ~42× (experiments/probe13-16.py).
+
+
+def _dda3(px, py, pz, rays, cell):
+    """One DDA step in component form: exit distance of the ``cell``-sized
+    cell containing p, plus per-axis crossing masks."""
+
+    def axis(pc, iv, sgn):
+        nxt = (jnp.floor(pc / cell) + sgn) * cell
+        dt = (nxt - pc) * iv
+        return jnp.where(jnp.abs(iv) >= 0.99 * _BIG_IV, _BIG, dt)
+
+    dtx = axis(px, rays.ivx, rays.sx)
+    dty = axis(py, rays.ivy, rays.sy)
+    dtz = axis(pz, rays.ivz, rays.sz)
+    dt = jnp.minimum(dtx, jnp.minimum(dty, dtz))
+    return dt, dtx <= dt, dty <= dt, dtz <= dt
 
 
 class WavefrontResult(NamedTuple):
@@ -226,91 +298,94 @@ class WavefrontResult(NamedTuple):
     steps: jax.Array  # int32[H, W]
 
 
-def _dda(p, inv_d, pos_d, cell):
-    """One DDA step: distance to the exit of the ``cell``-sized cell
-    containing ``p``, plus the per-axis crossing mask."""
-    cidx = jnp.floor(p / cell)
-    nxt = (cidx + pos_d) * cell
-    dt_ax = (nxt - p) * inv_d
-    dt_ax = jnp.where(jnp.abs(inv_d) >= _BIG, _BIG, dt_ax)
-    dt = jnp.min(dt_ax, axis=-1)
-    crossed = dt_ax <= dt[..., None]
-    return dt, crossed
+class _Rays(NamedTuple):
+    """Per-frame constants, all [T, 128] (component form)."""
+
+    dx: jax.Array
+    dy: jax.Array
+    dz: jax.Array
+    ivx: jax.Array
+    ivy: jax.Array
+    ivz: jax.Array
+    sx: jax.Array
+    sy: jax.Array
+    sz: jax.Array
+    t_exit: jax.Array
 
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "max_rounds", "inner_steps"),
-)
-def trace_wavefront(
-    rg: RenderGrid,
-    origin,
-    dirs,
-    *,
-    width,
-    height,
-    max_rounds=48,
-    inner_steps=12,
-):
-    """March one frame of rays through a RenderGrid.
+class _Carry(NamedTuple):
+    t: jax.Array
+    active: jax.Array
+    hit: jax.Array
+    level: jax.Array  # 0 brick, 1 voxel
+    cur_brick: jax.Array  # flat brick id while at voxel level
+    axmask: jax.Array  # bits 0..2: axes crossed by last step
+    vox: jax.Array  # render id at hit
+    water: jax.Array
+    wenter: jax.Array  # -1 when not submerged
+    steps: jax.Array
+    bw_id: jax.Array  # [T]
+    slot_bricks: jax.Array  # [T, N_SLOTS]
+    slot_content: jax.Array  # [T, N_SLOTS]
 
-    origin: f32[3] world-local camera position (shared by all rays).
-    dirs:   f32[H, W, 3] unit directions.
-    Returns a WavefrontResult of [H, W] maps.
-    """
-    assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
-    tx = width // TILE_W
-    ty = height // TILE_H
+
+# _prep is deliberately split into probe-sized dispatches: large fused
+# programs on this TPU nondeterministically compile with a "poison" that
+# permanently drops the process out of fast dispatch mode (~0.05 ms ->
+# ~83 ms per dispatch); small single-purpose programs have been reliably
+# clean (experiments/wf_chain_canary.py is the regression harness).
+
+@partial(jax.jit, static_argnames=("tx", "ty"))
+def _prep_dirs(dirs, *, tx, ty):
     n_tiles = tx * ty
-
-    v = rg.size_voxels
-    nb = round(rg.bwin.shape[0] ** (1 / 3))
-    while nb * nb * nb < rg.bwin.shape[0]:
-        nb += 1
-    bg_side = nb * BWIN  # brick grid edge (bricks)
-
-    # [H, W, 3] -> [T, 128, 3] tile-major layout
     d = dirs.reshape(ty, TILE_H, tx, TILE_W, 3)
     d = d.transpose(0, 2, 1, 3, 4).reshape(n_tiles, 128, 3)
+    return d[..., 0], d[..., 1], d[..., 2]
+
+
+@jax.jit
+def _prep_inv(c):
+    # Guarded reciprocal via magnitude clamping: degenerate (≈0) components
+    # come out as ±1e18 (== _BIG_IV) with no Inf ever produced. NOTE the
+    # formulation matters beyond semantics: the equivalent
+    # where(ok, 1/where(ok,c,1), BIG) compiles into a kernel that trips
+    # this TPU's poison mode (experiments /tmp/inv_bisect.py).
+    c2 = jnp.where(c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
+    return 1.0 / c2
+
+
+@jax.jit
+def _prep_sign(c):
+    return (c > 0.0).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("v",))
+def _prep_texit(origin, ivx, ivy, ivz, *, v):
     o = jnp.asarray(origin, jnp.float32)
 
-    inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, _BIG)
-    pos_d = (d > 0.0).astype(jnp.float32)
+    def slab(oc, iv):
+        # iv ≤ _BIG_IV=1e7 and |oc| ≤ a few thousand: products stay « 1e9
+        return jnp.maximum((0.0 - oc) * iv, (jnp.float32(v) - oc) * iv)
 
-    # world slab: t range where the ray is inside [0, v]³
-    t0_ax = (0.0 - o) * inv_d
-    t1_ax = (jnp.float32(v) - o) * inv_d
-    t_exit = jnp.min(jnp.maximum(t0_ax, t1_ax), axis=-1)
-    inside = jnp.all((o > 0.0) & (o < v))  # camera outside -> all miss
-    # (ray_tracer.wgsl:197-200)
+    t_cap = jnp.float32(4.0 * v + 16.0)
+    return jnp.minimum(
+        jnp.minimum(
+            slab(o[0], ivx), jnp.minimum(slab(o[1], ivy), slab(o[2], ivz))
+        ),
+        t_cap,
+    )
 
-    f32 = jnp.float32
-    i32 = jnp.int32
+
+@partial(jax.jit, static_argnames=("n_tiles", "v"))
+def _prep_carry(origin, *, n_tiles, v):
+    f32, i32 = jnp.float32, jnp.int32
+    o = jnp.asarray(origin, f32)
     shape = (n_tiles, 128)
-
-    class Carry(NamedTuple):
-        rounds: jax.Array
-        t: jax.Array
-        active: jax.Array
-        hit: jax.Array
-        level: jax.Array  # 0 brick, 1 voxel
-        cur_brick: jax.Array  # flat brick id while at voxel level
-        axmask: jax.Array  # int32 bits 0..2: axes crossed by last step
-        vox: jax.Array  # render id at hit
-        water: jax.Array
-        wenter: jax.Array  # -1 when not submerged
-        steps: jax.Array
-        bw_id: jax.Array  # [T]
-        slot_bricks: jax.Array  # [T, N_SLOTS] — flat brick ids (-1 empty)
-        slot_content: jax.Array  # [T, N_SLOTS] — rows in rg.bricks (-1 none)
-
-    # NOTE: window/slot *rows* are deliberately NOT loop state — a gather
-    # whose operand is itself a while_loop carry compiles pathologically on
-    # TPU (hours/hangs); rows re-derive from the id state at the top of each
-    # round instead (experiments/probe6.py vs probe7.py).
-
-    init = Carry(
-        rounds=i32(0),
+    inside = (
+        (o[0] > 0.0) & (o[0] < v) & (o[1] > 0.0) & (o[1] < v)
+        & (o[2] > 0.0) & (o[2] < v)
+    )  # camera outside -> all miss (ray_tracer.wgsl:197-200)
+    return _Carry(
         t=jnp.full(shape, EPS_T, f32),
         active=jnp.broadcast_to(inside, shape),
         hit=jnp.zeros(shape, bool),
@@ -326,186 +401,261 @@ def trace_wavefront(
         slot_content=jnp.full((n_tiles, N_SLOTS), -1, i32),
     )
 
-    lanes = jax.lax.broadcasted_iota(i32, shape, 1)
+
+def _prep(origin, dirs, *, tx, ty, v):
+    """Per-frame setup as a sequence of small dispatches."""
+    dx, dy, dz = _prep_dirs(dirs, tx=tx, ty=ty)
+    ivx, ivy, ivz = _prep_inv(dx), _prep_inv(dy), _prep_inv(dz)
+    rays = _Rays(
+        dx=dx, dy=dy, dz=dz, ivx=ivx, ivy=ivy, ivz=ivz,
+        sx=_prep_sign(dx), sy=_prep_sign(dy), sz=_prep_sign(dz),
+        t_exit=_prep_texit(origin, ivx, ivy, ivz, v=v),
+    )
+    return rays, _prep_carry(origin, n_tiles=tx * ty, v=v)
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def _refetch(brick_dir, rays, c: _Carry, origin, rot, *, nb):
+    """Service rays by rotation fairness: each round, every tile points its
+    brick window at the first active brick-level ray at/after lane ``rot``
+    and fills content slots from 8 rotation offsets of voxel-level rays.
+
+    (A t-priority argmin formulation is semantically nicer, but float
+    sentinel reductions compile into this TPU's poison mode — see the
+    magnitude-discipline note at the top. Rotation gives the same
+    termination guarantee: every active ray is eventually serviced.)
+    """
+    i32 = jnp.int32
+    o = jnp.asarray(origin, jnp.float32)
+    lanes = jax.lax.broadcasted_iota(i32, c.t.shape, 1)
+
+    def first_active_from(mask, rot_k):
+        # score: 128 - distance from the rotation point, 0 if inactive
+        score = jnp.where(mask, 128 - ((lanes - rot_k) & 127), 0)
+        li = jnp.argmax(score, axis=1)
+        has = jnp.any(mask, axis=1)
+        return li, has
 
     def lane_select(arr, si):
-        """arr[T,128], si[T] -> arr[t, si[t]] without a gather."""
         return jnp.sum(jnp.where(lanes == si[:, None], arr, 0), axis=1)
 
-    def flat_brick(bcoords):
-        return (
-            bcoords[..., 0]
-            + bcoords[..., 1] * bg_side
-            + bcoords[..., 2] * bg_side * bg_side
-        )
+    px = o[0] + rays.dx * c.t
+    py = o[1] + rays.dy * c.t
+    pz = o[2] + rays.dz * c.t
 
-    def refetch(c: Carry):
-        """Service the least-advanced rays: point the tile's brick window at
-        the min-t brick-level ray and fill content slots with the first
-        N_SLOTS distinct bricks of voxel-level rays in t-order."""
-        p = o + d * c.t[..., None]
+    bmask = c.active & (c.level == 0)
+    bi, bhas = first_active_from(bmask, rot)
 
-        # brick window
-        bmask = c.active & (c.level == 0)
-        tb = jnp.where(bmask, c.t, _BIG)
-        bi = jnp.argmin(tb, axis=1)
-        bhas = jnp.any(bmask, axis=1)
-        pb = jnp.stack([lane_select(p[..., a], bi) for a in range(3)], axis=-1)
-        bw = jnp.clip(jnp.floor(pb / BWIN_VOX).astype(i32), 0, nb - 1)
-        bw_target = bw[:, 0] + bw[:, 1] * nb + bw[:, 2] * nb * nb
-        bw_id = jnp.where(bhas, bw_target, c.bw_id)
+    def wcoord(pc):
+        sel = lane_select(pc, bi)
+        return jnp.clip(jnp.floor(sel / BWIN_VOX).astype(i32), 0, nb - 1)
 
-        # content slots, in t-priority order
-        vmask = c.active & (c.level == 1)
-        tt = jnp.where(vmask, c.t, _BIG)
-        avail = vmask
-        slots = []
-        for _ in range(N_SLOTS):
-            ts = jnp.where(avail, tt, _BIG)
-            si = jnp.argmin(ts, axis=1)
-            has = jnp.any(avail, axis=1)
-            bid = jnp.where(has, lane_select(c.cur_brick, si), -1)
-            slots.append(bid)
-            avail = avail & (c.cur_brick != bid[:, None])
-        slot_bricks = jnp.stack(slots, axis=1)  # [T, N_SLOTS]
+    bw_target = wcoord(px) + wcoord(py) * nb + wcoord(pz) * nb * nb
+    bw_id = jnp.where(bhas, bw_target, c.bw_id)
 
-        dir_idx = jnp.clip(slot_bricks, 0, rg.brick_dir.shape[0] - 1)
-        content = rg.brick_dir[dir_idx]  # [T, N_SLOTS]
-        slot_bricks = jnp.where(content >= 0, slot_bricks, -1)
+    vmask = c.active & (c.level == 1)
+    slots = []
+    for k in range(N_SLOTS):
+        si, has = first_active_from(vmask, rot + k * (128 // N_SLOTS))
+        bid = jnp.where(has, lane_select(c.cur_brick, si), -1)
+        slots.append(bid)
+    slot_bricks = jnp.stack(slots, axis=1)
 
-        return c._replace(
-            bw_id=bw_id, slot_bricks=slot_bricks, slot_content=content
-        )
+    dir_idx = jnp.clip(slot_bricks, 0, brick_dir.shape[0] - 1)
+    content = brick_dir[dir_idx]
+    slot_bricks = jnp.where(content >= 0, slot_bricks, -1)
+    return c._replace(
+        bw_id=bw_id, slot_bricks=slot_bricks, slot_content=content
+    )
 
-    def fetch_rows(c: Carry):
-        """Derive the tile window/slot rows from the id state (in-body)."""
-        row_idx = jnp.clip(c.bw_id, 0, rg.bwin.shape[0] - 1)
-        bw_row = rg.bwin[row_idx]
-        lw_row = rg.lwin[row_idx]
-        no_descend = jnp.all(bw_row == 0, axis=1)
-        uniform_liq = jnp.all(
-            lw_row == jnp.uint32(0xFFFFFFFF), axis=1
-        ) | jnp.all(lw_row == 0, axis=1)
-        bw_jump = no_descend & uniform_liq
-        rows = rg.bricks[jnp.clip(c.slot_content, 0, rg.bricks.shape[0] - 1)]
-        slot_row = rows.reshape(n_tiles, N_SLOTS * 16)
-        return bw_row, lw_row, bw_jump, slot_row
 
-    def step(c: Carry, bw_row, lw_row, bw_jump, slot_row):
-        p = o + d * c.t[..., None]
+@jax.jit
+def _rows_win(bwin, lwin, bw_id):
+    row_idx = jnp.clip(bw_id, 0, bwin.shape[0] - 1)
+    bw_row = bwin[row_idx]
+    lw_row = lwin[row_idx]
+    no_descend = jnp.all(bw_row == 0, axis=1)
+    uniform_liq = jnp.all(lw_row == jnp.uint32(0xFFFFFFFF), axis=1) | jnp.all(
+        lw_row == 0, axis=1
+    )
+    return bw_row, lw_row, no_descend & uniform_liq
 
-        # world exit
-        out_now = c.active & (c.t >= t_exit)
-        active = c.active & ~out_now
 
-        # demote rays that left their brick
-        b = jnp.floor(p * (1.0 / BRICK)).astype(i32)
-        fb = flat_brick(b)
-        level = jnp.where(
-            active & (c.level == 1) & (fb != c.cur_brick), 0, c.level
-        )
+@jax.jit
+def _rows_slots(bricks, slot_content):
+    n_tiles = slot_content.shape[0]
+    rows = bricks[jnp.clip(slot_content, 0, bricks.shape[0] - 1)]
+    return rows.reshape(n_tiles, N_SLOTS * 16)
 
-        # ---------- brick level ----------
-        bl = active & (level == 0)
-        bwc = b >> 4
-        bw_flat = bwc[..., 0] + bwc[..., 1] * nb + bwc[..., 2] * nb * nb
-        match_b = bl & (bw_flat == c.bw_id[:, None])
-        lb = b & (BWIN - 1)
-        lin = lb[..., 0] + lb[..., 1] * BWIN + lb[..., 2] * BWIN * BWIN
-        widx = (lin >> 5).astype(i32)
-        shift = (lin & 31).astype(jnp.uint32)
-        word = jnp.take_along_axis(bw_row, widx, axis=1)
-        descend = ((word >> shift) & 1) != 0
-        lword = jnp.take_along_axis(lw_row, widx, axis=1)
-        brick_liq = ((lword >> shift) & 1) != 0
 
-        to_voxel = match_b & descend
-        level = jnp.where(to_voxel, 1, level)
-        cur_brick = jnp.where(to_voxel, fb, c.cur_brick)
+@partial(jax.jit, static_argnames=("nb", "bg_side"))
+def _pre(rays, c: _Carry, origin, *, nb, bg_side):
+    """Per-step index math (pure VPU): gather indices + phase bookkeeping
+    that doesn't depend on this step's lookups."""
+    i32 = jnp.int32
+    o = jnp.asarray(origin, jnp.float32)
+    px = o[0] + rays.dx * c.t
+    py = o[1] + rays.dy * c.t
+    pz = o[2] + rays.dz * c.t
 
-        bstep = match_b & ~descend
-        cell = jnp.where(bw_jump[:, None], f32(BWIN_VOX), f32(BRICK))
-        dt_b, crossed_b = _dda(p, inv_d, pos_d, cell[..., None])
+    bx = jnp.floor(px * (1.0 / BRICK)).astype(i32)
+    by = jnp.floor(py * (1.0 / BRICK)).astype(i32)
+    bz = jnp.floor(pz * (1.0 / BRICK)).astype(i32)
+    lin = (bx & (BWIN - 1)) + (by & (BWIN - 1)) * BWIN \
+        + (bz & (BWIN - 1)) * BWIN * BWIN
+    widx = lin >> 5
 
-        # ---------- voxel level (brick-content slots) ----------
-        vl = active & (level == 1)
-        eq = cur_brick[..., None] == c.slot_bricks[:, None, :]  # [T,128,S]
-        in_slot = jnp.any(eq, axis=-1)
-        sidx = jnp.argmax(eq, axis=-1).astype(i32)
-        match_v = vl & in_slot
-        vcell = jnp.floor(p).astype(i32)
-        lv = vcell & (BRICK - 1)
-        vlin = lv[..., 0] + lv[..., 1] * BRICK + lv[..., 2] * BRICK * BRICK
-        vword = jnp.take_along_axis(
-            slot_row, sidx * 16 + (vlin >> 2), axis=1
-        )
-        rid = ((vword >> ((vlin & 3).astype(jnp.uint32) * 8)) & 0xFF).astype(i32)
+    # voxel-phase slot index (cur_brick after demotion)
+    fb = bx + by * bg_side + bz * bg_side * bg_side
+    sidx = jnp.zeros(c.t.shape, i32)
+    for s_i in range(N_SLOTS):
+        m = c.cur_brick == c.slot_bricks[:, s_i][:, None]
+        sidx = jnp.where(m, i32(s_i), sidx)
+    vx = jnp.floor(px).astype(i32)
+    vy = jnp.floor(py).astype(i32)
+    vz = jnp.floor(pz).astype(i32)
+    vlin = (vx & (BRICK - 1)) + (vy & (BRICK - 1)) * BRICK \
+        + (vz & (BRICK - 1)) * BRICK * BRICK
+    vidx = sidx * 16 + (vlin >> 2)
+    return widx, vidx
 
-        is_air = rid == 0
-        is_liq = (rid >= 1) & (rid <= rg.n_liquid)
-        solid = match_v & ~is_air & ~is_liq
 
-        hit = c.hit | solid
-        active = active & ~solid
-        vox = jnp.where(solid, rid, c.vox)
+@jax.jit
+def _gather3(bw_row, lw_row, slot_row, widx, vidx):
+    """The three lane-local lookups, alone in one dispatch so they lower to
+    the fast native dynamic-gather kernels."""
+    word = jnp.take_along_axis(bw_row, widx, axis=1)
+    lword = jnp.take_along_axis(lw_row, widx, axis=1)
+    vword = jnp.take_along_axis(slot_row, vidx, axis=1)
+    return word, lword, vword
 
-        # liquid bookkeeping (semantics of ops/traverse.py:222-251).
-        # Both levels sample a definite liquid state: voxels directly,
-        # non-descend bricks via the all-liquid plane (uniform by
-        # construction, so boundaries land exactly on brick faces).
-        in_w = c.wenter >= 0.0
-        samp_liq = (match_v & is_liq) | (bstep & brick_liq)
-        samp_dry = (match_v & ~is_liq) | (bstep & ~brick_liq)
-        leave = in_w & samp_dry
-        water = c.water + jnp.where(leave, c.t - c.wenter, 0.0)
-        wenter = jnp.where(leave, -1.0, c.wenter)
-        enter = samp_liq & (wenter < 0.0)
-        wenter = jnp.where(enter, c.t, wenter)
 
-        vstep = match_v & (is_air | is_liq)
-        dt_v, crossed_v = _dda(p, inv_d, pos_d, f32(1.0))
+@partial(jax.jit, static_argnames=("nb", "bg_side"))
+def _post_brick(rays, c: _Carry, origin, bw_jump, word, lword,
+                *, nb, bg_side):
+    """Consume the brick-window lookups: promotions, brick-level liquid
+    accounting, brick/window DDA advance."""
+    f32, i32 = jnp.float32, jnp.int32
+    o = jnp.asarray(origin, jnp.float32)
+    px = o[0] + rays.dx * c.t
+    py = o[1] + rays.dy * c.t
+    pz = o[2] + rays.dz * c.t
 
-        # ---------- advance ----------
-        stepped = bstep | vstep
-        dt = jnp.where(bstep, dt_b, dt_v)
-        crossed = jnp.where(bstep[..., None], crossed_b, crossed_v)
-        t = jnp.where(stepped, c.t + dt + EPS_T, c.t)
-        axbits = (
-            crossed[..., 0].astype(i32)
-            | (crossed[..., 1].astype(i32) << 1)
-            | (crossed[..., 2].astype(i32) << 2)
-        )
-        axmask = jnp.where(stepped, axbits, c.axmask)
-        steps = c.steps + (match_b | match_v).astype(i32)
+    active = c.active & (c.t < rays.t_exit)
 
-        return c._replace(
-            t=t, active=active, hit=hit, level=level, cur_brick=cur_brick,
-            axmask=axmask, vox=vox, water=water, wenter=wenter, steps=steps,
-        )
+    bx = jnp.floor(px * (1.0 / BRICK)).astype(i32)
+    by = jnp.floor(py * (1.0 / BRICK)).astype(i32)
+    bz = jnp.floor(pz * (1.0 / BRICK)).astype(i32)
+    fb = bx + by * bg_side + bz * bg_side * bg_side
+    level = jnp.where(active & (c.level == 1) & (fb != c.cur_brick), 0, c.level)
 
-    def round_body(c: Carry):
-        c = refetch(c)
-        rows = fetch_rows(c)  # loop-invariant within the inner fori_loop
-        c = jax.lax.fori_loop(
-            0, inner_steps, lambda i, cc: step(cc, *rows), c
-        )
-        return c._replace(rounds=c.rounds + 1)
+    bl = active & (level == 0)
+    bw_flat = (bx >> 4) + (by >> 4) * nb + (bz >> 4) * nb * nb
+    match_b = bl & (bw_flat == c.bw_id[:, None])
+    lin = (bx & (BWIN - 1)) + (by & (BWIN - 1)) * BWIN \
+        + (bz & (BWIN - 1)) * BWIN * BWIN
+    shift = (lin & 31).astype(jnp.uint32)
+    descend = ((word >> shift) & 1) != 0
+    brick_liq = ((lword >> shift) & 1) != 0
 
-    def cond(c: Carry):
-        return jnp.any(c.active) & (c.rounds < max_rounds)
+    to_voxel = match_b & descend
+    level = jnp.where(to_voxel, 1, level)
+    cur_brick = jnp.where(to_voxel, fb, c.cur_brick)
 
-    c = jax.lax.while_loop(cond, round_body, init)
+    bstep = match_b & ~descend
+    in_w = c.wenter >= 0.0
+    leave_b = bstep & in_w & ~brick_liq
+    water = c.water + jnp.where(leave_b, c.t - c.wenter, 0.0)
+    wenter = jnp.where(leave_b, -1.0, c.wenter)
+    wenter = jnp.where(bstep & brick_liq & (wenter < 0.0), c.t, wenter)
 
-    # Epilogue: step-cap survivors count as hits (ray_tracer.wgsl:291-309);
-    # submerged rays get water credit up to their stop point.
+    cell = jnp.where(bw_jump[:, None], jnp.float32(BWIN_VOX), jnp.float32(BRICK))
+    dt_b, cbx, cby, cbz = _dda3(px, py, pz, rays, cell)
+    t = _salted(jnp.where(bstep, c.t + dt_b + EPS_T, c.t))
+    axb = cbx.astype(i32) | (cby.astype(i32) << 1) | (cbz.astype(i32) << 2)
+    axmask = jnp.where(bstep, axb, c.axmask)
+    steps = c.steps + match_b.astype(i32)
+
+    return c._replace(
+        t=t, active=active, level=level, cur_brick=cur_brick,
+        axmask=axmask, water=water, wenter=wenter, steps=steps,
+    )
+
+
+@jax.jit
+def _post_voxel(rays, c: _Carry, origin, n_liquid, vword):
+    """Consume the brick-content lookup: hits, voxel-level liquid
+    accounting, single-voxel DDA advance."""
+    f32, i32 = jnp.float32, jnp.int32
+    o = jnp.asarray(origin, jnp.float32)
+    px = o[0] + rays.dx * c.t
+    py = o[1] + rays.dy * c.t
+    pz = o[2] + rays.dz * c.t
+
+    # slot membership recomputed (unrolled: a [T,128,8] compare would pad
+    # its minor dim to 128 lanes)
+    vl = c.active & (c.level == 1)
+    in_slot = jnp.zeros(c.t.shape, bool)
+    for s_i in range(N_SLOTS):
+        in_slot = in_slot | (c.cur_brick == c.slot_bricks[:, s_i][:, None])
+    match_v = vl & in_slot
+    vx = jnp.floor(px).astype(i32)
+    vy = jnp.floor(py).astype(i32)
+    vz = jnp.floor(pz).astype(i32)
+    vlin = (vx & (BRICK - 1)) + (vy & (BRICK - 1)) * BRICK \
+        + (vz & (BRICK - 1)) * BRICK * BRICK
+    rid = ((vword >> ((vlin & 3).astype(jnp.uint32) * 8)) & 0xFF).astype(i32)
+
+    is_air = rid == 0
+    is_liq = (rid >= 1) & (rid <= n_liquid)
+    solid = match_v & ~is_air & ~is_liq
+
+    hit = c.hit | solid
+    active = c.active & ~solid
+    vox = jnp.where(solid, rid, c.vox)
+
+    in_w = c.wenter >= 0.0
+    leave_v = match_v & in_w & ~is_liq
+    water = c.water + jnp.where(leave_v, c.t - c.wenter, 0.0)
+    wenter = jnp.where(leave_v, -1.0, c.wenter)
+    wenter = jnp.where(match_v & is_liq & (wenter < 0.0), c.t, wenter)
+
+    vstep = match_v & (is_air | is_liq)
+    dt_v, cvx, cvy, cvz = _dda3(px, py, pz, rays, jnp.float32(1.0))
+    t = _salted(jnp.where(vstep, c.t + dt_v + EPS_T, c.t))
+    axv = cvx.astype(i32) | (cvy.astype(i32) << 1) | (cvz.astype(i32) << 2)
+    axmask = jnp.where(vstep, axv, c.axmask)
+    steps = c.steps + match_v.astype(i32)
+
+    return c._replace(
+        t=t, active=active, hit=hit, axmask=axmask, vox=vox,
+        water=water, wenter=wenter, steps=steps,
+    )
+
+
+@jax.jit
+def _n_active(c: _Carry):
+    return jnp.any(c.active)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tx", "ty"))
+def _finish(to_pack, rays, c: _Carry, *, width, height, tx, ty):
+    f32 = jnp.float32
+    # Step-cap survivors count as hits (ray_tracer.wgsl:291-309); submerged
+    # rays get water credit up to their stop point.
     hit = c.hit | c.active
-    t_stop = jnp.minimum(c.t, t_exit)
+    t_stop = jnp.minimum(c.t, rays.t_exit)
     water = c.water + jnp.where(c.wenter >= 0.0, t_stop - c.wenter, 0.0)
 
-    norm = -jnp.sign(d) * jnp.stack(
-        [(c.axmask >> a) & 1 for a in range(3)], axis=-1
-    ).astype(f32)
-    voxel = rg.to_pack[jnp.clip(c.vox, 0, 255)]
+    norm = jnp.stack(
+        [
+            -jnp.sign(rays.dx) * ((c.axmask >> 0) & 1).astype(f32),
+            -jnp.sign(rays.dy) * ((c.axmask >> 1) & 1).astype(f32),
+            -jnp.sign(rays.dz) * ((c.axmask >> 2) & 1).astype(f32),
+        ],
+        axis=-1,
+    )
+    voxel = to_pack[jnp.clip(c.vox, 0, 255)]
 
     def untile(x):
         extra = x.shape[2:]
@@ -520,4 +670,63 @@ def trace_wavefront(
         t=untile(t_stop),
         water_dist=untile(water),
         steps=untile(c.steps),
+    )
+
+
+def trace_wavefront(
+    rg: RenderGrid,
+    origin,
+    dirs,
+    *,
+    width,
+    height,
+    max_rounds=64,
+    inner_steps=12,
+    check_every=0,
+):
+    """March one frame of rays through a RenderGrid (host-driven).
+
+    origin: f32[3] world-local camera position (shared by all rays).
+    dirs:   f32[H, W, 3] unit directions.
+    Returns a WavefrontResult of [H, W] maps.
+    """
+    assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
+    tx = width // TILE_W
+    ty = height // TILE_H
+    nb = round(rg.bwin.shape[0] ** (1 / 3))
+    while nb * nb * nb < rg.bwin.shape[0]:
+        nb += 1
+    bg_side = nb * BWIN
+
+    # D2H WARNING: a device->host transfer (np.asarray, float()/bool() on a
+    # device scalar, .item()) — of ANY size — permanently drops this TPU
+    # process out of its fast dispatch mode (~0.05 ms -> ~83 ms per
+    # dispatch; experiments /tmp/wf_d2h*.py). The march therefore runs a
+    # FIXED round count with no host-side convergence polling by default;
+    # rays that outlive the budget count as hits, exactly like the
+    # reference's 500-step cap. Pass check_every > 0 only when the process
+    # is already in slow mode (e.g. interactive sessions that fetch frames).
+    origin = jnp.asarray(origin, jnp.float32)
+    rays, carry = _prep(
+        origin, jnp.asarray(dirs), tx=tx, ty=ty, v=int(rg.size_voxels)
+    )
+    for r in range(max_rounds):
+        rot = jnp.int32((r * 37) & 127)  # co-prime stride covers all lanes
+        carry = _refetch(rg.brick_dir, rays, carry, origin, rot, nb=nb)
+        bw_row, lw_row, bw_jump = _rows_win(rg.bwin, rg.lwin, carry.bw_id)
+        slot_row = _rows_slots(rg.bricks, carry.slot_content)
+        for _ in range(inner_steps):
+            widx, vidx = _pre(rays, carry, origin, nb=nb, bg_side=bg_side)
+            word, lword, vword = _gather3(bw_row, lw_row, slot_row, widx, vidx)
+            carry = _post_brick(
+                rays, carry, origin, bw_jump, word, lword,
+                nb=nb, bg_side=bg_side,
+            )
+            carry = _post_voxel(rays, carry, origin, rg.n_liquid, vword)
+        if check_every and (r + 1) % check_every == 0 and not bool(
+            _n_active(carry)
+        ):
+            break
+    return _finish(
+        rg.to_pack, rays, carry, width=width, height=height, tx=tx, ty=ty
     )
