@@ -57,10 +57,15 @@ def make_material_table(n_voxels, styles):
         is_liquid[vid] = state == "liquid"
         scatter[vid] = float(get("scatter", 1.0))
         emission[vid] = float(get("emission", 0.0))
+    # Deliberately HOST (NumPy) arrays: consumers read them both on host
+    # (render-id maps, solidity checks) and in jitted code (where JAX
+    # uploads them as arguments). Keeping them on device would force
+    # device->host transfers on the host paths — and any D2H permanently
+    # degrades the TPU process (see ops/wavefront.py).
     return MaterialTable(
-        color=jnp.asarray(color),
-        is_empty=jnp.asarray(is_empty),
-        is_liquid=jnp.asarray(is_liquid),
-        scatter=jnp.asarray(scatter),
-        emission=jnp.asarray(emission),
+        color=color,
+        is_empty=is_empty,
+        is_liquid=is_liquid,
+        scatter=scatter,
+        emission=emission,
     )

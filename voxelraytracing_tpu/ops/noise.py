@@ -152,3 +152,35 @@ class RawNoise:
     def map_sample(self, pos, m):
         pos = jnp.asarray(pos, dtype=jnp.float32)
         return self.sample(pos * m.freq) * m.scale + m.offset
+
+
+def perlin2d_np(perm, pos):
+    """NumPy twin of :func:`perlin2d` (identical math, host-only)."""
+    pos = np.asarray(pos, dtype=np.float32)
+    p0 = np.floor(pos)
+    frac = (pos - p0).astype(np.float32)
+    xi = p0[..., 0].astype(np.int64) & 255
+    yi = p0[..., 1].astype(np.int64) & 255
+    perm = np.asarray(perm)
+
+    def corner_dot(dx, dy):
+        h = perm[perm[xi + dx] + yi + dy] & 3
+        g = _GRADS[h]
+        d = frac - np.asarray([dx, dy], dtype=np.float32)
+        return np.sum(g * d, axis=-1)
+
+    n00 = corner_dot(0, 0)
+    n10 = corner_dot(1, 0)
+    n01 = corner_dot(0, 1)
+    n11 = corner_dot(1, 1)
+    t = frac * frac * frac * (frac * (frac * 6.0 - 15.0) + 10.0)
+    u, v = t[..., 0], t[..., 1]
+    nx0 = n00 + u * (n10 - n00)
+    nx1 = n01 + u * (n11 - n01)
+    val = (nx0 + v * (nx1 - nx0)) * _SCALE
+    return np.clip(val, -1.0, 1.0)
+
+
+def sample01_np(perm, pos):
+    """NumPy twin of :func:`sample01`."""
+    return np.clip((perlin2d_np(perm, pos) + 1.0) * 0.5, 0.0, 1.0)

@@ -730,3 +730,83 @@ def trace_wavefront(
     return _finish(
         rg.to_pack, rays, carry, width=width, height=height, tx=tx, ty=ty
     )
+
+
+def build_render_grid_host(grids, cells, world_min, size_in_chunks, materials):
+    """Host (NumPy) RenderGrid builder.
+
+    Produces arrays identical to ``build_render_grid`` but without running
+    any device program: the device builder's compiled form currently trips
+    this TPU's degraded dispatch mode, so latency-insensitive one-shot
+    builds (benchmarks, world loads) prefer the host path — the tables then
+    reach the device as pure host->device uploads, which are safe.
+    """
+    grids = np.asarray(grids, np.int32)
+    cells = np.asarray(cells, np.int32)
+    is_liquid = np.asarray(materials.is_liquid)
+    to_render, to_pack, n_liquid = render_id_maps(is_liquid)
+
+    w = size_in_chunks
+    v = w * CHUNK_SIZE
+    vpad = _cdiv(v, BWIN_VOX) * BWIN_VOX
+    nb = vpad // BWIN_VOX
+    b = grids.shape[0]
+
+    rg = to_render[grids]
+    cx = cells % w
+    cy = (cells // w) % w
+    cz = cells // (w * w)
+    valid = cells >= 0
+
+    bview = rg.reshape(b, 8, BRICK, 8, BRICK, 8, BRICK)
+    is_liq_v = (bview >= 1) & (bview <= n_liquid)
+    any_solid = (bview > n_liquid).any(axis=(2, 4, 6))
+    any_liq = is_liq_v.any(axis=(2, 4, 6))
+    all_liq = is_liq_v.all(axis=(2, 4, 6))
+    any_air = (bview == 0).any(axis=(2, 4, 6))
+    descend = any_solid | (any_liq & any_air)
+
+    bg_side = nb * BWIN
+    ii = np.arange(8)
+    gbx = ii[None, :, None, None] + (cx * 8)[:, None, None, None]
+    gby = ii[None, None, :, None] + (cy * 8)[:, None, None, None]
+    gbz = ii[None, None, None, :] + (cz * 8)[:, None, None, None]
+    gflat = (gbx + gby * bg_side + gbz * bg_side * bg_side).astype(np.int64)
+
+    def brick_windows(bbits):
+        bgrid = np.zeros(bg_side**3, dtype=np.uint32)
+        flat = gflat.reshape(-1)
+        vals = bbits.reshape(-1).astype(np.uint32)
+        ok = np.repeat(valid, 512)
+        bgrid[flat[ok]] = vals[ok]
+        g6 = bgrid.reshape(nb, BWIN, nb, BWIN, nb, BWIN)
+        g6 = g6.transpose(0, 2, 4, 1, 3, 5)
+        bits = g6.reshape(nb * nb * nb, 128, 32)
+        return (bits << np.arange(32, dtype=np.uint32)).sum(
+            axis=-1, dtype=np.uint64
+        ).astype(np.uint32)
+
+    bwin = brick_windows(descend)
+    lwin = brick_windows(all_liq)
+
+    bc = bview.transpose(0, 1, 3, 5, 6, 4, 2).reshape(b * 512, 16, 4)
+    bricks = (
+        bc.astype(np.uint32) << (np.arange(4, dtype=np.uint32) * 8)
+    ).sum(axis=-1, dtype=np.uint64).astype(np.uint32)
+
+    li = (ii[:, None, None] * 64 + ii[None, :, None] * 8 + ii[None, None, :])
+    rows = np.arange(b, dtype=np.int64)[:, None, None, None] * 512 + li[None]
+    brick_dir = np.full(bg_side**3, -1, np.int32)
+    ok = np.repeat(valid, 512)
+    brick_dir[gflat.reshape(-1)[ok]] = rows.reshape(-1)[ok].astype(np.int32)
+
+    return RenderGrid(
+        bwin=jnp.asarray(bwin),
+        lwin=jnp.asarray(lwin),
+        brick_dir=jnp.asarray(brick_dir),
+        bricks=jnp.asarray(bricks),
+        world_min=jnp.asarray(world_min, jnp.int32),
+        to_pack=jnp.asarray(to_pack),
+        n_liquid=jnp.asarray(np.int32(n_liquid)),
+        size_voxels=v,
+    )

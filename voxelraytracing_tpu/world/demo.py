@@ -84,3 +84,36 @@ def make_demo_world(seed=7, size_in_chunks=8, min_chunk=(0, 0, 0)):
     nodes, _ = build_chunk_svo_batch(grids)
     world_min = jnp.asarray(min_chunk, jnp.int32) * CHUNK_SIZE
     return assemble_world_slice(nodes, cells, world_min, w)
+
+
+def demo_chunk_grids_host(perm, min_chunk, size_in_chunks, height_scale, sea_level):
+    """NumPy twin of :func:`demo_chunk_grids` (host-only, for benchmarks
+    and render-grid builds that must not run device programs)."""
+    import numpy as np
+
+    w = size_in_chunks
+    b = w * w * w
+    idx = np.arange(b, dtype=np.int64)
+    offs = np.stack([idx % w, (idx // w) % w, idx // (w * w)], axis=-1)
+    corners = (np.asarray(min_chunk, np.int64) + offs) * CHUNK_SIZE
+
+    lx = np.arange(CHUNK_SIZE, dtype=np.int64)
+    gx = corners[:, 0, None] + lx[None, :]
+    gz = corners[:, 2, None] + lx[None, :]
+    pos = np.stack(
+        np.broadcast_arrays(
+            gx[:, :, None].astype(np.float32), gz[:, None, :].astype(np.float32)
+        ),
+        axis=-1,
+    )
+    h = noise.sample01_np(np.asarray(perm), pos * 0.01) * float(height_scale)
+    h = np.floor(h).astype(np.int64)
+
+    gy = corners[:, 1, None] + lx[None, :]
+    y = gy[:, None, :, None]
+    hh = h[:, :, None, :]
+    grid = np.where(y < hh - 3, STONE, AIR)
+    grid = np.where((y >= hh - 3) & (y < hh - 1), EARTH, grid)
+    grid = np.where((y >= hh - 1) & (y < hh), GRASS, grid)
+    grid = np.where((grid == AIR) & (y < int(sea_level)), WATER, grid)
+    return grid.astype(np.int32), idx.astype(np.int32)
