@@ -79,6 +79,9 @@ class PathTracer:
     ):
         world = WorldSlice(nodes=nodes, chunk_roots=chunk_roots, world_min=world_min)
         mats = self.materials
+        m_emission = jnp.asarray(mats.emission)
+        m_color = jnp.asarray(mats.color)
+        m_scatter = jnp.asarray(mats.scatter)
         origin0, dirs0 = generate_rays_raw(
             inv_view, inv_proj, cam_pos, width, height, world_min
         )
@@ -104,8 +107,8 @@ class PathTracer:
                 light = light + jnp.where(miss[..., None], color * sky, 0.0)
 
                 hit = alive & rs.hit
-                emis = mats.emission[rs.voxel][..., None]
-                albedo = mats.color[rs.voxel]
+                emis = m_emission[rs.voxel][..., None]
+                albedo = m_color[rs.voxel]
                 light = light + jnp.where(hit[..., None], color * emis * albedo, 0.0)
                 color = jnp.where(hit[..., None], color * albedo, color)
                 alive = hit
@@ -121,7 +124,7 @@ class PathTracer:
                 norm = jnp.where(degenerate, -dirs, norm)
                 diff = _diffuse_dir(bkey, norm)
                 spec = _reflect(dirs, norm)
-                scat = mats.scatter[rs.voxel][..., None]
+                scat = m_scatter[rs.voxel][..., None]
                 nd = diff * scat + spec * (1.0 - scat)
                 # guarded normalize: a zero-length mix must not divide by 0
                 # (Infs permanently degrade the TPU — see ops/wavefront.py)

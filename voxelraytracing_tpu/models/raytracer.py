@@ -51,7 +51,7 @@ def shade_hits(
     max_steps=MAX_RAY_STEPS,
 ):
     """Composite a traced frame into linear RGB (ray_tracer.wgsl:131-157, 291-316)."""
-    color = materials.color[rs.voxel]
+    color = jnp.asarray(materials.color)[rs.voxel]
     # Face tints: X faces x0.5, Z faces x0.7, bottom faces x0.2.
     color = jnp.where((rs.norm[..., 0] != 0.0)[..., None], color * 0.5, color)
     color = jnp.where((rs.norm[..., 2] != 0.0)[..., None], color * 0.7, color)
