@@ -160,3 +160,65 @@ class RayTracer:
 def to_srgb8(img):
     """Linear f32 frame -> uint8 RGB (the rgba8unorm store clamps identically)."""
     return np.asarray(jnp.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+class WavefrontRenderer:
+    """Flagship *fast-path* renderer: the windowed wavefront tracer plus the
+    same face/sky/water shading as :class:`RayTracer`.
+
+    Takes a prebuilt :class:`~..ops.wavefront.RenderGrid` (see
+    ``ops.wavefront.build_render_grid_host`` for the upload-only builder).
+    Rendering follows the D2H discipline documented in ``ops/wavefront.py``:
+    nothing here reads device values; callers fetch the returned image when
+    they actually need it host-side.
+
+    Current limitation vs the SVO-path RayTracer: no hard-shadow pass (the
+    wavefront march currently assumes one shared ray origin per frame).
+    """
+
+    def __init__(self, materials, show_step_count=False, max_rounds=48,
+                 inner_steps=12):
+        self.materials = materials
+        self.show_step_count = bool(show_step_count)
+        self.max_rounds = int(max_rounds)
+        self.inner_steps = int(inner_steps)
+        self._shade = jax.jit(self._shade_impl)
+
+    def _shade_impl(self, wf, dirs, origin, world_min, sky_color, sun_pos,
+                    sun_intensity, m_color, m_is_liquid):
+        # Adapt the wavefront result to the TraceResult the shader expects.
+        pos = origin[None, None] + dirs * wf.t[..., None]
+        rs = TraceResult(
+            hit=wf.hit, voxel=wf.voxel, norm=wf.norm, pos=pos,
+            water_dist=wf.water_dist, steps=wf.steps,
+        )
+        mats = self.materials._replace(color=m_color, is_liquid=m_is_liquid)
+        return shade_hits(
+            rs, dirs, origin, mats, sky_color, sun_pos, sun_intensity,
+            world_min, show_step_count=self.show_step_count,
+            max_steps=self.max_rounds * self.inner_steps,
+        )
+
+    def render(self, rgrid, cam: CamData, settings: RenderSettings = None):
+        """Render one frame; returns ``(f32[H,W,3] image, WavefrontResult)``."""
+        from ..ops.wavefront import trace_wavefront
+
+        s = settings or RenderSettings()
+        w, h = cam.proj_size
+        world_min = jnp.asarray(rgrid.world_min, jnp.int32)
+        origin, dirs = generate_rays_raw(
+            cam.inv_view, cam.inv_proj, cam.pos, w, h, world_min
+        )
+        wf = trace_wavefront(
+            rgrid, origin, dirs, width=w, height=h,
+            max_rounds=self.max_rounds, inner_steps=self.inner_steps,
+        )
+        img = self._shade(
+            wf, dirs, jnp.asarray(origin, jnp.float32), world_min,
+            jnp.asarray(s.sky_color, jnp.float32),
+            jnp.asarray(s.sun_pos, jnp.float32),
+            jnp.asarray(s.sun_intensity, jnp.float32),
+            jnp.asarray(self.materials.color),
+            jnp.asarray(self.materials.is_liquid),
+        )
+        return img, wf
