@@ -1,0 +1,1 @@
+"""Core formats and host geometry: SVO nodes/spec, coords, math, native lib."""

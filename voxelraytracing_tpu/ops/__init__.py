@@ -1,0 +1,1 @@
+"""Device compute: tracers, SVO build, noise, camera, sky, materials."""
