@@ -65,3 +65,63 @@ def test_partial_frames_buffer():
         got.extend(P.read_frames(buf))
     assert [c for c, _ in got] == [ServerCmd.SET_VOXEL, ServerCmd.DISCONNECT_NOTICE]
     assert not buf
+
+
+def test_malformed_frames_raise_and_consume():
+    import pytest
+
+    # unknown command id: consumed, DecodeError
+    buf = bytearray(P._HEADER.pack(0, 99))
+    with pytest.raises(P.DecodeError):
+        P.read_frames(buf)
+    assert not buf  # bad frame consumed — the buffer can't wedge
+
+    # truncated payload for a known command
+    buf = bytearray(P._HEADER.pack(3, int(ServerCmd.SET_VOXEL)) + b"abc")
+    with pytest.raises(P.DecodeError):
+        P.read_frames(buf)
+    assert not buf
+
+    # count field exceeding the actual payload (memory-exhaustion guard)
+    import struct
+
+    payload = struct.pack("<I", 2**31)  # LOAD_CHUNKS claiming 2^31 entries
+    buf = bytearray(P._HEADER.pack(len(payload), int(ServerCmd.LOAD_CHUNKS)) + payload)
+    with pytest.raises(P.DecodeError):
+        P.read_frames(buf)
+    assert not buf
+
+    # oversized declared frame length rejected outright
+    buf = bytearray(P._HEADER.pack(P.MAX_FRAME_LEN + 1, int(ServerCmd.HANDSHAKE)))
+    with pytest.raises(P.DecodeError):
+        P.read_frames(buf)
+    assert not buf
+
+
+def test_conn_marks_broken_on_garbage(monkeypatch):
+    import socket
+
+    from voxelraytracing_tpu.net.conn import Conn
+
+    lst = socket.socket()
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(1)
+    b = socket.create_connection(lst.getsockname())
+    a, _ = lst.accept()
+    lst.close()
+    try:
+        conn = Conn(a)
+        b.sendall(P._HEADER.pack(4, 9999) + b"\xff\xff\xff\xff")
+        import time
+
+        deadline = time.time() + 5
+        frames = []
+        while time.time() < deadline and not conn.broken:
+            frames.extend(conn.try_read())
+            time.sleep(0.01)
+        assert conn.broken
+        assert frames == []
+        assert conn.try_read() == []  # broken conn goes quiet, never raises
+    finally:
+        a.close()
+        b.close()

@@ -101,3 +101,12 @@ def test_material_table_styles_match_states():
         style = sp.voxel_styles.get(vd.name)
         assert style is not None, vd.name
         assert style.state == vd.state, vd.name
+
+
+def test_ron_non_ascii_strings_survive():
+    # unicode_escape-based unescaping corrupts UTF-8 (mojibake); the parser
+    # must pass non-ASCII through verbatim and still honor real escapes.
+    assert ron.loads('"Café"') == "Café"
+    assert ron.loads('"日本語"') == "日本語"
+    assert ron.loads(r'"a\nb\tc\"d"') == 'a\nb\tc"d'
+    assert ron.loads(r'"snowman: \u{2603} / bare ☃"') == "snowman: ☃ / bare ☃"

@@ -49,7 +49,9 @@ def test_servercli_serves_and_saves(tmp_path):
     t = threading.Thread(
         target=run_server,
         args=(root, "Flat Test"),
-        kwargs=dict(port=0, max_ticks=3000, quiet=True, on_ready=on_ready),
+        kwargs=dict(
+            port=0, max_ticks=3000, quiet=True, on_ready=on_ready, cli=False
+        ),
         daemon=True,
     )
     t.start()

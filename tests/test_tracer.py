@@ -127,3 +127,28 @@ def test_shadows_darken(cam, world, mats):
     base, shadowed = np.asarray(base), np.asarray(shadowed)
     assert (shadowed <= base + 1e-6).all()
     assert (shadowed < base - 1e-4).any()
+
+
+def test_shadow_settings_are_live(cam, world, mats):
+    """settings.shadows and settings.shadow_ambient actually take effect."""
+    from voxelraytracing_tpu.models.raytracer import RayTracer, RenderSettings
+
+    sun = (100.0, 200.0, 30.0)
+    tracer = RayTracer(mats)
+    base, _ = tracer.render(world, cam, RenderSettings(sun_pos=sun))
+    via_settings, _ = tracer.render(
+        world, cam, RenderSettings(sun_pos=sun, shadows=True)
+    )
+    via_ctor, _ = RayTracer(mats, shadows=True).render(
+        world, cam, RenderSettings(sun_pos=sun)
+    )
+    base = np.asarray(base)
+    via_settings = np.asarray(via_settings)
+    np.testing.assert_allclose(via_settings, np.asarray(via_ctor))
+    assert (via_settings < base - 1e-4).any()
+
+    # shadow_ambient=1.0 keeps all the light: no darkening at all
+    lit, _ = tracer.render(
+        world, cam, RenderSettings(sun_pos=sun, shadows=True, shadow_ambient=1.0)
+    )
+    np.testing.assert_allclose(np.asarray(lit), base, atol=1e-6)

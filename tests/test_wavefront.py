@@ -64,15 +64,15 @@ def test_agrees_with_svo_reference(scene, cam_cfg):
     ref = trace_rays(world, mats.is_liquid, origin, dirs, 500)
     wf = trace_wavefront(rgrid, origin, dirs, width=64, height=32, max_rounds=64)
 
-    # The two tracers use different acceleration structures (SVO node
-    # descent vs brick windows), so grazing-edge rays may step across cell
-    # corners in a different order; agreement is near-exact, not bit-exact.
+    # With correct pre-step slot gating in _post_voxel the two tracers agree
+    # exactly on hits and voxel ids despite their different acceleration
+    # structures (SVO node descent vs brick windows).
     rh, wh = np.asarray(ref.hit), np.asarray(wf.hit)
-    assert (rh == wh).mean() >= 0.998
+    np.testing.assert_array_equal(rh, wh)
 
     m = rh & wh
     rv, wv = np.asarray(ref.voxel), np.asarray(wf.voxel)
-    assert (rv[m] == wv[m]).mean() >= 0.99
+    np.testing.assert_array_equal(rv[m], wv[m])
 
     # hit positions along the ray agree where voxels agree (bulk of rays)
     same = m & (rv == wv)

@@ -90,7 +90,7 @@ class RayTracer:
         self.shadows = bool(shadows)
         self.max_steps = int(max_steps)
         self._render = jax.jit(
-            self._render_impl, static_argnames=("width", "height")
+            self._render_impl, static_argnames=("width", "height", "shadows")
         )
 
     def _render_impl(
@@ -104,9 +104,11 @@ class RayTracer:
         sky_color,
         sun_pos,
         sun_intensity,
+        shadow_ambient=0.4,
         *,
         width,
         height,
+        shadows=None,
     ):
         world = WorldSlice(nodes=nodes, chunk_roots=chunk_roots, world_min=world_min)
         origin, dirs = generate_rays_raw(
@@ -125,7 +127,8 @@ class RayTracer:
             show_step_count=self.show_step_count,
             max_steps=self.max_steps,
         )
-        if self.shadows:
+        use_shadows = self.shadows if shadows is None else shadows
+        if use_shadows:
             # Hard shadows: one occlusion ray from each hit point toward the
             # sun; shadowed surfaces keep ``shadow_ambient`` of their light.
             sun_vec = sun_pos.astype(jnp.float32) - world_min.astype(jnp.float32) - rs.pos
@@ -135,11 +138,15 @@ class RayTracer:
                 world, self.materials.is_liquid, shadow_org, sun_dir, self.max_steps
             )
             shadowed = rs.hit & srs.hit
-            img = jnp.where(shadowed[..., None], img * 0.4, img)
+            img = jnp.where(shadowed[..., None], img * shadow_ambient, img)
         return img, rs
 
     def render(self, world: WorldSlice, cam: CamData, settings: RenderSettings = None):
-        """Render one frame; returns ``(f32[H,W,3] image, TraceResult)``."""
+        """Render one frame; returns ``(f32[H,W,3] image, TraceResult)``.
+
+        ``settings.shadows`` enables the shadow pass per frame on top of the
+        constructor default; ``settings.shadow_ambient`` sets how much light
+        shadowed surfaces keep."""
         s = settings or RenderSettings()
         w, h = cam.proj_size
         return self._render(
@@ -152,8 +159,10 @@ class RayTracer:
             jnp.asarray(s.sky_color, jnp.float32),
             jnp.asarray(s.sun_pos, jnp.float32),
             jnp.asarray(s.sun_intensity, jnp.float32),
+            jnp.float32(s.shadow_ambient),
             width=w,
             height=h,
+            shadows=self.shadows or s.shadows,
         )
 
 

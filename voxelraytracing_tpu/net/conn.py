@@ -27,7 +27,11 @@ class Conn:
         self.broken = False
 
     def try_read(self):
-        """All complete commands available right now (never blocks)."""
+        """All complete commands available right now (never blocks).
+
+        A malformed frame from the peer marks the connection broken (the
+        owner drops it on its next tick) instead of propagating — one bad
+        client must never take down the server loop."""
         if self.broken:
             return []
         try:
@@ -41,7 +45,11 @@ class Conn:
             pass
         except OSError:
             self.broken = True
-        return protocol.read_frames(self.buffer)
+        try:
+            return protocol.read_frames(self.buffer)
+        except protocol.DecodeError:
+            self.broken = True
+            return []
 
     def write(self, cmd, **kw):
         """Send one command; flags ``broken`` instead of raising."""

@@ -31,6 +31,21 @@ import numpy as np
 
 _HEADER = struct.Struct("<IH")  # payload length, cmd id
 
+# Frame-length ceiling. The largest legitimate frame is a GIVE_CHUNK_DATA
+# with a full 37,449-node chunk (~75 KiB) or a HANDSHAKE_ACCEPTED carrying a
+# big voxel-pack JSON; 8 MiB leaves lavish headroom while stopping a peer
+# from declaring a ~4 GiB frame that the reader would buffer entirely.
+MAX_FRAME_LEN = 8 << 20
+
+
+class DecodeError(ValueError):
+    """A frame that cannot be decoded (malformed, oversized, unknown cmd).
+
+    Raised *after* the offending bytes have been consumed from the read
+    buffer wherever possible, so a caller that catches it can keep the
+    stream (or, more sensibly, drop the peer) without the buffer wedging
+    on the same frame forever."""
+
 
 class ServerCmd(IntEnum):
     """Commands addressed TO the server."""
@@ -121,7 +136,28 @@ def encode(cmd, **kw):
 
 
 def decode(cmd_id, payload):
-    """Decode payload bytes -> (cmd, dict of fields)."""
+    """Decode payload bytes -> (cmd, dict of fields).
+
+    Raises :class:`DecodeError` on any malformed payload: unknown command
+    ids, truncated fields, or count fields inconsistent with the actual
+    payload length (all attacker-controlled on the wire)."""
+    try:
+        return _decode(cmd_id, payload)
+    except DecodeError:
+        raise
+    except (struct.error, ValueError, KeyError, IndexError,
+            UnicodeDecodeError) as e:
+        raise DecodeError(f"malformed frame (cmd_id={cmd_id}): {e}") from e
+
+
+def _check_count(n, per_item, payload, off, what):
+    if n > (len(payload) - off) // per_item:
+        raise DecodeError(
+            f"{what} count {n} exceeds payload ({len(payload)} bytes)"
+        )
+
+
+def _decode(cmd_id, payload):
     if cmd_id < 100:
         cmd = ServerCmd(cmd_id)
     else:
@@ -136,6 +172,7 @@ def decode(cmd_id, payload):
         return cmd, {"dist": struct.unpack("<I", payload)[0]}
     if cmd in (ServerCmd.LOAD_CHUNKS, ServerCmd.UNLOAD_CHUNKS):
         (n,) = struct.unpack_from("<I", payload, 0)
+        _check_count(n, 12, payload, 4, "chunk")
         chunks = [
             struct.unpack_from("<iii", payload, 4 + 12 * i) for i in range(n)
         ]
@@ -156,6 +193,7 @@ def decode(cmd_id, payload):
         return cmd, {"reason": reason}
     if cmd == ClientCmd.GIVE_PLAYERS_LIST:
         (n,) = struct.unpack_from("<I", payload, 0)
+        _check_count(n, 10, payload, 4, "player")  # 8B id + ≥2B name
         off = 4
         players = []
         for _ in range(n):
@@ -167,6 +205,7 @@ def decode(cmd_id, payload):
     if cmd == ClientCmd.GIVE_CHUNK_DATA:
         pos = struct.unpack_from("<iii", payload, 0)
         (n,) = struct.unpack_from("<I", payload, 12)
+        _check_count(n, 2, payload, 16, "node")
         nodes = np.frombuffer(payload, dtype="<u2", count=n, offset=16).copy()
         return cmd, {"pos": pos, "nodes": nodes}
     if cmd == ClientCmd.GIVE_NEW_POS:
@@ -187,17 +226,31 @@ def send_cmd(sock, cmd, **kw):
 
 def read_frames(buffer: bytearray):
     """Yield (cmd, fields) for every complete frame in ``buffer``,
-    consuming them; leftover partial bytes stay."""
+    consuming them; leftover partial bytes stay.
+
+    A frame that fails to decode (or declares an over-limit length) raises
+    :class:`DecodeError` — after consuming everything up to and *including*
+    the bad frame, so a caller that keeps the stream alive cannot wedge on
+    it. Frames decoded before the bad one are lost; the sensible response
+    to a malformed peer is to drop it anyway (server/src/lib.rs:344-352
+    drops a client on any read error)."""
     out = []
     off = 0
-    while len(buffer) - off >= _HEADER.size:
-        length, cmd_id = _HEADER.unpack_from(buffer, off)
-        if len(buffer) - off - _HEADER.size < length:
-            break
-        payload = bytes(buffer[off + _HEADER.size : off + _HEADER.size + length])
-        out.append(decode(cmd_id, payload))
-        off += _HEADER.size + length
-    del buffer[:off]
+    try:
+        while len(buffer) - off >= _HEADER.size:
+            length, cmd_id = _HEADER.unpack_from(buffer, off)
+            if length > MAX_FRAME_LEN:
+                off = len(buffer)  # cannot resync past a lying header
+                raise DecodeError(f"frame length {length} exceeds limit")
+            if len(buffer) - off - _HEADER.size < length:
+                break
+            payload = bytes(
+                buffer[off + _HEADER.size : off + _HEADER.size + length]
+            )
+            off += _HEADER.size + length
+            out.append(decode(cmd_id, payload))
+    finally:
+        del buffer[:off]
     return out
 
 
@@ -205,6 +258,8 @@ def recv_cmd_blocking(sock):
     """Read exactly one command (blocking). For handshakes."""
     head = _recv_exact(sock, _HEADER.size)
     length, cmd_id = _HEADER.unpack(head)
+    if length > MAX_FRAME_LEN:
+        raise DecodeError(f"frame length {length} exceeds limit")
     payload = _recv_exact(sock, length)
     return decode(cmd_id, payload)
 

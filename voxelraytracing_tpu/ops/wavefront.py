@@ -583,9 +583,16 @@ def _post_brick(rays, c: _Carry, origin, bw_jump, word, lword,
 
 
 @jax.jit
-def _post_voxel(rays, c: _Carry, origin, n_liquid, vword):
+def _post_voxel(rays, c: _Carry, origin, n_liquid, vword, pre_level,
+                pre_cur_brick):
     """Consume the brick-content lookup: hits, voxel-level liquid
-    accounting, single-voxel DDA advance."""
+    accounting, single-voxel DDA advance.
+
+    ``vword`` was gathered with a slot index derived from the *pre-step*
+    carry (``pre_level``/``pre_cur_brick``), so only rays that were already
+    at voxel level before ``_post_brick`` ran — and whose brick didn't
+    change (promotion or demote-then-repromote rewrites ``cur_brick``) —
+    may consume it; anyone else would read another brick's content."""
     f32, i32 = jnp.float32, jnp.int32
     o = jnp.asarray(origin, jnp.float32)
     px = o[0] + rays.dx * c.t
@@ -594,7 +601,10 @@ def _post_voxel(rays, c: _Carry, origin, n_liquid, vword):
 
     # slot membership recomputed (unrolled: a [T,128,8] compare would pad
     # its minor dim to 128 lanes)
-    vl = c.active & (c.level == 1)
+    vl = (
+        c.active & (c.level == 1)
+        & (pre_level == 1) & (pre_cur_brick == c.cur_brick)
+    )
     in_slot = jnp.zeros(c.t.shape, bool)
     for s_i in range(N_SLOTS):
         in_slot = in_slot | (c.cur_brick == c.slot_bricks[:, s_i][:, None])
@@ -716,13 +726,17 @@ def trace_wavefront(
         bw_row, lw_row, bw_jump = _rows_win(rg.bwin, rg.lwin, carry.bw_id)
         slot_row = _rows_slots(rg.bricks, carry.slot_content)
         for _ in range(inner_steps):
+            pre_level, pre_cur_brick = carry.level, carry.cur_brick
             widx, vidx = _pre(rays, carry, origin, nb=nb, bg_side=bg_side)
             word, lword, vword = _gather3(bw_row, lw_row, slot_row, widx, vidx)
             carry = _post_brick(
                 rays, carry, origin, bw_jump, word, lword,
                 nb=nb, bg_side=bg_side,
             )
-            carry = _post_voxel(rays, carry, origin, rg.n_liquid, vword)
+            carry = _post_voxel(
+                rays, carry, origin, rg.n_liquid, vword, pre_level,
+                pre_cur_brick,
+            )
         if check_every and (r + 1) % check_every == 0 and not bool(
             _n_active(carry)
         ):

@@ -114,7 +114,12 @@ def sharded_accumulate_step(mesh, materials, width, band_height, max_steps=64):
     sample reduction riding ICI. Returns ``step(nodes, chunk_roots, world_min,
     inv_view, inv_proj, cam_pos, jitter_scale) -> f32[band*n_rays, width, 3]``.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+        check_kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        check_kw = {"check_rep": False}
 
     n_samples = mesh.shape["samples"]
     n_rays = mesh.shape["rays"]
@@ -150,6 +155,6 @@ def sharded_accumulate_step(mesh, materials, width, band_height, max_steps=64):
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P(), P()),
             out_specs=P("rays", None, None),
-            check_rep=False,
+            **check_kw,
         )
     )

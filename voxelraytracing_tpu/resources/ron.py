@@ -180,9 +180,48 @@ class _Parser:
                 self.next()
 
 
+_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "0": "\0",
+    "\\": "\\", '"': '"', "'": "'",
+}
+
+
 def _unescape(s):
+    # Targeted escape substitution: the unicode_escape codec would re-decode
+    # UTF-8 bytes as latin-1, silently mangling any non-ASCII text (a world
+    # name like "Café"); here non-ASCII characters pass through verbatim.
     body = s[1:-1]
-    return body.encode().decode("unicode_escape")
+    if "\\" not in body:
+        return body
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= len(body):
+            raise RonError("dangling backslash in string")
+        e = body[i + 1]
+        if e in _ESCAPES:
+            out.append(_ESCAPES[e])
+            i += 2
+        elif e == "u":
+            # RON uses \u{XXXX}; also accept bare \uXXXX.
+            if i + 2 < len(body) and body[i + 2] == "{":
+                end = body.index("}", i + 3)
+                out.append(chr(int(body[i + 3 : end], 16)))
+                i = end + 1
+            else:
+                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                i += 6
+        elif e == "x":
+            out.append(chr(int(body[i + 2 : i + 4], 16)))
+            i += 4
+        else:
+            raise RonError(f"unknown escape \\{e} in string")
+    return "".join(out)
 
 
 def _number(s):

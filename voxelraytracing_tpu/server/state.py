@@ -132,10 +132,19 @@ class ServerState:
 
     def handle_clients(self):
         """Poll every client connection and act on its commands
-        (server/src/lib.rs:267-330)."""
+        (server/src/lib.rs:267-330).
+
+        Any error while reading or acting on a client's traffic — malformed
+        frames already mark the conn broken in ``Conn.try_read``; this also
+        catches semantically-invalid field values — flags that one client
+        broken (dropped next tick) instead of crashing the tick loop, the
+        same crash-only per-client policy as server/src/lib.rs:344-352."""
         for client in list(self.clients.values()):
-            for cmd, fields in client.conn.try_read():
-                self._handle_cmd(client, cmd, fields)
+            try:
+                for cmd, fields in client.conn.try_read():
+                    self._handle_cmd(client, cmd, fields)
+            except Exception:
+                client.conn.broken = True
 
     def _handle_cmd(self, client, cmd, fields):
         if cmd == ServerCmd.UPDATE_MY_PLAYER_POS:

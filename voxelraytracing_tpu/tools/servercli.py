@@ -40,7 +40,8 @@ _apply_platform_env()
 
 
 def run_server(resource_root, world_name, port=60000, host="127.0.0.1",
-               tick_sleep=0.001, max_ticks=None, quiet=False, on_ready=None):
+               tick_sleep=0.001, max_ticks=None, quiet=False, on_ready=None,
+               cli=True):
     from ..resources.packs import Resources
     from ..server import ServerState, ServerWorld, WorldFs
     from ..worldgen import WorldGen
@@ -62,7 +63,8 @@ def run_server(resource_root, world_name, port=60000, host="127.0.0.1",
         on_ready(state, actual_port)
 
     cmds = queue.Queue()
-    threading.Thread(target=_stdin_loop, args=(cmds,), daemon=True).start()
+    if cli:
+        threading.Thread(target=_stdin_loop, args=(cmds,), daemon=True).start()
 
     ticks = 0
     try:
@@ -102,8 +104,13 @@ def _world_dir_name(resource_root, world_name):
 
 
 def _stdin_loop(out_queue):
-    for line in sys.stdin:
-        out_queue.put(line.strip())
+    try:
+        for line in sys.stdin:
+            out_queue.put(line.strip())
+    except (OSError, ValueError):
+        # stdin unreadable (closed, or a captured test stream) — the CLI
+        # simply goes quiet; the tick loop runs on.
+        pass
 
 
 def _handle_cli(line, state, world, fs, quiet):
