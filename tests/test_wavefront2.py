@@ -1,0 +1,107 @@
+"""Fused wavefront tracer (v2) tests: agreement with the SVO reference and
+the v1 host-driven tracer.
+
+v2 compiles the whole march into one program (scan over rounds + Pallas
+kernel); on the CPU backend the kernel runs in interpret mode. Both tracers
+implement the same traversal, so converged frames must agree exactly.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from voxelraytracing_tpu.ops import noise
+from voxelraytracing_tpu.ops.camera import CamData, generate_rays
+from voxelraytracing_tpu.ops.svo_build import build_chunk_svo_batch
+from voxelraytracing_tpu.ops.traverse import trace_rays
+from voxelraytracing_tpu.ops.wavefront import build_render_grid, trace_wavefront
+from voxelraytracing_tpu.ops.wavefront2 import trace_wavefront2
+from voxelraytracing_tpu.world.assemble import assemble_world_slice
+from voxelraytracing_tpu.world.demo import demo_chunk_grids, demo_materials
+
+
+@pytest.fixture(scope="module")
+def scene():
+    w = 4
+    perm = jnp.asarray(noise.make_permutation(7))
+    grids, cells = demo_chunk_grids(
+        perm, jnp.zeros(3, jnp.int32), w,
+        jnp.float32(w * 32 * 0.45), jnp.int32(int(w * 32 * 0.28)),
+    )
+    mats = demo_materials()
+    rgrid = build_render_grid(grids, cells, np.zeros(3, np.int32), w, mats)
+    nodes, _ = build_chunk_svo_batch(grids)
+    world = assemble_world_slice(nodes, cells, jnp.zeros(3, jnp.int32), w)
+    return rgrid, world, mats
+
+
+CAMS = [
+    ((30.0, 45.0, 0.0), (64.0, 75.0, 64.0)),
+    ((5.0, 120.0, 0.0), (20.0, 40.0, 100.0)),
+    ((60.0, 200.0, 0.0), (100.0, 110.0, 30.0)),
+    ((-20.0, 300.0, 0.0), (64.0, 20.0, 64.0)),  # underwater, looking up
+]
+
+
+@pytest.mark.parametrize("cam_cfg", CAMS)
+def test_v2_agrees_with_svo_reference(scene, cam_cfg):
+    rgrid, world, mats = scene
+    cam = CamData.create(cam_cfg[0], cam_cfg[1], 70.0, (64, 32))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    ref = trace_rays(world, mats.is_liquid, origin, dirs, 500)
+    wf = trace_wavefront2(
+        rgrid, origin, dirs, width=64, height=32, rounds=16,
+        steps_per_round=48,
+    )
+
+    rh, wh = np.asarray(ref.hit), np.asarray(wf.hit)
+    np.testing.assert_array_equal(rh, wh)
+
+    m = rh & wh
+    rv, wv = np.asarray(ref.voxel), np.asarray(wf.voxel)
+    np.testing.assert_array_equal(rv[m], wv[m])
+
+    wd = np.abs(np.asarray(ref.water_dist) - np.asarray(wf.water_dist))
+    assert np.median(wd) < 0.05
+
+
+@pytest.mark.parametrize("cam_cfg", CAMS[:2])
+def test_v2_matches_v1_exactly(scene, cam_cfg):
+    rgrid, _, _ = scene
+    cam = CamData.create(cam_cfg[0], cam_cfg[1], 70.0, (64, 32))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    v1 = trace_wavefront(rgrid, origin, dirs, width=64, height=32,
+                         max_rounds=64)
+    v2 = trace_wavefront2(rgrid, origin, dirs, width=64, height=32,
+                          rounds=16, steps_per_round=48)
+    np.testing.assert_array_equal(np.asarray(v1.hit), np.asarray(v2.hit))
+    np.testing.assert_array_equal(np.asarray(v1.voxel), np.asarray(v2.voxel))
+    np.testing.assert_allclose(
+        np.asarray(v1.t), np.asarray(v2.t), rtol=0, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(v1.water_dist), np.asarray(v2.water_dist),
+        rtol=0, atol=1e-3,
+    )
+    np.testing.assert_array_equal(np.asarray(v1.norm), np.asarray(v2.norm))
+
+
+def test_v2_camera_outside_world_sees_nothing(scene):
+    rgrid, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (-50.0, 75.0, 64.0), 70.0,
+                         (32, 16))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    wf = trace_wavefront2(rgrid, origin, dirs, width=32, height=16, rounds=4)
+    assert not np.asarray(wf.hit).any()
+
+
+def test_v2_step_heatmap(scene):
+    rgrid, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (32, 16))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    wf = trace_wavefront2(rgrid, origin, dirs, width=32, height=16, rounds=12)
+    steps = np.asarray(wf.steps)
+    assert steps.max() > 1
+    assert steps.min() >= 0

@@ -186,11 +186,14 @@ class WavefrontRenderer:
     """
 
     def __init__(self, materials, show_step_count=False, max_rounds=48,
-                 inner_steps=12):
+                 inner_steps=12, tracer="v2"):
         self.materials = materials
         self.show_step_count = bool(show_step_count)
         self.max_rounds = int(max_rounds)
         self.inner_steps = int(inner_steps)
+        if tracer not in ("v1", "v2"):
+            raise ValueError(f"unknown tracer {tracer!r}")
+        self.tracer = tracer
         self._shade = jax.jit(self._shade_impl)
 
     def _shade_impl(self, wf, dirs, origin, world_min, sky_color, sun_pos,
@@ -210,18 +213,27 @@ class WavefrontRenderer:
 
     def render(self, rgrid, cam: CamData, settings: RenderSettings = None):
         """Render one frame; returns ``(f32[H,W,3] image, WavefrontResult)``."""
-        from ..ops.wavefront import trace_wavefront
-
         s = settings or RenderSettings()
         w, h = cam.proj_size
         world_min = jnp.asarray(rgrid.world_min, jnp.int32)
         origin, dirs = generate_rays_raw(
             cam.inv_view, cam.inv_proj, cam.pos, w, h, world_min
         )
-        wf = trace_wavefront(
-            rgrid, origin, dirs, width=w, height=h,
-            max_rounds=self.max_rounds, inner_steps=self.inner_steps,
-        )
+        if self.tracer == "v2":
+            from ..ops.wavefront2 import trace_wavefront2
+
+            wf = trace_wavefront2(
+                rgrid, origin, dirs, width=w, height=h,
+                rounds=max(self.max_rounds // 3, 4),
+                steps_per_round=48,
+            )
+        else:
+            from ..ops.wavefront import trace_wavefront
+
+            wf = trace_wavefront(
+                rgrid, origin, dirs, width=w, height=h,
+                max_rounds=self.max_rounds, inner_steps=self.inner_steps,
+            )
         img = self._shade(
             wf, dirs, jnp.asarray(origin, jnp.float32), world_min,
             jnp.asarray(s.sky_color, jnp.float32),
