@@ -50,8 +50,11 @@ def test_v2_agrees_with_svo_reference(scene, cam_cfg):
     cam = CamData.create(cam_cfg[0], cam_cfg[1], 70.0, (64, 32))
     origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
     ref = trace_rays(world, mats.is_liquid, origin, dirs, 500)
+    # Tiny frames converge slowly: one 256-tile block holds only 16 real
+    # tiles, so per-block cache service is mostly wasted on padding. 48
+    # rounds is the measured convergence point at 64x32 (worst camera).
     wf = trace_wavefront2(
-        rgrid, origin, dirs, width=64, height=32, rounds=16,
+        rgrid, origin, dirs, width=64, height=32, rounds=48,
         steps_per_round=48,
     )
 
@@ -74,7 +77,7 @@ def test_v2_matches_v1_exactly(scene, cam_cfg):
     v1 = trace_wavefront(rgrid, origin, dirs, width=64, height=32,
                          max_rounds=64)
     v2 = trace_wavefront2(rgrid, origin, dirs, width=64, height=32,
-                          rounds=16, steps_per_round=48)
+                          rounds=32, steps_per_round=48)
     np.testing.assert_array_equal(np.asarray(v1.hit), np.asarray(v2.hit))
     np.testing.assert_array_equal(np.asarray(v1.voxel), np.asarray(v2.voxel))
     np.testing.assert_allclose(

@@ -222,10 +222,14 @@ class WavefrontRenderer:
         if self.tracer == "v2":
             from ..ops.wavefront2 import trace_wavefront2
 
+            # v2 progress is bounded by cache-service *rounds*, not step
+            # budget: give it the full round count with a smaller per-round
+            # step budget (48 rounds x 24 steps covers the reference's
+            # 500-step cap, ray_tracer.wgsl:220, with service headroom).
             wf = trace_wavefront2(
                 rgrid, origin, dirs, width=w, height=h,
-                rounds=max(self.max_rounds // 3, 4),
-                steps_per_round=48,
+                rounds=self.max_rounds,
+                steps_per_round=24,
             )
         else:
             from ..ops.wavefront import trace_wavefront

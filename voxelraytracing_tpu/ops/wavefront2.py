@@ -1,4 +1,4 @@
-"""Fused wavefront tracer — one jitted program per frame (TPU fast path, v2).
+"""Fused wavefront tracer — one compiled program per frame (TPU fast path).
 
 Round 1's tracer (ops/wavefront.py) dispatched 4 micro-programs per march
 step from a host loop, based on throughput numbers that turned out to be
@@ -6,21 +6,42 @@ enqueue-rate fictions: this runtime defers execution until a device->host
 read, so ``block_until_ready`` timings measured nothing. Under *forced*
 execution the true costs are:
 
-  * per-dispatch overhead           ~0.5-1 ms   (kills dispatch-per-step)
-  * XLA row-gather (any size)       ~1-2 ms     (latency-bound, flat)
-  * XLA take_along_axis in a loop   ~600x slow  (real, not an artifact)
-  * Pallas lane-local gather        ~VPU speed  (the fast primitive)
+  * per-dispatch overhead            ~0.5-1 ms   (kills dispatch-per-step)
+  * XLA row-gather, [T]-sized        ~1-2 ms+    (latency/loop-bound)
+  * XLA take_along_axis in a loop    ~600x slow  (real, not an artifact)
+  * Pallas lane-local gather         ~VPU speed  (the fast primitive)
 
-So v2 compiles the whole frame into ONE program: ``lax.scan`` over R rounds,
-each round = XLA row-gathers (window bit rows + brick-content slot rows,
-amortized by the scan) followed by a Pallas kernel that marches K steps with
-all ray state resident in VMEM. Traversal semantics are identical to
-ops/wavefront.py (same brick/voxel DDA, same EPS nudges, same rotation-
-fairness refetch), which is itself verified against the SVO reference tracer
-(the executable spec of clientdesktop/src/graphics/ray_tracer.wgsl:182-291).
+Architecture (v3):
 
-World tables are the same ``RenderGrid`` as v1. Tiles are 16x8 pixels = one
-128-lane row; a frame is ``[T, 128]`` component arrays.
+  * The whole frame is ONE jitted program: ``lax.scan`` over R rounds.
+  * **Global uniform-window planes.** Windows with no descend bricks and
+    uniform liquidity (sky, open ocean, unloaded space) are summarized in
+    two bit rows of at most 128 u32 words that ride along in VMEM — rays
+    cross them in whole-window jumps with NO cache service at all, so the
+    open-space part of the frame never stalls. Only windows containing
+    geometry need the per-block cache below.
+  * Each **round** refreshes small per-*block* caches (a block = 256 tiles
+    = 32K rays): up to ``N_WCACHE`` window bit-row pairs and ``N_BCACHE``
+    brick content rows, selected from want-lists the previous round's
+    kernel emitted, staged with XLA gathers whose outputs are a few
+    hundred KB.
+  * A Pallas kernel marches the block through **sub-rounds**: at each
+    boundary it composes, per tile, a window bit-row and an 8-slot brick
+    content row out of the block caches (pure VPU broadcasts, butterfly
+    group-mins and lane-local gathers — no cross-row indexing), then runs
+    K march steps. A ``while_loop`` exits as soon as no ray can march
+    (all done, or stalled on uncached geometry), and fully-inactive
+    blocks pass their state through untouched. On exit the kernel emits
+    per-tile want-lists (min-id uncached window / up to 8 uncached
+    bricks) for the next round's staging.
+  * Rays that need uncached geometry stall until a later round serves
+    them; min-id-ordered service retires ids monotonically, guaranteeing
+    progress. The march math is identical to ops/wavefront.py (same
+    brick/voxel DDA, same EPS nudges), which is verified against the SVO
+    reference tracer (the executable spec of ray_tracer.wgsl:182-291).
+
+World tables are the same ``RenderGrid`` as v1. Tiles are 16x8 pixels =
+one 128-lane row; a frame is ``[T, 128]`` component arrays.
 """
 
 from functools import partial
@@ -44,30 +65,12 @@ from .wavefront import (
     _BIG_IV,
 )
 
-_BLK = 256  # tiles per Pallas grid program (sweet spot per experiments)
-
-# Content slots per tile. v1 had 8 (one 128-word row); v2 uses multiple rows
-# so a round services far more distinct bricks — the grazing-ray tail (rays
-# skimming the terrain shell through tens of descend bricks) converges in a
-# handful of rounds instead of ~one brick per round.
-N_SLOTS2 = 32
-_SLOT_ROWS = N_SLOTS2 // 8  # 8 bricks (128 words) per slot row
-
-# Window rows resident per tile: the tile's current window plus its six face
-# neighbors. A DDA step crosses exactly one window face, so a marching ray
-# lands in a resident row instead of stalling until the next refetch; only
-# EPS-edge corner hops and second crossings wait for the recenter.
-_N_WIN = 7
-# offset id -> (dx, dy, dz); id 0 must be the center
-_WIN_OFFS = np.array(
-    [
-        (0, 0, 0),
-        (1, 0, 0), (-1, 0, 0),
-        (0, 1, 0), (0, -1, 0),
-        (0, 0, 1), (0, 0, -1),
-    ],
-    np.int32,
-)
+_BLK = 256  # tiles per Pallas grid program / cache block (32K rays)
+N_WCACHE = 8  # window bit-row pairs cached per block
+N_BCACHE = 64  # brick content rows cached per block
+_CROWS = N_BCACHE // 8  # content cache rows of 128 words
+N_WANTB = 16  # uncached-brick wants emitted per tile
+_BIGI = 0x3FFFFFFF  # int sentinel for min-reductions (< 2^30)
 
 
 def _interpret_default():
@@ -78,16 +81,22 @@ def _interpret_default():
 
 
 def _march_kernel(
-    scal_ref,  # SMEM f32[8]: ox, oy, oz, n_liquid, v, 0, 0, 0
-    dx_ref, dy_ref, dz_ref,
-    bw_ref, lw_ref, sr_ref,
-    bwid_ref,  # [BLK,1] i32 current window id per tile
-    sb_ref,  # [BLK, N_SLOTS] i32 slot brick ids
+    scal_ref,   # SMEM f32[8]: ox, oy, oz, n_liquid, v, 0, 0, 0
+    dx_ref, dy_ref, dz_ref,          # [BLK,128] f32
+    gj_ref,     # [1, 1, 128] u32  global window-jumpable bits (word w>>5)
+    gl_ref,     # [1, 1, 128] u32  global window-liquid bits
+    wid_ref,    # [1, N_WCACHE, 128] i32  cached window ids (replicated lanes)
+    bwc_ref,    # [1, N_WCACHE, 128] u32  cached window descend rows
+    lwc_ref,    # [1, N_WCACHE, 128] u32  cached window liquid rows
+    bid_ref,    # [1, N_BCACHE, 128] i32  cached brick ids (replicated lanes)
+    cnt_ref,    # [1, _CROWS, 128] u32    cached brick content (16 words each)
     t_ref, act_ref, hit_ref, lvl_ref, cb_ref, ax_ref, vox_ref,
     wat_ref, wen_ref, stp_ref,
     # outputs
     t_o, act_o, hit_o, lvl_o, cb_o, ax_o, vox_o, wat_o, wen_o, stp_o,
-    *, steps, nb, bg_side,
+    wwin_o,     # [BLK,1] i32  min uncached non-uniform window wanted
+    wbr_o,      # [BLK,N_WANTB] i32  uncached bricks wanted
+    *, sub_rounds, sub_steps, nb, bg_side,
 ):
     f32, i32 = jnp.float32, jnp.int32
     ox = scal_ref[0]
@@ -99,9 +108,8 @@ def _march_kernel(
     dx = dx_ref[:]
     dy = dy_ref[:]
     dz = dz_ref[:]
+    blk = dx.shape[0]
 
-    # Derived ray constants (recomputed per call — cheaper than carrying
-    # 7 extra [T,128] arrays through HBM every round).
     def inv(c):
         c2 = jnp.where(c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
         return 1.0 / c2
@@ -111,8 +119,8 @@ def _march_kernel(
     sy = (dy > 0.0).astype(f32)
     sz = (dz > 0.0).astype(f32)
 
-    def slab(oc, iv):
-        return jnp.maximum((0.0 - oc) * iv, (v - oc) * iv)
+    def slab(oc, ivc):
+        return jnp.maximum((0.0 - oc) * ivc, (v - oc) * ivc)
 
     t_cap = 4.0 * v + 16.0
     t_exit = jnp.minimum(
@@ -120,38 +128,42 @@ def _march_kernel(
         t_cap,
     )
 
-    slot_rows = [
-        sr_ref[:, r * 128:(r + 1) * 128] for r in range(_SLOT_ROWS)
-    ]
-    # [BLK,1] flat id of the center window; clamp the initial -1 to window 0
-    # so the coordinate decomposition never sees a negative (Mosaic's int
-    # division semantics for negatives must not matter here — the fetch side
-    # clamps identically).
-    bw_id = jnp.maximum(bwid_ref[:], 0)
-    wcx = bw_id % nb
-    wcy = (bw_id // nb) % nb
-    wcz = bw_id // (nb * nb)
+    # Block caches as broadcastable [1,128] rows (2D slices throughout —
+    # Mosaic dislikes 1D intermediates).
+    gj_row = jnp.broadcast_to(gj_ref[0], (blk, 128))
+    gl_row = jnp.broadcast_to(gl_ref[0], (blk, 128))
+    wid_a = wid_ref[0]
+    bwc_a = bwc_ref[0]
+    lwc_a = lwc_ref[0]
+    bid_a = bid_ref[0]
+    cnt_a = cnt_ref[0]
+    wids = [wid_a[k:k + 1, :] for k in range(N_WCACHE)]
+    bwrows = [bwc_a[k:k + 1, :] for k in range(N_WCACHE)]
+    lwrows = [lwc_a[k:k + 1, :] for k in range(N_WCACHE)]
+    bids = [bid_a[c:c + 1, :] for c in range(N_BCACHE)]
+    cntrows = [cnt_a[r:r + 1, :] for r in range(_CROWS)]
 
-    # Resident window rows: center + 6 face neighbors, each with a
-    # whole-window-jump flag (no descend bricks + uniform liquidity,
-    # ops/wavefront.py:_rows_win).
-    bw_rows = []
-    lw_rows = []
-    jumps = []
-    for k in range(_N_WIN):
-        bwk = bw_ref[:, k * 128:(k + 1) * 128]
-        lwk = lw_ref[:, k * 128:(k + 1) * 128]
-        nd = jnp.all(bwk == 0, axis=1, keepdims=True)
-        ul = jnp.all(
-            lwk == jnp.uint32(0xFFFFFFFF), axis=1, keepdims=True
-        ) | jnp.all(lwk == 0, axis=1, keepdims=True)
-        bw_rows.append(bwk)
-        lw_rows.append(lwk)
-        jumps.append(nd & ul)
+    lanes = jax.lax.broadcasted_iota(i32, (blk, 128), 1)
 
-    def dda3(px, py, pz, cell):
+    def ray_winbits(wflat):
+        """Per-ray global jumpable/liquid bits for the ray's window."""
+        word_i = jnp.clip(wflat >> 5, 0, 127)
+        sh = (wflat & 31).astype(jnp.uint32)
+        jw = jnp.take_along_axis(gj_row, word_i, axis=1)
+        lw = jnp.take_along_axis(gl_row, word_i, axis=1)
+        return ((jw >> sh) & 1) != 0, ((lw >> sh) & 1) != 0
+
+    def cidx_of(cur_brick):
+        """Per-ray content-cache index (-1 = brick not cached)."""
+        cidx = jnp.full((blk, 128), -1, i32)
+        for c in range(N_BCACHE):
+            m = (cur_brick == bids[c]) & (bids[c] >= 0)
+            cidx = jnp.where(m, i32(c), cidx)
+        return cidx
+
+    def dda3(px, py, pz, icell, cell):
         def axis(pc, ivc, sgn):
-            nxt = (jnp.floor(pc / cell) + sgn) * cell
+            nxt = (jnp.floor(pc * icell) + sgn) * cell
             dt = (nxt - pc) * ivc
             return jnp.where(jnp.abs(ivc) >= 0.99 * _BIG_IV, f32(_BIG), dt)
 
@@ -161,11 +173,88 @@ def _march_kernel(
         dt = jnp.minimum(dtx, jnp.minimum(dty, dtz))
         return dt, dtx <= dt, dty <= dt, dtz <= dt
 
-    def body(_, c):
-        # active/hit ride the loop carry as i32 — Mosaic cannot legalize
-        # vector<i1> loop carries in scf.for.
-        t, active_i, hit_i, level, cur_brick, axmask, vox, water, wenter, \
-            stp = c
+    def boundary(t, active_i, level, cur_brick):
+        """Compose per-tile rows from the block caches (pure VPU selects).
+
+        Min-ordered service (smallest pending id first) retires ids
+        monotonically — progress without argmax/rotation chains, using
+        only native reductions and lane-local gathers.
+        """
+        active = active_i != 0
+        bigi = jnp.int32(_BIGI)
+
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        bx = jnp.floor(px * (1.0 / BRICK)).astype(i32)
+        by = jnp.floor(py * (1.0 / BRICK)).astype(i32)
+        bz = jnp.floor(pz * (1.0 / BRICK)).astype(i32)
+        wflat = (bx >> 4) + (by >> 4) * nb + (bz >> 4) * nb * nb
+        g_jump, _ = ray_winbits(wflat)
+
+        # --- tile window: smallest cached non-uniform window among
+        # brick-level rays (uniform windows never need a row) ---
+        wcached = (wflat == wids[0]) & (wids[0] >= 0)
+        for k in range(1, N_WCACHE):
+            wcached = wcached | ((wflat == wids[k]) & (wids[k] >= 0))
+        wkey = jnp.where(
+            active & (level == 0) & ~g_jump & wcached, wflat, bigi
+        )
+        wmin = jnp.min(wkey, axis=1, keepdims=True)  # [BLK,1]
+        twid = jnp.where(wmin < bigi, wmin, -1)
+
+        bw_row = jnp.zeros((blk, 128), jnp.uint32)
+        lw_row = jnp.zeros((blk, 128), jnp.uint32)
+        for k in range(N_WCACHE):
+            eq = (twid == wids[k]) & (wids[k] >= 0)  # [BLK,128]
+            bw_row = jnp.where(eq, jnp.broadcast_to(bwrows[k], (blk, 128)),
+                               bw_row)
+            lw_row = jnp.where(eq, jnp.broadcast_to(lwrows[k], (blk, 128)),
+                               lw_row)
+
+        # --- tile slots: the min cached brick of each 16-lane group ---
+        # One butterfly min over (brick<<6 | cache_idx) selects the brick
+        # and carries its cache index. Brick ids fit 25 bits for any
+        # practical window (<= 2^25 bricks = a 2048-voxel world edge).
+        cidx = cidx_of(cur_brick)
+        vmask = active & (level == 1) & (cidx >= 0)
+        comb = jnp.where(vmask, (cur_brick << 6) | cidx, bigi)
+        for sh in (1, 2, 4, 8):
+            comb = jnp.minimum(
+                comb, jnp.take_along_axis(comb, lanes ^ sh, axis=1)
+            )
+        slot_row = jnp.zeros((blk, 128), jnp.uint32)
+        sidx = jnp.full((blk, 128), -1, i32)
+        seg = lanes >> 4
+        for j in range(8):
+            cj = comb[:, j * 16:j * 16 + 1]  # [BLK,1] group j's min
+            ok_j = cj < bigi
+            bsel = jnp.where(ok_j, cj >> 6, -1)
+            csel = jnp.where(ok_j, cj & 63, -1)
+            mine = vmask & (cur_brick == bsel) & (sidx < 0)
+            sidx = jnp.where(mine, i32(j), sidx)
+            idx = (csel & 7) * 16 + (lanes & 15)
+            crow = csel >> 3
+            seg_val = jnp.zeros((blk, 128), jnp.uint32)
+            for r in range(_CROWS):
+                seg_val = jnp.where(
+                    crow == r,
+                    jnp.take_along_axis(
+                        jnp.broadcast_to(cntrows[r], (blk, 128)), idx, axis=1
+                    ),
+                    seg_val,
+                )
+            slot_row = jnp.where((seg == j) & (csel >= 0), seg_val, slot_row)
+
+        # --- can anything march? ---
+        can_b = active & (level == 0) & (g_jump | (wflat == twid))
+        can_v = active & (level == 1) & (sidx >= 0)
+        go = jnp.any(can_b | can_v).astype(i32)
+        return twid, bw_row, lw_row, slot_row, sidx, go
+
+    def step(c, twid, bw_row, lw_row, slot_row):
+        (t, active_i, hit_i, level, cur_brick, axmask, vox, water, wenter,
+         stp, sidx) = c
         active = active_i != 0
         hit = hit_i != 0
         pre_level = level
@@ -175,7 +264,6 @@ def _march_kernel(
         py = oy + dy * t
         pz = oz + dz * t
 
-        # --- indices (ops/wavefront.py:_pre) ---
         bx = jnp.floor(px * (1.0 / BRICK)).astype(i32)
         by = jnp.floor(py * (1.0 / BRICK)).astype(i32)
         bz = jnp.floor(pz * (1.0 / BRICK)).astype(i32)
@@ -183,61 +271,37 @@ def _march_kernel(
             + (bz & (BWIN - 1)) * BWIN * BWIN
         widx = lin >> 5
 
-        sidx = jnp.zeros_like(level)
-        for s_i in range(N_SLOTS2):
-            m = cur_brick == sb_ref[:, s_i][:, None]
-            sidx = jnp.where(m, i32(s_i), sidx)
         vx = jnp.floor(px).astype(i32)
         vy = jnp.floor(py).astype(i32)
         vz = jnp.floor(pz).astype(i32)
         vlin = (vx & (BRICK - 1)) + (vy & (BRICK - 1)) * BRICK \
             + (vz & (BRICK - 1)) * BRICK * BRICK
-        srow = sidx >> 3  # which 128-word slot row
-        vidx = (sidx & 7) * 16 + (vlin >> 2)
+        vidx = jnp.maximum(sidx, 0) * 16 + (vlin >> 2)
 
-        # --- resident-window select + the lane-local gathers ---
-        # which of the 7 resident windows is this ray in?
-        dwx = (bx >> 4) - wcx
-        dwy = (by >> 4) - wcy
-        dwz = (bz >> 4) - wcz
-        word = jnp.zeros_like(bw_rows[0])
-        lword = jnp.zeros_like(lw_rows[0])
-        jump = jnp.zeros(t.shape, bool)
-        in_win = jnp.zeros(t.shape, bool)
-        for k, (ox_, oy_, oz_) in enumerate(_WIN_OFFS):
-            sel = (dwx == ox_) & (dwy == oy_) & (dwz == oz_)
-            word = jnp.where(
-                sel, jnp.take_along_axis(bw_rows[k], widx, axis=1), word
-            )
-            lword = jnp.where(
-                sel, jnp.take_along_axis(lw_rows[k], widx, axis=1), lword
-            )
-            jump = jump | (sel & jumps[k])
-            in_win = in_win | sel
-        cell_b = jnp.where(jump, f32(BWIN_VOX), f32(BRICK))
-        vword = jnp.zeros_like(slot_rows[0])
-        for r_i in range(_SLOT_ROWS):
-            vword = jnp.where(
-                srow == r_i,
-                jnp.take_along_axis(slot_rows[r_i], vidx, axis=1),
-                vword,
-            )
+        word = jnp.take_along_axis(bw_row, widx, axis=1)
+        lword = jnp.take_along_axis(lw_row, widx, axis=1)
+        vword = jnp.take_along_axis(slot_row, vidx, axis=1)
 
         # --- brick phase (ops/wavefront.py:_post_brick) ---
         active = active & (t < t_exit)
         fb = bx + by * bg_side + bz * bg_side * bg_side
-        level = jnp.where(
-            active & (level == 1) & (fb != cur_brick), 0, level
-        )
+        demote = active & (level == 1) & (fb != cur_brick)
+        level = jnp.where(demote, 0, level)
+        sidx = jnp.where(demote, -1, sidx)
         bl = active & (level == 0)
-        match_b = bl & in_win
+        wflat = (bx >> 4) + (by >> 4) * nb + (bz >> 4) * nb * nb
+        g_jump, g_liq = ray_winbits(wflat)
+        in_tile = wflat == twid
+        match_b = bl & (g_jump | in_tile)
         shift = (lin & 31).astype(jnp.uint32)
-        descend = ((word >> shift) & 1) != 0
-        brick_liq = ((lword >> shift) & 1) != 0
+        descend = ~g_jump & in_tile & (((word >> shift) & 1) != 0)
+        liq_bit = ((lword >> shift) & 1).astype(i32)
+        brick_liq = jnp.where(g_jump, g_liq.astype(i32), liq_bit) != 0
 
         to_voxel = match_b & descend
         level = jnp.where(to_voxel, 1, level)
         cur_brick = jnp.where(to_voxel, fb, cur_brick)
+        sidx = jnp.where(to_voxel, -1, sidx)  # residency unknown
 
         bstep = match_b & ~descend
         in_w = wenter >= 0.0
@@ -246,25 +310,22 @@ def _march_kernel(
         wenter = jnp.where(leave_b, -1.0, wenter)
         wenter = jnp.where(bstep & brick_liq & (wenter < 0.0), t, wenter)
 
-        dt_b, cbx, cby, cbz = dda3(px, py, pz, cell_b)
+        cell_b = jnp.where(g_jump, f32(BWIN_VOX), f32(BRICK))
+        icell_b = jnp.where(g_jump, f32(1.0 / BWIN_VOX), f32(1.0 / BRICK))
+        dt_b, cbx, cby, cbz = dda3(px, py, pz, icell_b, cell_b)
         t = jnp.where(bstep, t + dt_b + EPS_T, t)
         axb = cbx.astype(i32) | (cby.astype(i32) << 1) | (cbz.astype(i32) << 2)
         axmask = jnp.where(bstep, axb, axmask)
         stp = stp + match_b.astype(i32)
 
         # --- voxel phase (ops/wavefront.py:_post_voxel) ---
-        # positions recomputed at the post-brick t
         px2 = ox + dx * t
         py2 = oy + dy * t
         pz2 = oz + dz * t
-        vl = (
-            active & (level == 1)
+        match_v = (
+            active & (level == 1) & (sidx >= 0)
             & (pre_level == 1) & (pre_cur_brick == cur_brick)
         )
-        in_slot = jnp.zeros_like(vl)
-        for s_i in range(N_SLOTS2):
-            in_slot = in_slot | (cur_brick == sb_ref[:, s_i][:, None])
-        match_v = vl & in_slot
         vx2 = jnp.floor(px2).astype(i32)
         vy2 = jnp.floor(py2).astype(i32)
         vz2 = jnp.floor(pz2).astype(i32)
@@ -289,62 +350,157 @@ def _march_kernel(
         wenter = jnp.where(match_v & is_liq & (wenter < 0.0), t, wenter)
 
         vstep = match_v & (is_air | is_liq)
-        dt_v, cvx, cvy, cvz = dda3(px2, py2, pz2, f32(1.0))
+        dt_v, cvx, cvy, cvz = dda3(px2, py2, pz2, f32(1.0), f32(1.0))
         t = jnp.where(vstep, t + dt_v + EPS_T, t)
         axv = cvx.astype(i32) | (cvy.astype(i32) << 1) | (cvz.astype(i32) << 2)
         axmask = jnp.where(vstep, axv, axmask)
         stp = stp + match_v.astype(i32)
 
         return (t, active.astype(i32), hit.astype(i32), level, cur_brick,
-                axmask, vox, water, wenter, stp)
+                axmask, vox, water, wenter, stp, sidx)
 
-    init = (
-        t_ref[:], act_ref[:], hit_ref[:], lvl_ref[:], cb_ref[:],
-        ax_ref[:], vox_ref[:], wat_ref[:], wen_ref[:], stp_ref[:],
-    )
-    t, active, hit, level, cur_brick, axmask, vox, water, wenter, stp = (
-        jax.lax.fori_loop(0, steps, body, init)
-    )
-    t_o[:] = t
-    act_o[:] = active
-    hit_o[:] = hit
-    lvl_o[:] = level
-    cb_o[:] = cur_brick
-    ax_o[:] = axmask
-    vox_o[:] = vox
-    wat_o[:] = water
-    wen_o[:] = wenter
-    stp_o[:] = stp
+    def wants(t, active_i, level, cur_brick):
+        """Per-tile want-lists for next round's cache staging."""
+        active = active_i != 0
+        bigi = jnp.int32(_BIGI)
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        bx = jnp.floor(px * (1.0 / BRICK)).astype(i32)
+        by = jnp.floor(py * (1.0 / BRICK)).astype(i32)
+        bz = jnp.floor(pz * (1.0 / BRICK)).astype(i32)
+        wflat = (bx >> 4) + (by >> 4) * nb + (bz >> 4) * nb * nb
+        g_jump, _ = ray_winbits(wflat)
+        wcached = (wflat == wids[0]) & (wids[0] >= 0)
+        for k in range(1, N_WCACHE):
+            wcached = wcached | ((wflat == wids[k]) & (wids[k] >= 0))
+        wkey = jnp.where(
+            active & (level == 0) & ~g_jump & ~wcached, wflat, bigi
+        )
+        wmin = jnp.min(wkey, axis=1, keepdims=True)
+        want_win = jnp.where(wmin < bigi, wmin, -1)
+
+        cidx = cidx_of(cur_brick)
+        comb = jnp.where(
+            active & (level == 1) & (cidx < 0), cur_brick, bigi
+        )
+        # butterfly min over 8-lane groups -> 16 wants per tile
+        for sh in (1, 2, 4):
+            comb = jnp.minimum(
+                comb, jnp.take_along_axis(comb, lanes ^ sh, axis=1)
+            )
+        wb = [comb[:, j * 8:j * 8 + 1] for j in range(N_WANTB)]
+        want_br = jnp.concatenate(wb, axis=1)  # [BLK, 16]
+        want_br = jnp.where(want_br < bigi, want_br, -1)
+        return want_win, want_br
+
+    def sub_round(state):
+        sr, _, c, rows = state
+        twid, bw_row, lw_row, slot_row = rows
+
+        def sbody(_, cc):
+            return step(cc, twid, bw_row, lw_row, slot_row)
+
+        c = jax.lax.fori_loop(0, sub_steps, sbody, c)
+        twid, bw_row, lw_row, slot_row, sidx, go = boundary(
+            c[0], c[1], c[3], c[4]
+        )
+        c = c[:10] + (sidx,)
+        return sr + 1, go, c, (twid, bw_row, lw_row, slot_row)
+
+    def cond(state):
+        sr, go, _, _ = state
+        return (sr < sub_rounds) & (go != 0)
+
+    any_active = jnp.any(act_ref[:] != 0)
+
+    @pl.when(jnp.logical_not(any_active))
+    def _():
+        t_o[:] = t_ref[:]
+        act_o[:] = act_ref[:]
+        hit_o[:] = hit_ref[:]
+        lvl_o[:] = lvl_ref[:]
+        cb_o[:] = cb_ref[:]
+        ax_o[:] = ax_ref[:]
+        vox_o[:] = vox_ref[:]
+        wat_o[:] = wat_ref[:]
+        wen_o[:] = wen_ref[:]
+        stp_o[:] = stp_ref[:]
+        wwin_o[:] = jnp.full(wwin_o.shape, -1, i32)
+        wbr_o[:] = jnp.full(wbr_o.shape, -1, i32)
+
+    @pl.when(any_active)
+    def _():
+        twid, bw_row, lw_row, slot_row, sidx, go = boundary(
+            t_ref[:], act_ref[:], lvl_ref[:], cb_ref[:]
+        )
+        init_c = (
+            t_ref[:], act_ref[:], hit_ref[:], lvl_ref[:], cb_ref[:],
+            ax_ref[:], vox_ref[:], wat_ref[:], wen_ref[:], stp_ref[:],
+            sidx,
+        )
+        _, _, c, _ = jax.lax.while_loop(
+            cond, sub_round,
+            (jnp.int32(0), go, init_c, (twid, bw_row, lw_row, slot_row)),
+        )
+        t_o[:] = c[0]
+        act_o[:] = c[1]
+        hit_o[:] = c[2]
+        lvl_o[:] = c[3]
+        cb_o[:] = c[4]
+        ax_o[:] = c[5]
+        vox_o[:] = c[6]
+        wat_o[:] = c[7]
+        wen_o[:] = c[8]
+        stp_o[:] = c[9]
+        want_win, want_br = wants(c[0], c[1], c[3], c[4])
+        wwin_o[:] = want_win
+        wbr_o[:] = want_br
 
 
 def _march(
-    scal, dx, dy, dz, bw_row, lw_row, slot_row, bw_id2, slot_bricks,
+    scal, dx, dy, dz, gj, gl, wid, bwc, lwc, bid, cnt,
     t, active, hit, level, cur_brick, axmask, vox, water, wenter, stp,
-    *, steps, nb, bg_side, interpret,
+    *, sub_rounds, sub_steps, nb, bg_side, interpret,
 ):
     T = t.shape[0]
-    blk = _BLK if T % _BLK == 0 else T
+    blk = _BLK
     f32, i32 = jnp.float32, jnp.int32
 
     def vspec(w=128):
         return pl.BlockSpec((blk, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
+    def cspec(n):
+        return pl.BlockSpec(
+            (1, n, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
         vspec(), vspec(), vspec(),  # dx dy dz
-        vspec(_N_WIN * 128), vspec(_N_WIN * 128),
-        vspec(_SLOT_ROWS * 128),  # bw / lw / slot rows
-        vspec(1),  # bw_id2
-        vspec(N_SLOTS2),  # slot_bricks
+        cspec(1), cspec(1),  # gj gl
+        cspec(N_WCACHE), cspec(N_WCACHE), cspec(N_WCACHE),  # wid bwc lwc
+        cspec(N_BCACHE), cspec(_CROWS),  # bid cnt
         vspec(), vspec(), vspec(), vspec(), vspec(), vspec(), vspec(),
         vspec(), vspec(), vspec(),
     ]
-    out_specs = tuple([vspec()] * 10)
-    out_shape = tuple(
-        jax.ShapeDtypeStruct((T, 128), d)
-        for d in (f32, i32, i32, i32, i32, i32, i32, f32, f32, i32)
+    out_specs = tuple(
+        [vspec()] * 10 + [vspec(1), vspec(N_WANTB)]
     )
-    kern = partial(_march_kernel, steps=steps, nb=nb, bg_side=bg_side)
+    out_shape = tuple(
+        [
+            jax.ShapeDtypeStruct((T, 128), d)
+            for d in (f32, i32, i32, i32, i32, i32, i32, f32, f32, i32)
+        ]
+        + [
+            jax.ShapeDtypeStruct((T, 1), i32),
+            jax.ShapeDtypeStruct((T, N_WANTB), i32),
+        ]
+    )
+    kern = partial(
+        _march_kernel, sub_rounds=sub_rounds, sub_steps=sub_steps,
+        nb=nb, bg_side=bg_side,
+    )
     return pl.pallas_call(
         kern,
         grid=(T // blk,),
@@ -356,85 +512,55 @@ def _march(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        scal, dx, dy, dz, bw_row, lw_row, slot_row, bw_id2, slot_bricks,
+        scal, dx, dy, dz, gj, gl, wid, bwc, lwc, bid, cnt,
         t, active, hit, level, cur_brick, axmask, vox, water, wenter, stp,
     )
-
-
-# ------------------------------------------------------------------- refetch
-
-
-def _refetch2(brick_dir, dx, dy, dz, origin3, t, active, level, cur_brick,
-              bw_id, rot, *, nb):
-    """Rotation-fairness service selection (ops/wavefront.py:_refetch) +
-    the window/content row gathers, as plain XLA inside the frame program."""
-    i32 = jnp.int32
-    lanes = jax.lax.broadcasted_iota(i32, t.shape, 1)
-
-    def first_active_from(mask, rot_k):
-        score = jnp.where(mask, 128 - ((lanes - rot_k) & 127), 0)
-        li = jnp.argmax(score, axis=1)
-        has = jnp.any(mask, axis=1)
-        return li, has
-
-    def lane_select(arr, si):
-        return jnp.sum(jnp.where(lanes == si[:, None], arr, 0), axis=1)
-
-    px = origin3[0] + dx * t
-    py = origin3[1] + dy * t
-    pz = origin3[2] + dz * t
-
-    bmask = active & (level == 0)
-    bi, bhas = first_active_from(bmask, rot)
-
-    def wcoord(pc):
-        sel = lane_select(pc, bi)
-        return jnp.clip(jnp.floor(sel / BWIN_VOX).astype(i32), 0, nb - 1)
-
-    bw_target = wcoord(px) + wcoord(py) * nb + wcoord(pz) * nb * nb
-    bw_id = jnp.where(bhas, bw_target, bw_id)
-
-    # Greedy distinct-brick slot assignment: each slot takes the brick of
-    # the first still-unserved voxel-level ray after the rotation point,
-    # then all rays in that brick drop out of the candidate set — so the
-    # N_SLOTS slots cover N_SLOTS *different* bricks (the v1 rotation picks
-    # often landed duplicates, wasting most of the round's service budget).
-    remaining = active & (level == 1)
-    slots = []
-    for k in range(N_SLOTS2):
-        si, has = first_active_from(
-            remaining, rot + k * max(128 // N_SLOTS2, 1)
-        )
-        bid = jnp.where(has, lane_select(cur_brick, si), -1)
-        slots.append(bid)
-        remaining = remaining & (cur_brick != bid[:, None])
-    slot_bricks = jnp.stack(slots, axis=1)
-
-    dir_idx = jnp.clip(slot_bricks, 0, brick_dir.shape[0] - 1)
-    content = brick_dir[dir_idx]
-    slot_bricks = jnp.where(content >= 0, slot_bricks, -1)
-    return bw_id, slot_bricks, content
 
 
 # --------------------------------------------------------------------- frame
 
 
+def _global_planes(bwin, lwin):
+    """Global per-window uniformity bits: (jumpable, all-liquid) u32[1,128].
+
+    A window is jumpable when it has no descend bricks and uniform
+    liquidity — exactly ops/wavefront.py:_rows_win's whole-window-jump
+    condition, hoisted to a frame-wide table so open space needs no cache.
+    """
+    nw = bwin.shape[0]
+    assert nw <= 4096, "global window plane supports up to 16^3 windows"
+    no_descend = jnp.all(bwin == 0, axis=1)
+    all_liq = jnp.all(lwin == jnp.uint32(0xFFFFFFFF), axis=1)
+    no_liq = jnp.all(lwin == 0, axis=1)
+    jumpable = no_descend & (all_liq | no_liq)
+
+    def pack(bits):
+        pad = jnp.zeros(4096, bool).at[:nw].set(bits)
+        b = pad.reshape(128, 32).astype(jnp.uint32)
+        sh = jnp.arange(32, dtype=jnp.uint32)[None, :]
+        return jnp.sum(b << sh, axis=1, dtype=jnp.uint32).reshape(1, 128)
+
+    return pack(jumpable), pack(jumpable & all_liq)
+
+
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "rounds", "steps_per_round", "v", "interpret",
+        "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
+        "interpret",
     ),
 )
 def _trace_frame(
     bwin, lwin, brick_dir, bricks, to_pack, n_liquid,
     origin, dirs,
-    *, width, height, rounds, steps_per_round, v, interpret,
+    *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
 ):
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
     ty = height // TILE_H
     n_tiles = tx * ty
-    T = -(-n_tiles // _BLK) * _BLK  # pad to whole Pallas blocks
+    T = -(-n_tiles // _BLK) * _BLK  # pad to whole blocks
+    n_blocks = T // _BLK
     nb = int(round(bwin.shape[0] ** (1 / 3)))
     while nb * nb * nb < bwin.shape[0]:
         nb += 1
@@ -448,21 +574,18 @@ def _trace_frame(
     dy = jnp.pad(d[..., 1], pad)
     dz = jnp.pad(d[..., 2], pad)
 
+    gj, gl = _global_planes(bwin, lwin)
+    gj3 = jnp.broadcast_to(gj[None], (n_blocks, 1, 128))
+    gl3 = jnp.broadcast_to(gl[None], (n_blocks, 1, 128))
+
     inside = (
         (origin[0] > 0.0) & (origin[0] < v)
         & (origin[1] > 0.0) & (origin[1] < v)
         & (origin[2] > 0.0) & (origin[2] < v)
     )
     shape = (T, 128)
-    lane_tile = jax.lax.broadcasted_iota(i32, shape, 0)
-    valid = lane_tile < n_tiles
-    scal = jnp.concatenate(
-        [
-            origin,
-            jnp.asarray(n_liquid, f32).reshape(1),
-            jnp.asarray([v, 0.0, 0.0, 0.0], f32),
-        ]
-    )
+    tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
+    valid = tile_i < n_tiles
 
     carry = dict(
         t=jnp.full(shape, EPS_T, f32),
@@ -475,44 +598,106 @@ def _trace_frame(
         water=jnp.zeros(shape, f32),
         wenter=jnp.full(shape, -1.0, f32),
         steps=jnp.zeros(shape, i32),
-        bw_id=jnp.full((T,), -1, i32),
+        # block caches + want lists
+        win_ids=jnp.full((n_blocks, N_WCACHE), -1, i32),
+        bwc=jnp.zeros((n_blocks, N_WCACHE, 128), jnp.uint32),
+        lwc=jnp.zeros((n_blocks, N_WCACHE, 128), jnp.uint32),
+        want_win=jnp.full((T, 1), -1, i32),
+        want_br=jnp.full((T, N_WANTB), -1, i32),
     )
+    # Pre-seed window slot 0 with the camera's window for every block.
+    cam_w = jnp.clip(jnp.floor(origin / BWIN_VOX).astype(i32), 0, nb - 1)
+    cam_wid = cam_w[0] + cam_w[1] * nb + cam_w[2] * nb * nb
+    carry["win_ids"] = carry["win_ids"].at[:, 0].set(cam_wid)
+    carry["bwc"] = carry["bwc"].at[:, 0].set(bwin[cam_wid])
+    carry["lwc"] = carry["lwc"].at[:, 0].set(lwin[cam_wid])
 
     def round_body(c, r):
-        rot = (r * 37) & 127
-        bw_id, slot_bricks, slot_content = _refetch2(
-            brick_dir, dx, dy, dz, origin,
-            c["t"], c["active"] != 0, c["level"], c["cur_brick"], c["bw_id"],
-            rot, nb=nb,
-        )
-        # center + face-neighbor window rows ([T, 7] ids -> [T, 7*128]);
-        # clamp matches the kernel's center decomposition
-        bw_c = jnp.maximum(bw_id, 0)
-        wcx = bw_c % nb
-        wcy = (bw_c // nb) % nb
-        wcz = bw_c // (nb * nb)
-        offs = jnp.asarray(_WIN_OFFS)  # [7,3]
-        nwx = jnp.clip(wcx[:, None] + offs[None, :, 0], 0, nb - 1)
-        nwy = jnp.clip(wcy[:, None] + offs[None, :, 1], 0, nb - 1)
-        nwz = jnp.clip(wcz[:, None] + offs[None, :, 2], 0, nb - 1)
-        row_idx = nwx + nwy * nb + nwz * nb * nb  # [T,7]
-        bw_row = bwin[row_idx].reshape(T, _N_WIN * 128)
-        lw_row = lwin[row_idx].reshape(T, _N_WIN * 128)
-        slot_row = bricks[jnp.clip(slot_content, 0, bricks.shape[0] - 1)]
-        slot_row = slot_row.reshape(T, N_SLOTS2 * 16)
+        rot = r * 29
+        # ---- window cache inserts from want lists ----
+        wtile = c["want_win"].reshape(n_blocks, _BLK)
+        cached = (wtile[:, :, None] == c["win_ids"][:, None, :]).any(axis=2)
+        cand = (wtile >= 0) & ~cached
+        tl = jax.lax.broadcasted_iota(i32, (n_blocks, _BLK), 1)
+        win_ids, bwc, lwc = c["win_ids"], c["bwc"], c["lwc"]
+        for j in range(2):
+            score = jnp.where(cand, _BLK - ((tl - rot - j) % _BLK), 0)
+            ti = jnp.argmax(score, axis=1)
+            thas = jnp.any(cand, axis=1)
+            wj = jnp.where(
+                thas,
+                jnp.take_along_axis(wtile, ti[:, None], axis=1)[:, 0],
+                -1,
+            )
+            cand = cand & (wtile != wj[:, None])
+            slot = ((2 * r + j) % (N_WCACHE - 1)) + 1
+            w_safe = jnp.clip(wj, 0, bwin.shape[0] - 1)
+            ins = wj >= 0
+            win_ids = win_ids.at[:, slot].set(
+                jnp.where(ins, wj, win_ids[:, slot])
+            )
+            bwc = bwc.at[:, slot].set(
+                jnp.where(ins[:, None], bwin[w_safe], bwc[:, slot])
+            )
+            lwc = lwc.at[:, slot].set(
+                jnp.where(ins[:, None], lwin[w_safe], lwc[:, slot])
+            )
 
+        # ---- brick content staging from want lists ----
+        pool = c["want_br"].reshape(n_blocks, _BLK * N_WANTB)
+        pool_lanes = jax.lax.broadcasted_iota(i32, pool.shape, 1)
+        remaining = pool >= 0
+        picks = []
+        for j in range(N_BCACHE):
+            score = jnp.where(
+                remaining,
+                pool.shape[1] - ((pool_lanes - rot - j * 16) % pool.shape[1]),
+                0,
+            )
+            pi = jnp.argmax(score, axis=1)
+            phas = jnp.any(remaining, axis=1)
+            bidj = jnp.where(
+                phas, jnp.take_along_axis(pool, pi[:, None], axis=1)[:, 0], -1
+            )
+            picks.append(bidj)
+            remaining = remaining & (pool != bidj[:, None])
+        new_bricks = jnp.stack(picks, axis=1)  # [B, N_BCACHE]
+
+        dir_idx = jnp.clip(new_bricks, 0, brick_dir.shape[0] - 1)
+        content_rows = brick_dir[dir_idx]
+        have = (new_bricks >= 0) & (content_rows >= 0)
+        bid_eff = jnp.where(have, new_bricks, -1)
+        cnt = bricks[jnp.clip(content_rows, 0, bricks.shape[0] - 1)]
+        cnt = cnt.reshape(n_blocks, _CROWS, 128)
+
+        wid_k = jnp.broadcast_to(
+            win_ids[:, :, None], (n_blocks, N_WCACHE, 128)
+        )
+        bid_k = jnp.broadcast_to(
+            bid_eff[:, :, None], (n_blocks, N_BCACHE, 128)
+        )
+
+        scal = jnp.concatenate(
+            [
+                origin,
+                jnp.asarray(n_liquid, f32).reshape(1),
+                jnp.asarray([v], f32),
+                jnp.zeros(3, f32),
+            ]
+        )
         outs = _march(
-            scal, dx, dy, dz, bw_row, lw_row, slot_row,
-            bw_id[:, None], slot_bricks,
+            scal, dx, dy, dz, gj3, gl3, wid_k, bwc, lwc, bid_k, cnt,
             c["t"], c["active"], c["hit"], c["level"], c["cur_brick"],
             c["axmask"], c["vox"], c["water"], c["wenter"], c["steps"],
-            steps=steps_per_round, nb=nb, bg_side=bg_side,
-            interpret=interpret,
+            sub_rounds=sub_rounds, sub_steps=sub_steps, nb=nb,
+            bg_side=bg_side, interpret=interpret,
         )
         keys = ("t", "active", "hit", "level", "cur_brick", "axmask", "vox",
-                "water", "wenter", "steps")
+                "water", "wenter", "steps", "want_win", "want_br")
         c2 = dict(zip(keys, outs))
-        c2["bw_id"] = bw_id
+        c2["win_ids"] = win_ids
+        c2["bwc"] = bwc
+        c2["lwc"] = lwc
         return c2, ()
 
     carry, _ = jax.lax.scan(
@@ -524,8 +709,8 @@ def _trace_frame(
         c2 = jnp.where(cc >= 0, jnp.maximum(cc, 1e-7), jnp.minimum(cc, -1e-7))
         return 1.0 / c2
 
-    def slab(oc, iv):
-        return jnp.maximum((0.0 - oc) * iv, (jnp.float32(v) - oc) * iv)
+    def slab(oc, ivc):
+        return jnp.maximum((0.0 - oc) * ivc, (jnp.float32(v) - oc) * ivc)
 
     t_cap = jnp.float32(4.0 * v + 16.0)
     t_exit = jnp.minimum(
@@ -579,19 +764,20 @@ def trace_wavefront2(
 ):
     """March one frame through a RenderGrid as a single fused program.
 
-    Semantics match ``trace_wavefront`` (rounds*steps_per_round plays the
-    role of the reference kernel's 500-step cap, ray_tracer.wgsl:220); the
-    whole march is one XLA program, so there is no host round loop and no
-    per-step dispatch overhead.
+    ``steps_per_round`` is split into 12-step sub-rounds inside the kernel;
+    ``rounds * steps_per_round`` plays the role of the reference kernel's
+    500-step cap (ray_tracer.wgsl:220).
     """
     assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
     if interpret is None:
         interpret = _interpret_default()
+    sub_steps = 12
+    sub_rounds = max(steps_per_round // sub_steps, 1)
     return _trace_frame(
         rg.bwin, rg.lwin, rg.brick_dir, rg.bricks, rg.to_pack,
         jnp.asarray(rg.n_liquid, jnp.int32),
         jnp.asarray(origin, jnp.float32), jnp.asarray(dirs),
         width=width, height=height, rounds=rounds,
-        steps_per_round=steps_per_round, v=int(rg.size_voxels),
+        sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret),
     )
