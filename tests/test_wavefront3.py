@@ -1,0 +1,88 @@
+"""Subwindow bit-plane tracer (v3) tests: agreement with the SVO reference.
+
+v3 marches on per-subwindow voxel bit planes (ops/wavefront3.py) and
+resolves hit ids post-march; converged frames must agree exactly with the
+SVO reference tracer (the executable spec of ray_tracer.wgsl:182-291).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from voxelraytracing_tpu.ops import noise
+from voxelraytracing_tpu.ops.camera import CamData, generate_rays
+from voxelraytracing_tpu.ops.svo_build import build_chunk_svo_batch
+from voxelraytracing_tpu.ops.traverse import trace_rays
+from voxelraytracing_tpu.ops.wavefront3 import (
+    build_render_grid3_host,
+    trace_wavefront3,
+)
+from voxelraytracing_tpu.world.assemble import assemble_world_slice
+from voxelraytracing_tpu.world.demo import demo_chunk_grids, demo_materials
+
+
+@pytest.fixture(scope="module")
+def scene():
+    w = 4
+    perm = jnp.asarray(noise.make_permutation(7))
+    grids, cells = demo_chunk_grids(
+        perm, jnp.zeros(3, jnp.int32), w,
+        jnp.float32(w * 32 * 0.45), jnp.int32(int(w * 32 * 0.28)),
+    )
+    mats = demo_materials()
+    rg3 = build_render_grid3_host(
+        np.asarray(grids), np.asarray(cells), np.zeros(3, np.int32), w, mats
+    )
+    nodes, _ = build_chunk_svo_batch(grids)
+    world = assemble_world_slice(nodes, cells, jnp.zeros(3, jnp.int32), w)
+    return rg3, world, mats
+
+
+CAMS = [
+    ((30.0, 45.0, 0.0), (64.0, 75.0, 64.0)),
+    ((5.0, 120.0, 0.0), (20.0, 40.0, 100.0)),
+    ((60.0, 200.0, 0.0), (100.0, 110.0, 30.0)),
+    ((-20.0, 300.0, 0.0), (64.0, 20.0, 64.0)),  # underwater, looking up
+]
+
+
+@pytest.mark.parametrize("cam_cfg", CAMS)
+def test_v3_agrees_with_svo_reference(scene, cam_cfg):
+    rg3, world, mats = scene
+    cam = CamData.create(cam_cfg[0], cam_cfg[1], 70.0, (64, 32))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    ref = trace_rays(world, mats.is_liquid, origin, dirs, 500)
+    # Tiny frames converge slowly (blocks are mostly padding); 32 rounds is
+    # the measured convergence point at 64x32 across all four cameras.
+    wf = trace_wavefront3(rg3, origin, dirs, width=64, height=32, rounds=32)
+
+    rh, wh = np.asarray(ref.hit), np.asarray(wf.hit)
+    np.testing.assert_array_equal(rh, wh)
+
+    m = rh & wh
+    rv, wv = np.asarray(ref.voxel), np.asarray(wf.voxel)
+    np.testing.assert_array_equal(rv[m], wv[m])
+
+    wd = np.abs(np.asarray(ref.water_dist) - np.asarray(wf.water_dist))
+    assert np.median(wd) < 0.05
+
+
+def test_v3_camera_outside_world_sees_nothing(scene):
+    rg3, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (-50.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    wf = trace_wavefront3(rg3, origin, dirs, width=64, height=32, rounds=4)
+    assert not np.asarray(wf.hit).any()
+
+
+def test_v3_step_heatmap(scene):
+    rg3, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    wf = trace_wavefront3(rg3, origin, dirs, width=64, height=32, rounds=12)
+    steps = np.asarray(wf.steps)
+    assert steps.max() > 1
+    assert steps.min() >= 0
