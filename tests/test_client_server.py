@@ -96,6 +96,22 @@ def test_set_voxel_echoes_to_other_clients(server):
     assert state.world.get_voxel((8, 20, 8)) == stone
 
 
+def test_voxel_data_query(server):
+    """GetVoxelData -> GiveVoxelData over the wire (common/src/net.rs:41,52;
+    a no-op pair in the reference, answered for real here)."""
+    state, port = server
+    a = connect(port, "alice")
+    a.request_missing_chunks()
+    pump(state, a, until=lambda rs: a.world.populated_count() >= 64)
+
+    stone = a.voxels.by_name("stone")
+    a.set_voxel((9, 20, 9), stone)
+    pump(state, a, ticks=10)
+    req = a.request_voxel_data((9, 20, 9))
+    pump(state, a, until=lambda rs: req in a.voxel_data)
+    assert a.voxel_data[req] == ((9, 20, 9), stone)
+
+
 def test_players_list_and_disconnect(server):
     state, port = server
     a = connect(port, "alice")

@@ -77,3 +77,26 @@ def test_singleplayer_session(flat_root):
         assert not np.isnan(np.asarray(img2)).any()
     finally:
         app.close()
+
+
+def test_composite_crosshair_styles():
+    """Blit-stage crosshair math (screen_shader.wgsl:43-65)."""
+    import jax.numpy as jnp
+
+    from voxelraytracing_tpu.models.raytracer import composite_crosshair
+
+    img = jnp.zeros((64, 64, 3), jnp.float32)
+    out = composite_crosshair(img, style="dot", size=4.0,
+                              color=(1.0, 0.0, 0.0, 1.0))
+    o = np.asarray(out)
+    assert o[32, 32, 0] == 1.0 and o[32, 32, 1] == 0.0  # center painted red
+    assert o[0, 0].sum() == 0.0  # corners untouched
+
+    out = composite_crosshair(img, style="cross", size=8.0,
+                              color=(1.0, 1.0, 1.0, 0.5))
+    o = np.asarray(out)
+    assert abs(o[32, 36, 0] - 0.5) < 1e-6  # horizontal bar, alpha-blended
+    assert abs(o[36, 32, 0] - 0.5) < 1e-6  # vertical bar
+    assert o[38, 38].sum() == 0.0  # diagonal outside both bars
+
+    assert composite_crosshair(img, style="off") is img

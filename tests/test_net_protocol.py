@@ -35,6 +35,21 @@ def test_simple_commands():
     assert fields["players"] == [(2**63, "a"), (7, "b")]
 
 
+def test_voxel_data_roundtrip():
+    """GetVoxelData/GiveVoxelData wire parity (common/src/net.rs:41,52)."""
+    cmd, fields = roundtrip(
+        ServerCmd.GET_VOXEL_DATA, req=7, pos=(-5, 70, 123456)
+    )
+    assert cmd == ServerCmd.GET_VOXEL_DATA
+    assert fields == {"req": 7, "pos": (-5, 70, 123456)}
+
+    cmd, fields = roundtrip(
+        ClientCmd.GIVE_VOXEL_DATA, req=7, pos=(-5, 70, 123456), voxel=42
+    )
+    assert cmd == ClientCmd.GIVE_VOXEL_DATA
+    assert fields == {"req": 7, "pos": (-5, 70, 123456), "voxel": 42}
+
+
 def test_chunk_data_roundtrip():
     nodes = np.arange(1000, dtype=np.uint16)
     cmd, fields = roundtrip(ClientCmd.GIVE_CHUNK_DATA, pos=(1, -2, 3), nodes=nodes)

@@ -101,6 +101,8 @@ class GameState:
         self.voxels = WireVoxelPack(server_conn.voxel_pack)
         self.player = Player(server_conn.player_pos, speed=0.2)
         self.chunk_requests_sent = set()
+        self.voxel_data = {}  # req id -> (pos, voxel) answers
+        self._next_voxel_req = 0
 
     # --------------------------------------------------------- world ops
 
@@ -112,6 +114,18 @@ class GameState:
         chunk = self.world.set_voxel(pos, voxel)
         self.host.write(ServerCmd.SET_VOXEL, pos=tuple(int(v) for v in pos), voxel=voxel)
         return chunk
+
+    def request_voxel_data(self, pos):
+        """Ask the server what voxel is at ``pos`` (GetVoxelData,
+        common/src/net.rs:41). Returns the request id; the answer lands in
+        ``self.voxel_data[req]`` on a later cmd pump."""
+        req = self._next_voxel_req
+        self._next_voxel_req += 1
+        self.host.write(
+            ServerCmd.GET_VOXEL_DATA, req=req,
+            pos=tuple(int(v) for v in pos),
+        )
+        return req
 
     def center_chunks(self, anchor_chunk):
         evicted = self.world.center_chunks(anchor_chunk)
@@ -156,6 +170,10 @@ class GameState:
             self.player.cam_pos = self.player.desired_cam_pos()
         elif cmd == ClientCmd.GIVE_PLAYERS_LIST:
             self.players = fields["players"]
+        elif cmd == ClientCmd.GIVE_VOXEL_DATA:
+            self.voxel_data[fields["req"]] = (
+                tuple(fields["pos"]), fields["voxel"]
+            )
 
     def process_cmds_timeout(self, budget_s=0.2):
         """Drain pending server commands under a time budget

@@ -28,7 +28,7 @@ from ..client import ClientWorld, GameState, PlayerInput, ServerConn
 from ..core.constants import CHUNK_SIZE
 from ..core.math import cast_ray
 from ..core.svo import NoChunk, PosOutOfBounds
-from ..models.raytracer import RayTracer, RenderSettings
+from ..models.raytracer import RayTracer, RenderSettings, composite_crosshair
 from ..ops.camera import CamData
 from ..ops.materials import make_material_table
 from ..ops.traverse import WorldSlice
@@ -124,6 +124,9 @@ class EngineApp:
         self._styles = styles or {}
         self.materials = self._build_materials()
         self.tracer = RayTracer(self.materials)
+        from .ui import CrosshairStyle
+
+        self.crosshair = CrosshairStyle()
         self._dev_nodes = jnp.asarray(game.world.nodes)
         self._dirty_spans = []
 
@@ -241,8 +244,18 @@ class EngineApp:
         )
 
     def draw_frame(self):
-        """Render one frame; returns ``f32[H, W, 3]`` (main.rs:398-609)."""
+        """Render one frame; returns ``f32[H, W, 3]`` (main.rs:398-609).
+
+        The crosshair is composited blit-stage, as the reference's screen
+        shader does (screen_shader.wgsl:43-65); style comes from the UI's
+        Visuals page state when attached (ui.rs crosshair editor).
+        """
         img, rs = self.tracer.render(self.world_slice(), self.camera(), self.settings)
+        ch = getattr(self, "crosshair", None)
+        if ch is not None and ch.style != "off":
+            img = composite_crosshair(
+                img, style=ch.style, size=ch.size, color=ch.color
+            )
         self.timers.tick()
         self._last_trace = rs
         return img

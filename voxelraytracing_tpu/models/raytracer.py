@@ -171,6 +171,34 @@ def to_srgb8(img):
     return np.asarray(jnp.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
+def composite_crosshair(img, style="cross", size=8.0, color=(1.0, 1.0, 1.0, 0.8)):
+    """Blend a dot/cross crosshair over the screen center.
+
+    The blit-stage fragment math of screen_shader.wgsl:43-65: mask = 1 inside
+    the shape (dot: dist < size; cross: two axis-aligned bars of half-width
+    size/4), scaled by color alpha; out = img*(1-mask) + color.rgb*mask.
+    ``style`` is "off" | "dot" | "cross".
+    """
+    if style in (None, "off", 0):
+        return img
+    h, w = img.shape[:2]
+    cy, cx = h * 0.5, w * 0.5
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    dy = jnp.abs(ys - cy)
+    dx = jnp.abs(xs - cx)
+    if style in ("dot", 1):
+        mask = (jnp.sqrt(dx * dx + dy * dy) < size).astype(jnp.float32)
+    else:  # cross
+        bar = size * 0.25
+        mask = (
+            ((dx < size) & (dy < bar)) | ((dy < size) & (dx < bar))
+        ).astype(jnp.float32)
+    mask = (mask * float(color[3]))[..., None]
+    rgb = jnp.asarray(color[:3], img.dtype)
+    return img * (1.0 - mask) + rgb * mask
+
+
 class WavefrontRenderer:
     """Flagship *fast-path* renderer: the windowed wavefront tracer plus the
     same face/sky/water shading as :class:`RayTracer`.

@@ -14,9 +14,10 @@ Command set mirrors the reference protocol surface:
 
     ServerCmd:  HANDSHAKE, UPDATE_MY_PLAYER_POS, UPDATE_MY_RENDER_DISTANCE,
                 LOAD_CHUNKS, UNLOAD_CHUNKS, DISCONNECT_NOTICE,
-                GET_PLAYERS_LIST, SET_VOXEL
+                GET_PLAYERS_LIST, SET_VOXEL, GET_VOXEL_DATA
     ClientCmd:  HANDSHAKE_ACCEPTED, HANDSHAKE_DENIED, KICK,
-                GIVE_PLAYERS_LIST, GIVE_CHUNK_DATA, GIVE_NEW_POS
+                GIVE_PLAYERS_LIST, GIVE_CHUNK_DATA, GIVE_NEW_POS,
+                GIVE_VOXEL_DATA
 
 Chunk payloads carry the SVO node prefix as raw ``uint16`` bytes — the SVO
 itself is the compression (uniform regions collapse), same as the
@@ -58,6 +59,7 @@ class ServerCmd(IntEnum):
     DISCONNECT_NOTICE = 6
     GET_PLAYERS_LIST = 7
     SET_VOXEL = 8
+    GET_VOXEL_DATA = 9
 
 
 class ClientCmd(IntEnum):
@@ -69,6 +71,7 @@ class ClientCmd(IntEnum):
     GIVE_PLAYERS_LIST = 104
     GIVE_CHUNK_DATA = 105
     GIVE_NEW_POS = 106
+    GIVE_VOXEL_DATA = 107
 
 
 # ------------------------------------------------------------- payloads
@@ -111,6 +114,10 @@ def encode(cmd, **kw):
         return b""
     if cmd == ServerCmd.SET_VOXEL:
         return _pack_ivec3(kw["pos"]) + struct.pack("<H", kw["voxel"])
+    if cmd == ServerCmd.GET_VOXEL_DATA:
+        # GetVoxelData(u32 request id, VoxelPos) — common/src/net.rs:41.
+        # A no-op in the reference on both sides; answered for real here.
+        return struct.pack("<I", kw["req"]) + _pack_ivec3(kw["pos"])
 
     if cmd == ClientCmd.HANDSHAKE_ACCEPTED:
         pack = json.dumps(kw["voxel_pack"]).encode("utf-8")
@@ -132,6 +139,13 @@ def encode(cmd, **kw):
         return _pack_ivec3(kw["pos"]) + struct.pack("<I", len(nodes)) + nodes.tobytes()
     if cmd == ClientCmd.GIVE_NEW_POS:
         return _pack_fvec3(kw["pos"])
+    if cmd == ClientCmd.GIVE_VOXEL_DATA:
+        # GiveVoxelData(u32, VoxelPos, Voxel) — common/src/net.rs:52.
+        return (
+            struct.pack("<I", kw["req"])
+            + _pack_ivec3(kw["pos"])
+            + struct.pack("<H", kw["voxel"])
+        )
     raise ValueError(f"unknown cmd {cmd!r}")
 
 
@@ -182,6 +196,9 @@ def _decode(cmd_id, payload):
     if cmd == ServerCmd.SET_VOXEL:
         x, y, z, v = struct.unpack("<iiiH", payload)
         return cmd, {"pos": (x, y, z), "voxel": v}
+    if cmd == ServerCmd.GET_VOXEL_DATA:
+        req, x, y, z = struct.unpack("<Iiii", payload)
+        return cmd, {"req": req, "pos": (x, y, z)}
 
     if cmd == ClientCmd.HANDSHAKE_ACCEPTED:
         spawn = struct.unpack_from("<fff", payload, 0)
@@ -210,6 +227,9 @@ def _decode(cmd_id, payload):
         return cmd, {"pos": pos, "nodes": nodes}
     if cmd == ClientCmd.GIVE_NEW_POS:
         return cmd, {"pos": struct.unpack("<fff", payload)}
+    if cmd == ClientCmd.GIVE_VOXEL_DATA:
+        req, x, y, z, v = struct.unpack("<IiiiH", payload)
+        return cmd, {"req": req, "pos": (x, y, z), "voxel": v}
     raise ValueError(f"unknown cmd {cmd!r}")
 
 

@@ -571,7 +571,7 @@ def _march(
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
-        "interpret",
+        "interpret", "resolve_ids",
     ),
 )
 def _trace_frame(
@@ -579,6 +579,7 @@ def _trace_frame(
     brick_dir, bricks, to_pack,
     origin, dirs,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
+    resolve_ids=True,
 ):
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
@@ -757,19 +758,26 @@ def _trace_frame(
         carry["wenter"] >= 0.0, t_stop - carry["wenter"], 0.0
     )
 
-    # hit voxel id: one batched gather chain through the v1 content tables
-    hx = jnp.floor(origin[0] + dx * carry["t"]).astype(i32)
-    hy = jnp.floor(origin[1] + dy * carry["t"]).astype(i32)
-    hz = jnp.floor(origin[2] + dz * carry["t"]).astype(i32)
-    hxc = jnp.clip(hx, 0, bg_side * BRICK - 1)
-    hyc = jnp.clip(hy, 0, bg_side * BRICK - 1)
-    hzc = jnp.clip(hz, 0, bg_side * BRICK - 1)
-    fb = (hxc >> 2) + (hyc >> 2) * bg_side + (hzc >> 2) * bg_side * bg_side
-    row = brick_dir[fb]
-    vlin = (hxc & 3) + (hyc & 3) * 4 + (hzc & 3) * 16
-    word = bricks[jnp.clip(row, 0, bricks.shape[0] - 1), vlin >> 2]
-    rid = ((word >> ((vlin & 3).astype(jnp.uint32) * 8)) & 0xFF).astype(i32)
-    rid = jnp.where(real_hit & (row >= 0), rid, 0)
+    if resolve_ids:
+        # hit voxel id: one batched gather chain through the v1 content
+        # tables
+        hx = jnp.floor(origin[0] + dx * carry["t"]).astype(i32)
+        hy = jnp.floor(origin[1] + dy * carry["t"]).astype(i32)
+        hz = jnp.floor(origin[2] + dz * carry["t"]).astype(i32)
+        hxc = jnp.clip(hx, 0, bg_side * BRICK - 1)
+        hyc = jnp.clip(hy, 0, bg_side * BRICK - 1)
+        hzc = jnp.clip(hz, 0, bg_side * BRICK - 1)
+        fb = (hxc >> 2) + (hyc >> 2) * bg_side \
+            + (hzc >> 2) * bg_side * bg_side
+        row = brick_dir[fb]
+        vlin = (hxc & 3) + (hyc & 3) * 4 + (hzc & 3) * 16
+        word = bricks[jnp.clip(row, 0, bricks.shape[0] - 1), vlin >> 2]
+        rid = (
+            (word >> ((vlin & 3).astype(jnp.uint32) * 8)) & 0xFF
+        ).astype(i32)
+        rid = jnp.where(real_hit & (row >= 0), rid, 0)
+    else:
+        rid = real_hit.astype(i32)
 
     norm = jnp.stack(
         [
@@ -807,6 +815,7 @@ def trace_wavefront3(
     rounds=10,
     steps_per_round=48,
     interpret=None,
+    resolve_ids=True,
 ):
     """March one frame through a RenderGrid3 as a single fused program.
 
@@ -825,5 +834,5 @@ def trace_wavefront3(
         jnp.asarray(origin, jnp.float32), jnp.asarray(dirs),
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
-        interpret=bool(interpret),
+        interpret=bool(interpret), resolve_ids=bool(resolve_ids),
     )

@@ -176,6 +176,15 @@ class ServerState:
         elif cmd == ServerCmd.GET_PLAYERS_LIST:
             players = [(c.id, c.name) for c in self.clients.values()]
             client.conn.write(ClientCmd.GIVE_PLAYERS_LIST, players=players)
+        elif cmd == ServerCmd.GET_VOXEL_DATA:
+            # Wire parity with common/src/net.rs:41,52. The reference leaves
+            # both sides as no-ops (server/src/lib.rs:309); here the server
+            # actually answers from world state (0 for unloaded chunks).
+            vox = self.world.get_voxel(tuple(fields["pos"])) or 0
+            client.conn.write(
+                ClientCmd.GIVE_VOXEL_DATA,
+                req=fields["req"], pos=tuple(fields["pos"]), voxel=int(vox),
+            )
         elif cmd == ServerCmd.DISCONNECT_NOTICE:
             client.conn.broken = True
 
