@@ -74,3 +74,25 @@ def test_servercli_serves_and_saves(tmp_path):
     t.join(timeout=120)
     assert not t.is_alive()
     assert info["state"].spawn is not None
+
+
+def test_logging_env_knob(monkeypatch):
+    """VOXELTPU_LOG controls the package logger (the RUST_LOG analog)."""
+    import importlib
+    import logging
+
+    from voxelraytracing_tpu.utils import log as vlog
+
+    monkeypatch.setenv("VOXELTPU_LOG", "debug")
+    vlog._initialized = False
+    logger = vlog.init_logging()
+    assert logger.level == logging.DEBUG
+    child = vlog.get_logger("server.state")
+    assert child.name == "voxelraytracing_tpu.server.state"
+    assert child.getEffectiveLevel() == logging.DEBUG
+
+    vlog._initialized = False
+    logger = vlog.init_logging("off")
+    assert logger.level > logging.CRITICAL
+    vlog._initialized = False
+    vlog.init_logging("warning")

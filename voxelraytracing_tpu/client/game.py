@@ -16,8 +16,11 @@ import numpy as np
 from ..core.constants import CHUNK_SIZE
 from ..core.svo import NoChunk, PosOutOfBounds, SetVoxelError
 from ..net import ClientCmd, Conn, ServerCmd, protocol
+from ..utils.log import get_logger
 from .player import Player
 from .world import ClientWorld
+
+log = get_logger(__name__)
 
 
 class HandshakeDenied(Exception):
@@ -159,10 +162,12 @@ class GameState:
                 chunk = self.world.create_chunk(pos, fields["nodes"])
                 rs.updated_chunks.append((pos, chunk.start, len(fields["nodes"])))
             except PosOutOfBounds:
+                log.debug("discarding out-of-window chunk %s", pos)
                 rs.received_oob_chunks.append(pos)
             except SetVoxelError:
                 pass
         elif cmd == ClientCmd.KICK:
+            log.warning("kicked by server: %s", fields.get("reason", ""))
             rs.kicked = True
             rs.kick_reason = fields.get("reason", "")
         elif cmd == ClientCmd.GIVE_NEW_POS:

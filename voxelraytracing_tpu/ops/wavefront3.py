@@ -87,11 +87,21 @@ class RenderGrid3(NamedTuple):
       s = sx + sy*4 + sz*16), words 4-7 zero.
     sw_meta: ``uint32[Ns³, 8]`` per-subwindow packed meta — words 0-1:
       brick jumpable bits, 2-3: brick all-liquid bits (local brick
-      b = bx + by*4 + bz*16).
+      b = bx + by*4 + bz*16); words 4-7: the 16-entry solid-id palette
+      (pack ids, one byte per entry).
     sw_solid/sw_liq: ``uint32[Ns³, 128]`` per-voxel bit rows (local voxel
       l = lx + ly*16 + lz*256 -> word l>>5, bit l&31).
-    brick_dir/bricks/to_pack/n_liquid: v1 content tables, used only for
-      post-march hit-id resolution (see ops/wavefront.py:RenderGrid).
+    sw_pid: ``uint32[Ns³, 4, 128]`` per-voxel palette-index bit planes
+      (4 bits -> 16 palette entries), same voxel/bit layout as sw_solid.
+      Hit ids decode in-kernel: 4 lane-local bit gathers + a palette byte
+      from the meta row — no post-march XLA gather (which costs ~18 ms
+      per 2M elements on this runtime).
+    brick_dir/bricks/to_pack/n_liquid: v1 content tables, kept for the
+      fallback hit-id gather path (palettes_ok=False) and for shading
+      compatibility (see ops/wavefront.py:RenderGrid).
+    palettes_ok: static bool — True when every subwindow has ≤16 distinct
+      solid ids (always, in practice); False falls back to the XLA gather
+      chain for hit ids.
     """
 
     gw_jump: jax.Array
@@ -100,12 +110,14 @@ class RenderGrid3(NamedTuple):
     sw_meta: jax.Array
     sw_solid: jax.Array
     sw_liq: jax.Array
+    sw_pid: jax.Array
     brick_dir: jax.Array
     bricks: jax.Array
     world_min: jax.Array
     to_pack: jax.Array
     n_liquid: jax.Array
     size_voxels: int
+    palettes_ok: bool
 
 
 # ----------------------------------------------------------------- builders
@@ -157,7 +169,12 @@ def build_render_grid3_host(grids, cells, world_min, size_in_chunks,
 
     solid = vol > n_liquid
     liq = (vol >= 1) & (vol <= n_liquid)
-    planes = _planes_from_masks_np(solid, liq, vpad)
+    to_pack_np = np.zeros(256, np.int32)
+    tp = np.asarray(rg1.to_pack)
+    to_pack_np[: len(tp)] = tp
+    planes, palettes_ok = _planes_from_masks_np(
+        solid, liq, vpad, vol=vol, to_pack=to_pack_np
+    )
     return RenderGrid3(
         *[jnp.asarray(p) for p in planes],
         brick_dir=rg1.brick_dir,
@@ -166,11 +183,17 @@ def build_render_grid3_host(grids, cells, world_min, size_in_chunks,
         to_pack=rg1.to_pack,
         n_liquid=rg1.n_liquid,
         size_voxels=v,
+        palettes_ok=bool(palettes_ok),
     )
 
 
-def _planes_from_masks_np(solid, liq, vpad):
-    """NumPy: (solid, liq) [V,V,V] bool -> the six v3 plane arrays."""
+def _planes_from_masks_np(solid, liq, vpad, vol=None, to_pack=None):
+    """NumPy: (solid, liq) [V,V,V] bool -> (seven v3 plane arrays, pal_ok).
+
+    ``vol`` ([V,V,V] render ids) and ``to_pack`` drive the per-subwindow
+    solid-id palettes; palettes hold *pack* ids so hit decode needs no
+    further mapping.
+    """
     ns = vpad // SW
     nw = vpad // WIN
     assert nw * nw * nw <= 4096, "global window plane supports ≤16³ windows"
@@ -182,6 +205,31 @@ def _planes_from_masks_np(solid, liq, vpad):
 
     sw_solid = _pack_bits_np(sw_rows(solid))
     sw_liq = _pack_bits_np(sw_rows(liq))
+
+    # --- per-subwindow solid-id palettes + 4 palette-index bit planes ---
+    n_sw = ns * ns * ns
+    vol_rows = sw_rows(vol)                          # [Ns³,4096] render ids
+    solid_rows = sw_rows(solid)
+    pal_words = np.zeros((n_sw, 4), np.uint32)
+    pidx = np.zeros_like(vol_rows, dtype=np.uint8)
+    palettes_ok = True
+    nonuni = np.flatnonzero(solid_rows.any(axis=1))
+    for r in nonuni:
+        ids = np.unique(vol_rows[r][solid_rows[r]])
+        if len(ids) > 16:
+            palettes_ok = False
+            break
+        lut = np.zeros(256, np.uint8)
+        lut[ids] = np.arange(len(ids), dtype=np.uint8)
+        pidx[r] = lut[vol_rows[r]]
+        pal = np.zeros(16, np.uint32)
+        pal[: len(ids)] = to_pack[ids]
+        pal_words[r] = (
+            pal.reshape(4, 4) << (np.arange(4, dtype=np.uint32) * 8)[None]
+        ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
+    sw_pid = np.stack(
+        [_pack_bits_np(((pidx >> b) & 1) != 0) for b in range(4)], axis=1
+    )  # [Ns³, 4, 128]
 
     # Per-brick (4³ within a subwindow) flags.
     def brick_reduce(m, op):
@@ -203,6 +251,7 @@ def _planes_from_masks_np(solid, liq, vpad):
         return meta
 
     sw_meta = pack_meta(b_jump, b_all_liq)
+    sw_meta[:, 4:8] = pal_words
 
     # Per-subwindow flags -> window meta.
     s_any_solid = b_any_solid.any(axis=1).reshape(ns, ns, ns, order="F")
@@ -228,8 +277,9 @@ def _planes_from_masks_np(solid, liq, vpad):
         pad[:bits.shape[0]] = bits
         return _pack_bits_np(pad.reshape(1, 4096))  # [1,128]
 
-    return (gplane(w_jump), gplane(w_jump & w_all_liq), wmeta, sw_meta,
-            sw_solid, sw_liq)
+    planes = (gplane(w_jump), gplane(w_jump & w_all_liq), wmeta, sw_meta,
+              sw_solid, sw_liq, sw_pid)
+    return planes, palettes_ok
 
 
 # --------------------------------------------------------------- march kernel
@@ -244,9 +294,10 @@ def _march_kernel(
     wm_ref,                    # [1, 1, 128] u32 packed window metas (16×8)
     sm_ref,                    # [1, 1, 128] u32 packed subwindow metas
     ssol_ref, sliq_ref,        # [1, N_SC, 128] u32 subwindow voxel rows
-    t_ref, act_ref, hit_ref, ax_ref, wat_ref, wen_ref, stp_ref,
+    spid_ref,                  # [1, N_SC*4, 128] u32 palette-idx bit rows
+    t_ref, act_ref, hit_ref, ax_ref, vox_ref, wat_ref, wen_ref, stp_ref,
     # outputs
-    t_o, act_o, hit_o, ax_o, wat_o, wen_o, stp_o,
+    t_o, act_o, hit_o, ax_o, vox_o, wat_o, wen_o, stp_o,
     ww_o,            # [BLK,1] i32  min uncached window wanted
     ws_o,            # [BLK,4] i32  min uncached subwindows (32-lane groups)
     *, sub_rounds, sub_steps, nw, ns,
@@ -286,6 +337,7 @@ def _march_kernel(
     sm_row = jnp.broadcast_to(sm_ref[0], (blk, 128))
     ssol = ssol_ref[0]
     sliq = sliq_ref[0]
+    spid = spid_ref[0]
     wid_rows = [wids_ref[0][k:k + 1, :] for k in range(N_WC)]
     sid_rows = [sids_ref[0][k:k + 1, :] for k in range(N_SC)]
 
@@ -342,6 +394,7 @@ def _march_kernel(
         tslot = jnp.zeros((blk, 1), i32)
         solid_row = jnp.zeros((blk, 128), jnp.uint32)
         liq_row = jnp.zeros((blk, 128), jnp.uint32)
+        pid_rows = [jnp.zeros((blk, 128), jnp.uint32) for _ in range(4)]
         for k in range(N_SC):
             sid_k = sid_rows[k][:, :1]                   # [1,1]
             eq = (tsid == sid_k) & (sid_k >= 0)          # [BLK,1]
@@ -352,16 +405,24 @@ def _march_kernel(
             liq_row = jnp.where(
                 eq, jnp.broadcast_to(sliq[k:k + 1, :], (blk, 128)), liq_row
             )
+            for b in range(4):
+                pid_rows[b] = jnp.where(
+                    eq,
+                    jnp.broadcast_to(
+                        spid[k * 4 + b:k * 4 + b + 1, :], (blk, 128)
+                    ),
+                    pid_rows[b],
+                )
         can = active & (
             g_jump
             | ((wslot >= 0) & sw_jump)
             | (need & (s == tsid))
         )
         go = jnp.any(can).astype(i32)
-        return tsid, tslot, solid_row, liq_row, go
+        return tsid, tslot, solid_row, liq_row, tuple(pid_rows), go
 
-    def step(c, tsid, tslot, solid_row, liq_row):
-        t, active_i, hit_i, axmask, water, wenter, stp = c
+    def step(c, tsid, tslot, solid_row, liq_row, pid_rows):
+        t, active_i, hit_i, axmask, vox, water, wenter, stp = c
         active = (active_i != 0) & (t < t_exit)
         hit = hit_i != 0
 
@@ -385,6 +446,20 @@ def _march_kernel(
         in_vox = case3 & ~br_jump
         hit_now = in_vox & vsolid
         march = case1 | case2 | in_br | (in_vox & ~vsolid)
+
+        # hit-id decode: 4 palette-index bits + palette byte from the meta
+        # row (all lane-local; the palette lives in sw_meta words 4-7)
+        pidx = bit_of(pid_rows[0], l >> 5, l & 31)
+        pidx = pidx | (bit_of(pid_rows[1], l >> 5, l & 31) << 1)
+        pidx = pidx | (bit_of(pid_rows[2], l >> 5, l & 31) << 2)
+        pidx = pidx | (bit_of(pid_rows[3], l >> 5, l & 31) << 3)
+        pal_w = jnp.take_along_axis(
+            sm_row, jnp.clip(tslot * 8 + 4 + (pidx >> 2), 0, 127), axis=1
+        )
+        pid = (
+            (pal_w >> ((pidx & 3).astype(jnp.uint32) * 8)) & 0xFF
+        ).astype(i32)
+        vox = jnp.where(hit_now, pid, vox)
 
         # liquidity of the cell being crossed, at the crossing granularity
         liq_i = jnp.where(
@@ -431,7 +506,7 @@ def _march_kernel(
         active = active & ~hit_now
         stp = stp + (march | hit_now).astype(i32)
 
-        return (t, active.astype(i32), hit.astype(i32), axmask, water,
+        return (t, active.astype(i32), hit.astype(i32), axmask, vox, water,
                 wenter, stp)
 
     def wants(t, active_i):
@@ -456,14 +531,14 @@ def _march_kernel(
 
     def sub_round(state):
         sr, _, c, rows = state
-        tsid, tslot, solid_row, liq_row = rows
+        tsid, tslot, solid_row, liq_row, pid_rows = rows
 
         def sbody(_, cc):
-            return step(cc, tsid, tslot, solid_row, liq_row)
+            return step(cc, tsid, tslot, solid_row, liq_row, pid_rows)
 
         c = jax.lax.fori_loop(0, sub_steps, sbody, c)
-        tsid, tslot, solid_row, liq_row, go = boundary(c[0], c[1])
-        return sr + 1, go, c, (tsid, tslot, solid_row, liq_row)
+        tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(c[0], c[1])
+        return sr + 1, go, c, (tsid, tslot, solid_row, liq_row, pid_rows)
 
     def cond(state):
         sr, go, _, _ = state
@@ -477,6 +552,7 @@ def _march_kernel(
         act_o[:] = act_ref[:]
         hit_o[:] = hit_ref[:]
         ax_o[:] = ax_ref[:]
+        vox_o[:] = vox_ref[:]
         wat_o[:] = wat_ref[:]
         wen_o[:] = wen_ref[:]
         stp_o[:] = stp_ref[:]
@@ -485,30 +561,34 @@ def _march_kernel(
 
     @pl.when(any_active)
     def _():
-        tsid, tslot, solid_row, liq_row, go = boundary(t_ref[:], act_ref[:])
+        tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(
+            t_ref[:], act_ref[:]
+        )
         init_c = (
-            t_ref[:], act_ref[:], hit_ref[:], ax_ref[:], wat_ref[:],
-            wen_ref[:], stp_ref[:],
+            t_ref[:], act_ref[:], hit_ref[:], ax_ref[:], vox_ref[:],
+            wat_ref[:], wen_ref[:], stp_ref[:],
         )
         _, _, c, _ = jax.lax.while_loop(
             cond, sub_round,
-            (jnp.int32(0), go, init_c, (tsid, tslot, solid_row, liq_row)),
+            (jnp.int32(0), go, init_c,
+             (tsid, tslot, solid_row, liq_row, pid_rows)),
         )
         t_o[:] = c[0]
         act_o[:] = c[1]
         hit_o[:] = c[2]
         ax_o[:] = c[3]
-        wat_o[:] = c[4]
-        wen_o[:] = c[5]
-        stp_o[:] = c[6]
+        vox_o[:] = c[4]
+        wat_o[:] = c[5]
+        wen_o[:] = c[6]
+        stp_o[:] = c[7]
         want_w, want_s = wants(c[0], c[1])
         ww_o[:] = want_w
         ws_o[:] = want_s
 
 
 def _march(
-    scal, wids, sids, dx, dy, dz, gj, gl, wm, sm, ssol, sliq,
-    t, active, hit, axmask, water, wenter, stp,
+    scal, wids, sids, dx, dy, dz, gj, gl, wm, sm, ssol, sliq, spid,
+    t, active, hit, axmask, vox, water, wenter, stp,
     *, sub_rounds, sub_steps, nw, ns, interpret,
 ):
     T = t.shape[0]
@@ -530,14 +610,15 @@ def _march(
         cspec(N_SC),                                                # sids
         vspec(), vspec(), vspec(),                                  # dx dy dz
         cspec(1), cspec(1), cspec(1), cspec(1),                     # gj gl wm sm
-        cspec(N_SC), cspec(N_SC),                                   # ssol sliq
+        cspec(N_SC), cspec(N_SC), cspec(N_SC * 4),            # ssol sliq spid
         vspec(), vspec(), vspec(), vspec(), vspec(), vspec(), vspec(),
+        vspec(),
     ]
-    out_specs = tuple([vspec()] * 7 + [vspec(1), vspec(4)])
+    out_specs = tuple([vspec()] * 8 + [vspec(1), vspec(4)])
     out_shape = tuple(
         [
             jax.ShapeDtypeStruct((T, 128), d)
-            for d in (f32, i32, i32, i32, f32, f32, i32)
+            for d in (f32, i32, i32, i32, i32, f32, f32, i32)
         ]
         + [
             jax.ShapeDtypeStruct((T, 1), i32),
@@ -559,8 +640,8 @@ def _march(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
-        scal, wids, sids, dx, dy, dz, gj, gl, wm, sm, ssol, sliq,
-        t, active, hit, axmask, water, wenter, stp,
+        scal, wids, sids, dx, dy, dz, gj, gl, wm, sm, ssol, sliq, spid,
+        t, active, hit, axmask, vox, water, wenter, stp,
     )
 
 
@@ -575,11 +656,11 @@ def _march(
     ),
 )
 def _trace_frame(
-    gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq,
+    gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
     brick_dir, bricks, to_pack,
     origin, dirs,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
-    resolve_ids=True,
+    resolve_ids="palette",
 ):
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
@@ -621,6 +702,7 @@ def _trace_frame(
         active=(jnp.broadcast_to(inside, shape) & valid).astype(i32),
         hit=jnp.zeros(shape, i32),
         axmask=jnp.zeros(shape, i32),
+        vox=jnp.zeros(shape, i32),
         water=jnp.zeros(shape, f32),
         wenter=jnp.full(shape, -1.0, f32),
         steps=jnp.zeros(shape, i32),
@@ -630,6 +712,7 @@ def _trace_frame(
         sc_meta=jnp.zeros((nB, 128), jnp.uint32),
         sc_solid=jnp.zeros((nB, N_SC, 128), jnp.uint32),
         sc_liq=jnp.zeros((nB, N_SC, 128), jnp.uint32),
+        sc_pid=jnp.zeros((nB, N_SC, 4, 128), jnp.uint32),
         want_w=jnp.full((T, 1), -1, i32),
         want_s=jnp.full((T, 4), -1, i32),
     )
@@ -685,6 +768,9 @@ def _trace_frame(
                             jnp.uint32(0))                     # [B,8,128]
         new_liq = jnp.where(ok[..., None], sw_liq[safe], jnp.uint32(0))
         new_meta = jnp.where(ok[..., None], sw_meta[safe], jnp.uint32(0))
+        new_pid = jnp.where(
+            ok[..., None, None], sw_pid[safe], jnp.uint32(0)
+        )                                                      # [B,8,4,128]
 
         # rotating half-cache replacement: even rounds -> slots 0..7,
         # odd rounds -> slots 8..15
@@ -700,6 +786,7 @@ def _trace_frame(
         sc_ids = half(c["sc_ids"], new_ids)
         sc_solid = half(c["sc_solid"], new_sol)
         sc_liq = half(c["sc_liq"], new_liq)
+        sc_pid = half(c["sc_pid"], new_pid)
         meta64 = new_meta.reshape(nB, 64)
         sc_meta = jnp.where(
             lo == (lane128 < 64),
@@ -708,29 +795,31 @@ def _trace_frame(
             ),
             c["sc_meta"],
         )
-        return sc_ids, sc_meta, sc_solid, sc_liq
+        return sc_ids, sc_meta, sc_solid, sc_liq, sc_pid
 
     scal = jnp.concatenate([origin, jnp.asarray([v], f32)])
 
     def round_body(c, r):
         wc_ids, wc_meta = insert_windows(c, r)
-        sc_ids, sc_meta, sc_solid, sc_liq = insert_subwindows(c, r)
+        sc_ids, sc_meta, sc_solid, sc_liq, sc_pid = insert_subwindows(c, r)
 
         wid_k = jnp.broadcast_to(wc_ids[:, :, None], (nB, N_WC, 128))
         sid_k = jnp.broadcast_to(sc_ids[:, :, None], (nB, N_SC, 128))
         outs = _march(
             scal, wid_k, sid_k, dx, dy, dz, gj3, gl3,
             wc_meta[:, None, :], sc_meta[:, None, :], sc_solid, sc_liq,
-            c["t"], c["active"], c["hit"], c["axmask"], c["water"],
-            c["wenter"], c["steps"],
+            sc_pid.reshape(nB, N_SC * 4, 128),
+            c["t"], c["active"], c["hit"], c["axmask"], c["vox"],
+            c["water"], c["wenter"], c["steps"],
             sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
             interpret=interpret,
         )
-        keys = ("t", "active", "hit", "axmask", "water", "wenter", "steps",
-                "want_w", "want_s")
+        keys = ("t", "active", "hit", "axmask", "vox", "water", "wenter",
+                "steps", "want_w", "want_s")
         c2 = dict(zip(keys, outs))
         c2.update(wc_ids=wc_ids, wc_meta=wc_meta, sc_ids=sc_ids,
-                  sc_meta=sc_meta, sc_solid=sc_solid, sc_liq=sc_liq)
+                  sc_meta=sc_meta, sc_solid=sc_solid, sc_liq=sc_liq,
+                  sc_pid=sc_pid)
         return c2, ()
 
     carry, _ = jax.lax.scan(round_body, carry, jnp.arange(rounds, dtype=i32))
@@ -758,9 +847,12 @@ def _trace_frame(
         carry["wenter"] >= 0.0, t_stop - carry["wenter"], 0.0
     )
 
-    if resolve_ids:
-        # hit voxel id: one batched gather chain through the v1 content
-        # tables
+    if resolve_ids == "palette":
+        # hit ids were decoded in-kernel from the palette bit planes and
+        # already hold pack ids — no XLA gather (~36 ms/frame at 1080p).
+        voxel = jnp.where(real_hit, carry["vox"], 0)
+    elif resolve_ids == "gather":
+        # fallback: batched gather chain through the v1 content tables
         hx = jnp.floor(origin[0] + dx * carry["t"]).astype(i32)
         hy = jnp.floor(origin[1] + dy * carry["t"]).astype(i32)
         hz = jnp.floor(origin[2] + dz * carry["t"]).astype(i32)
@@ -776,8 +868,9 @@ def _trace_frame(
             (word >> ((vlin & 3).astype(jnp.uint32) * 8)) & 0xFF
         ).astype(i32)
         rid = jnp.where(real_hit & (row >= 0), rid, 0)
-    else:
-        rid = real_hit.astype(i32)
+        voxel = to_pack[jnp.clip(rid, 0, 255)]
+    else:  # "none": hit mask only (ablation/benchmarks)
+        voxel = real_hit.astype(i32)
 
     norm = jnp.stack(
         [
@@ -787,7 +880,6 @@ def _trace_frame(
         ],
         axis=-1,
     )
-    voxel = to_pack[jnp.clip(rid, 0, 255)]
 
     def untile(x):
         extra = x.shape[2:]
@@ -815,7 +907,7 @@ def trace_wavefront3(
     rounds=10,
     steps_per_round=48,
     interpret=None,
-    resolve_ids=True,
+    resolve_ids=None,
 ):
     """March one frame through a RenderGrid3 as a single fused program.
 
@@ -826,13 +918,15 @@ def trace_wavefront3(
     assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
     if interpret is None:
         interpret = _interpret_default()
+    if resolve_ids is None:
+        resolve_ids = "palette" if rg.palettes_ok else "gather"
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
     return _trace_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
-        rg.brick_dir, rg.bricks, rg.to_pack,
+        rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
         jnp.asarray(origin, jnp.float32), jnp.asarray(dirs),
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
-        interpret=bool(interpret), resolve_ids=bool(resolve_ids),
+        interpret=bool(interpret), resolve_ids=str(resolve_ids),
     )

@@ -20,6 +20,9 @@ import threading
 import numpy as np
 
 from ..core.constants import REGION_SIZE
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
 
 _MAGIC = b"VXRG1\n"
 
@@ -143,7 +146,9 @@ class WorldFs:
                 self._cache[rpos] = merged
                 write_region(path, merged)
                 self.available_chunks.update(chunks.keys())
-        return sum(len(c) for c in by_region.values())
+        n = sum(len(c) for c in by_region.values())
+        log.info("saved %d chunks across %d regions", n, len(by_region))
+        return n
 
     def dirty_count(self):
         with self._lock:

@@ -14,7 +14,10 @@ import threading
 import random
 
 from ..net import ClientCmd, Conn, ServerCmd, protocol
+from ..utils.log import get_logger
 from .world import ServerWorld
+
+log = get_logger(__name__)
 
 CHUNK_BATCH = 128  # chunks generated per tick (server/src/lib.rs:248)
 
@@ -144,6 +147,10 @@ class ServerState:
                 for cmd, fields in client.conn.try_read():
                     self._handle_cmd(client, cmd, fields)
             except Exception:
+                log.warning(
+                    "dropping client %016x (%s): bad frame",
+                    client.id, client.name, exc_info=True,
+                )
                 client.conn.broken = True
 
     def _handle_cmd(self, client, cmd, fields):
@@ -200,9 +207,12 @@ class ServerState:
             except queue.Empty:
                 break
             self.clients[client.id] = client
+            log.info("client %016x (%s) joined", client.id, client.name)
         # drop broken connections
         for cid in [c for c, cl in self.clients.items() if cl.conn.broken]:
-            self.clients.pop(cid).conn.close()
+            dropped = self.clients.pop(cid)
+            dropped.conn.close()
+            log.info("client %016x (%s) disconnected", cid, dropped.name)
 
         # build requested chunks, batched
         if self.chunks_to_build:

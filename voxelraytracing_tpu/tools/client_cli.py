@@ -25,6 +25,9 @@ import numpy as np
 
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
+    from ..utils.log import init_logging
+
+    init_logging()  # honor VOXELTPU_LOG (env_logger::init analog)
     from ..engine import EngineApp
     from ..engine.input import InputState
     from ..engine.ui import Page, UiState

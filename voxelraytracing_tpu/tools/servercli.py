@@ -147,6 +147,9 @@ def _handle_cli(line, state, world, fs, quiet):
 
 
 def main():
+    from ..utils.log import init_logging
+
+    init_logging()  # honor VOXELTPU_LOG (env_logger::init analog)
     if len(sys.argv) < 3:
         print(__doc__)
         return 1
