@@ -66,7 +66,7 @@ from ..core.constants import CHUNK_SIZE
 SW = 16       # subwindow edge, voxels (one 128-word bit row)
 WIN = 64      # window edge, voxels (4³ subwindows)
 _BLK = 64     # tiles per Pallas grid program (8K rays)
-N_WC = 16     # windows cached per block (metas pack into one row)
+N_WC = 8      # windows cached per block (metas pack into one row)
 N_SC = 16     # subwindows cached per block
 _W_INS = 2    # window cache inserts per round
 _S_INS = 8    # subwindow cache inserts per round
@@ -283,35 +283,91 @@ def _planes_from_masks_np(solid, liq, vpad, vol=None, to_pack=None):
 
 
 # --------------------------------------------------------------- march kernel
+#
+# I/O is stream-collapsed: per grid program the kernel reads one SMEM
+# scalar row (origin, world size, camera affine), one packed meta block
+# (global planes + window/subwindow metas + cache ids), one cache block
+# (subwindow solid/liquid/palette rows) and four ray-state arrays; it
+# writes four state arrays and one want row. Ray directions are computed
+# in-kernel from the camera affine (dir = a(x,y)·V0 + b(x,y)·V1 − V2,
+# the unrolled form of create_ray_from_screen, ray_tracer.wgsl:159-171),
+# so no direction arrays ever cross HBM. Fewer streams matter: this
+# runtime costs ~1.8 µs per block DMA, so stream count × programs ×
+# rounds was a first-order term.
+
+# flags word layout (bit): 0 active, 1 hit, 2-4 axmask, 5-16 steps,
+# 17-24 vox (pack id from the subwindow palette)
+_FL_ACT = 0
+_FL_HIT = 1
+_FL_AX = 2
+_FL_STP = 5
+_FL_VOX = 17
+
+
+def _ray_dirs(scal, tg, lane, tx):
+    """Per-ray directions from the camera affine; shared by the Mosaic
+    kernel and the XLA finish (identical op order keeps them bit-equal)."""
+    f32 = jnp.float32
+    txi = (tg % tx).astype(f32)
+    tyi = (tg // tx).astype(f32)
+    px = txi * TILE_W + (lane % TILE_W).astype(f32)
+    py = tyi * TILE_H + (lane // TILE_W).astype(f32)
+    x = px * scal[4] - 1.0   # scal[4] = 2/width
+    y = py * scal[5] - 1.0   # scal[5] = 2/height
+    ex = x * scal[6] - y * scal[7] + scal[8]
+    ey = x * scal[9] - y * scal[10] + scal[11]
+    dx = ex * scal[12] + ey * scal[15] - scal[18]
+    dy = ex * scal[13] + ey * scal[16] - scal[19]
+    dz = ex * scal[14] + ey * scal[17] - scal[20]
+    # divide by sqrt (not rsqrt-multiply): bit-identical to
+    # generate_rays_raw's d / ||d||, so the same camera yields the same
+    # rays here and in the shading path
+    n = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    return dx / n, dy / n, dz / n
 
 
 def _march_kernel(
-    scal_ref,        # SMEM f32[4]: ox, oy, oz, v
-    wids_ref,        # [1, N_WC, 128] i32  cached window ids (lane-replicated)
-    sids_ref,        # [1, N_SC, 128] i32  cached subwindow ids
-    dx_ref, dy_ref, dz_ref,    # [BLK,128] f32
-    gj_ref, gl_ref,            # [1, 1, 128] u32 global window planes
-    wm_ref,                    # [1, 1, 128] u32 packed window metas (16×8)
-    sm_ref,                    # [1, 1, 128] u32 packed subwindow metas
-    ssol_ref, sliq_ref,        # [1, N_SC, 128] u32 subwindow voxel rows
-    spid_ref,                  # [1, N_SC*4, 128] u32 palette-idx bit rows
-    t_ref, act_ref, hit_ref, ax_ref, vox_ref, wat_ref, wen_ref, stp_ref,
-    # outputs
-    t_o, act_o, hit_o, ax_o, vox_o, wat_o, wen_o, stp_o,
-    ww_o,            # [BLK,1] i32  min uncached window wanted
-    ws_o,            # [BLK,4] i32  min uncached subwindows (32-lane groups)
-    *, sub_rounds, sub_steps, nw, ns,
+    *refs,
+    sub_rounds, sub_steps, nw, ns, tx, per_ray,
 ):
+    """The march kernel. Ref order (inputs then outputs):
+
+    scal_ref   SMEM f32[24]: ox,oy,oz,v, 2/w,2/h, cam affine (15)
+    meta_ref   [1, 5, 128] u32: gj, gl, wmeta-pack, smeta-pack, ids
+    cache_ref  [1, 6*N_SC, 128] u32: solid | liquid | 4 pid planes
+    (per_ray only) ox/oy/oz/dx/dy/dz [BLK,128] f32 — per-ray origins and
+      directions (secondary rays: shadows, bounces); otherwise the camera
+      affine in scal generates directions in-register
+    ts/fl/wa/we [BLK,128] f32/i32/f32/f32 state, then the same 4 outputs
+    want_o     [BLK,8] i32: lanes 0-3 subwindow wants, 4 window want
+    """
+    if per_ray:
+        (scal_ref, meta_ref, cache_ref, ox_ref, oy_ref, oz_ref,
+         dx_ref, dy_ref, dz_ref, ts_ref, fl_ref, wa_ref, we_ref,
+         ts_o, fl_o, wa_o, we_o, want_o) = refs
+    else:
+        (scal_ref, meta_ref, cache_ref, ts_ref, fl_ref, wa_ref, we_ref,
+         ts_o, fl_o, wa_o, we_o, want_o) = refs
     f32, i32 = jnp.float32, jnp.int32
-    ox = scal_ref[0]
-    oy = scal_ref[1]
-    oz = scal_ref[2]
     v = scal_ref[3]
 
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
-    blk = dx.shape[0]
+    blk = ts_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(i32, (blk, 128), 1)
+    if per_ray:
+        ox = ox_ref[:]
+        oy = oy_ref[:]
+        oz = oz_ref[:]
+        dx = dx_ref[:]
+        dy = dy_ref[:]
+        dz = dz_ref[:]
+    else:
+        ox = scal_ref[0]
+        oy = scal_ref[1]
+        oz = scal_ref[2]
+        rows = jax.lax.broadcasted_iota(i32, (blk, 128), 0)
+        tg = pl.program_id(0) * blk + rows
+        scal_v = [scal_ref[i] for i in range(24)]
+        dx, dy, dz = _ray_dirs(scal_v, tg, lanes, tx)
 
     def inv(c):
         c2 = jnp.where(c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
@@ -331,17 +387,26 @@ def _march_kernel(
         t_cap,
     )
 
-    gj_row = jnp.broadcast_to(gj_ref[0], (blk, 128))
-    gl_row = jnp.broadcast_to(gl_ref[0], (blk, 128))
-    wm_row = jnp.broadcast_to(wm_ref[0], (blk, 128))
-    sm_row = jnp.broadcast_to(sm_ref[0], (blk, 128))
-    ssol = ssol_ref[0]
-    sliq = sliq_ref[0]
-    spid = spid_ref[0]
-    wid_rows = [wids_ref[0][k:k + 1, :] for k in range(N_WC)]
-    sid_rows = [sids_ref[0][k:k + 1, :] for k in range(N_SC)]
+    meta = meta_ref[0]
+    gj_row = jnp.broadcast_to(meta[0:1, :], (blk, 128))
+    gl_row = jnp.broadcast_to(meta[1:2, :], (blk, 128))
+    wm_row = jnp.broadcast_to(meta[2:3, :], (blk, 128))
+    sm_row = jnp.broadcast_to(meta[3:4, :], (blk, 128))
+    id_row8 = jnp.broadcast_to(meta[4:5, :].astype(i32), (8, 128))
 
-    lanes = jax.lax.broadcasted_iota(i32, (blk, 128), 1)
+    def id_at(k):
+        # Mosaic's gather wants ≥8 sublanes; broadcast, gather the constant
+        # lane, keep one row. Cheap: runs once per kernel invocation.
+        g = jnp.take_along_axis(id_row8, jnp.full((8, 128), k, i32), axis=1)
+        return g[:1, :]
+
+    wid_rows = [id_at(k) for k in range(N_WC)]
+    sid_rows = [id_at(N_WC + k) for k in range(N_SC)]
+
+    cache = cache_ref[0]
+    ssol = cache[:N_SC]
+    sliq = cache[N_SC:2 * N_SC]
+    spid = cache[2 * N_SC:]
 
     def bit_of(row, word_i, sh):
         wd = jnp.take_along_axis(row, jnp.clip(word_i, 0, 127), axis=1)
@@ -446,20 +511,7 @@ def _march_kernel(
         in_vox = case3 & ~br_jump
         hit_now = in_vox & vsolid
         march = case1 | case2 | in_br | (in_vox & ~vsolid)
-
-        # hit-id decode: 4 palette-index bits + palette byte from the meta
-        # row (all lane-local; the palette lives in sw_meta words 4-7)
-        pidx = bit_of(pid_rows[0], l >> 5, l & 31)
-        pidx = pidx | (bit_of(pid_rows[1], l >> 5, l & 31) << 1)
-        pidx = pidx | (bit_of(pid_rows[2], l >> 5, l & 31) << 2)
-        pidx = pidx | (bit_of(pid_rows[3], l >> 5, l & 31) << 3)
-        pal_w = jnp.take_along_axis(
-            sm_row, jnp.clip(tslot * 8 + 4 + (pidx >> 2), 0, 127), axis=1
-        )
-        pid = (
-            (pal_w >> ((pidx & 3).astype(jnp.uint32) * 8)) & 0xFF
-        ).astype(i32)
-        vox = jnp.where(hit_now, pid, vox)
+        # (hit ids decode once per sub-round, not per step — see sub_round)
 
         # liquidity of the cell being crossed, at the crossing granularity
         liq_i = jnp.where(
@@ -527,16 +579,45 @@ def _march_kernel(
         cols = [skey[:, j * 32:j * 32 + 1] for j in range(4)]
         want_s = jnp.concatenate(cols, axis=1)
         want_s = jnp.where(want_s < bigi, want_s, -1)
-        return want_w, want_s
+        return jnp.concatenate(
+            [want_s, want_w, jnp.full((blk, 3), -1, i32)], axis=1
+        )
+
+    def decode_hits(c, tslot, pid_rows):
+        """Resolve pack ids for rays that hit during this sub-round.
+
+        A hit leaves ``t`` at the solid voxel's entry and its subwindow was
+        the tile's composed one, so the composed pid rows/palette still
+        apply at sub-round end — decode once here instead of every step.
+        """
+        t, active_i, hit_i, axmask, vox, water, wenter, stp = c
+        undec = (hit_i != 0) & (vox == 0)
+        vx = jnp.floor(ox + dx * t).astype(i32)
+        vy = jnp.floor(oy + dy * t).astype(i32)
+        vz = jnp.floor(oz + dz * t).astype(i32)
+        l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
+        pidx = bit_of(pid_rows[0], l >> 5, l & 31)
+        pidx = pidx | (bit_of(pid_rows[1], l >> 5, l & 31) << 1)
+        pidx = pidx | (bit_of(pid_rows[2], l >> 5, l & 31) << 2)
+        pidx = pidx | (bit_of(pid_rows[3], l >> 5, l & 31) << 3)
+        pal_w = jnp.take_along_axis(
+            sm_row, jnp.clip(tslot * 8 + 4 + (pidx >> 2), 0, 127), axis=1
+        )
+        pid = (
+            (pal_w >> ((pidx & 3).astype(jnp.uint32) * 8)) & 0xFF
+        ).astype(i32)
+        vox = jnp.where(undec, pid, vox)
+        return (t, active_i, hit_i, axmask, vox, water, wenter, stp)
 
     def sub_round(state):
-        sr, _, c, rows = state
-        tsid, tslot, solid_row, liq_row, pid_rows = rows
+        sr, _, c, rows_c = state
+        tsid, tslot, solid_row, liq_row, pid_rows = rows_c
 
         def sbody(_, cc):
             return step(cc, tsid, tslot, solid_row, liq_row, pid_rows)
 
         c = jax.lax.fori_loop(0, sub_steps, sbody, c)
+        c = decode_hits(c, tslot, pid_rows)
         tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(c[0], c[1])
         return sr + 1, go, c, (tsid, tslot, solid_row, liq_row, pid_rows)
 
@@ -544,56 +625,57 @@ def _march_kernel(
         sr, go, _, _ = state
         return (sr < sub_rounds) & (go != 0)
 
-    any_active = jnp.any(act_ref[:] != 0)
+    fl_in = fl_ref[:]
+    any_active = jnp.any((fl_in & 1) != 0)
 
     @pl.when(jnp.logical_not(any_active))
     def _():
-        t_o[:] = t_ref[:]
-        act_o[:] = act_ref[:]
-        hit_o[:] = hit_ref[:]
-        ax_o[:] = ax_ref[:]
-        vox_o[:] = vox_ref[:]
-        wat_o[:] = wat_ref[:]
-        wen_o[:] = wen_ref[:]
-        stp_o[:] = stp_ref[:]
-        ww_o[:] = jnp.full(ww_o.shape, -1, i32)
-        ws_o[:] = jnp.full(ws_o.shape, -1, i32)
+        ts_o[:] = ts_ref[:]
+        fl_o[:] = fl_in
+        wa_o[:] = wa_ref[:]
+        we_o[:] = we_ref[:]
+        want_o[:] = jnp.full(want_o.shape, -1, i32)
 
     @pl.when(any_active)
     def _():
+        # unpack flags once; repack once at exit
+        act0 = (fl_in >> _FL_ACT) & 1
+        hit0 = (fl_in >> _FL_HIT) & 1
+        ax0 = (fl_in >> _FL_AX) & 7
+        stp0 = (fl_in >> _FL_STP) & 0xFFF
+        vox0 = (fl_in >> _FL_VOX) & 0xFF
         tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(
-            t_ref[:], act_ref[:]
+            ts_ref[:], act0
         )
         init_c = (
-            t_ref[:], act_ref[:], hit_ref[:], ax_ref[:], vox_ref[:],
-            wat_ref[:], wen_ref[:], stp_ref[:],
+            ts_ref[:], act0, hit0, ax0, vox0, wa_ref[:], we_ref[:], stp0,
         )
         _, _, c, _ = jax.lax.while_loop(
             cond, sub_round,
             (jnp.int32(0), go, init_c,
              (tsid, tslot, solid_row, liq_row, pid_rows)),
         )
-        t_o[:] = c[0]
-        act_o[:] = c[1]
-        hit_o[:] = c[2]
-        ax_o[:] = c[3]
-        vox_o[:] = c[4]
-        wat_o[:] = c[5]
-        wen_o[:] = c[6]
-        stp_o[:] = c[7]
-        want_w, want_s = wants(c[0], c[1])
-        ww_o[:] = want_w
-        ws_o[:] = want_s
+        ts_o[:] = c[0]
+        fl_o[:] = (
+            c[1]
+            | (c[2] << _FL_HIT)
+            | (c[3] << _FL_AX)
+            | (jnp.minimum(c[7], 0xFFF) << _FL_STP)
+            | (c[4] << _FL_VOX)
+        )
+        wa_o[:] = c[5]
+        we_o[:] = c[6]
+        want_o[:] = wants(c[0], c[1])
 
 
 def _march(
-    scal, wids, sids, dx, dy, dz, gj, gl, wm, sm, ssol, sliq, spid,
-    t, active, hit, axmask, vox, water, wenter, stp,
-    *, sub_rounds, sub_steps, nw, ns, interpret,
+    scal, meta, cache, ts, fl, wa, we,
+    *, sub_rounds, sub_steps, nw, ns, tx, interpret, rays=None,
 ):
-    T = t.shape[0]
+    T = ts.shape[0]
     blk = _BLK
     f32, i32 = jnp.float32, jnp.int32
+    per_ray = rays is not None
 
     def vspec(w=128):
         return pl.BlockSpec((blk, w), lambda i: (i, 0),
@@ -605,29 +687,27 @@ def _march(
         )
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),                      # scal
-        cspec(N_WC),                                                # wids
-        cspec(N_SC),                                                # sids
-        vspec(), vspec(), vspec(),                                  # dx dy dz
-        cspec(1), cspec(1), cspec(1), cspec(1),                     # gj gl wm sm
-        cspec(N_SC), cspec(N_SC), cspec(N_SC * 4),            # ssol sliq spid
-        vspec(), vspec(), vspec(), vspec(), vspec(), vspec(), vspec(),
-        vspec(),
+        pl.BlockSpec(memory_space=pltpu.SMEM),          # scal
+        cspec(5),                                       # meta
+        cspec(6 * N_SC),                                # cache
     ]
-    out_specs = tuple([vspec()] * 8 + [vspec(1), vspec(4)])
-    out_shape = tuple(
-        [
-            jax.ShapeDtypeStruct((T, 128), d)
-            for d in (f32, i32, i32, i32, i32, f32, f32, i32)
-        ]
-        + [
-            jax.ShapeDtypeStruct((T, 1), i32),
-            jax.ShapeDtypeStruct((T, 4), i32),
-        ]
+    args = [scal, meta, cache]
+    if per_ray:
+        in_specs += [vspec()] * 6                       # ox oy oz dx dy dz
+        args += list(rays)
+    in_specs += [vspec(), vspec(), vspec(), vspec()]    # ts fl wa we
+    args += [ts, fl, wa, we]
+    out_specs = tuple([vspec()] * 4 + [vspec(8)])
+    out_shape = (
+        jax.ShapeDtypeStruct((T, 128), f32),
+        jax.ShapeDtypeStruct((T, 128), i32),
+        jax.ShapeDtypeStruct((T, 128), f32),
+        jax.ShapeDtypeStruct((T, 128), f32),
+        jax.ShapeDtypeStruct((T, 8), i32),
     )
     kern = partial(
         _march_kernel, sub_rounds=sub_rounds, sub_steps=sub_steps,
-        nw=nw, ns=ns,
+        nw=nw, ns=ns, tx=tx, per_ray=per_ray,
     )
     return pl.pallas_call(
         kern,
@@ -639,28 +719,34 @@ def _march(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(
-        scal, wids, sids, dx, dy, dz, gj, gl, wm, sm, ssol, sliq, spid,
-        t, active, hit, axmask, vox, water, wenter, stp,
-    )
+    )(*args)
 
 
 # --------------------------------------------------------------------- frame
+
+
+def _tile_hw(x, tx, ty, n_tiles, T):
+    """[H, W(,C)] -> [T, 128(,C)] tile layout (16x8 pixels per 128-lane row)."""
+    extra = x.shape[2:]
+    y = x.reshape((ty, TILE_H, tx, TILE_W) + extra)
+    y = y.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(extra))))
+    y = y.reshape((n_tiles, 128) + extra)
+    return jnp.pad(y, [(0, T - n_tiles), (0, 0)] + [(0, 0)] * len(extra))
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
-        "interpret", "resolve_ids",
+        "interpret", "resolve_ids", "per_ray",
     ),
 )
 def _trace_frame(
     gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
     brick_dir, bricks, to_pack,
-    origin, dirs,
+    origin, inv_view, inv_proj, origins3, dirs3, active0,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
-    resolve_ids="palette",
+    resolve_ids="palette", per_ray=False,
 ):
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
@@ -675,37 +761,61 @@ def _trace_frame(
     bg_side = nw * 16  # bricks per padded world edge (v1 brick_dir layout)
 
     origin = jnp.asarray(origin, f32)
-    d = dirs.reshape(ty, TILE_H, tx, TILE_W, 3)
-    d = d.transpose(0, 2, 1, 3, 4).reshape(n_tiles, 128, 3)
-    pad = [(0, T - n_tiles), (0, 0)]
-    dx = jnp.pad(d[..., 0], pad)
-    dy = jnp.pad(d[..., 1], pad)
-    dz = jnp.pad(d[..., 2], pad)
+    inv_view = jnp.asarray(inv_view, f32)
+    inv_proj = jnp.asarray(inv_proj, f32)
+    # camera affine for _ray_dirs: eye0 = (x, -y, -1, 1)·inv_proj, dir =
+    # eye0.x·V0 + eye0.y·V1 − V2 (see ops/camera.py:generate_rays_raw)
+    scal = jnp.concatenate([
+        origin,
+        jnp.asarray([v, 2.0 / width, 2.0 / height], f32),
+        jnp.stack([
+            inv_proj[0, 0], inv_proj[1, 0],
+            -inv_proj[2, 0] + inv_proj[3, 0],
+            inv_proj[0, 1], inv_proj[1, 1],
+            -inv_proj[2, 1] + inv_proj[3, 1],
+        ]),
+        inv_view[0, :3], inv_view[1, :3], inv_view[2, :3],
+        jnp.zeros(3, f32),
+    ])
 
-    gj3 = jnp.broadcast_to(gw_jump[None], (nB, 1, 128))
-    gl3 = jnp.broadcast_to(gw_liq[None], (nB, 1, 128))
-
-    inside = (
-        (origin[0] > 0.0) & (origin[0] < v)
-        & (origin[1] > 0.0) & (origin[1] < v)
-        & (origin[2] > 0.0) & (origin[2] < v)
-    )
     shape = (T, 128)
     tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
+    lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
     valid = tile_i < n_tiles
+    if per_ray:
+        ot = _tile_hw(jnp.asarray(origins3, f32), tx, ty, n_tiles, T)
+        dt3 = _tile_hw(jnp.asarray(dirs3, f32), tx, ty, n_tiles, T)
+        oxr, oyr, ozr = ot[..., 0], ot[..., 1], ot[..., 2]
+        dx, dy, dz = dt3[..., 0], dt3[..., 1], dt3[..., 2]
+        rays = (oxr, oyr, ozr, dx, dy, dz)
+        inside = (
+            (oxr > 0.0) & (oxr < v)
+            & (oyr > 0.0) & (oyr < v)
+            & (ozr > 0.0) & (ozr < v)
+        )
+        act0 = _tile_hw(jnp.asarray(active0, bool), tx, ty, n_tiles, T)
+        inside = inside & act0
+        seed_o = ot[0, 0]  # any in-world point works as the cache seed
+    else:
+        dx, dy, dz = _ray_dirs(
+            [scal[i] for i in range(24)], tile_i, lane_i, tx
+        )
+        rays = None
+        inside = (
+            (origin[0] > 0.0) & (origin[0] < v)
+            & (origin[1] > 0.0) & (origin[1] < v)
+            & (origin[2] > 0.0) & (origin[2] < v)
+        )
+        seed_o = origin
 
     lane16 = jax.lax.broadcasted_iota(i32, (nB, N_WC), 1)
     lane128 = jax.lax.broadcasted_iota(i32, (nB, 128), 1)
 
     carry = dict(
-        t=jnp.full(shape, EPS_T, f32),
-        active=(jnp.broadcast_to(inside, shape) & valid).astype(i32),
-        hit=jnp.zeros(shape, i32),
-        axmask=jnp.zeros(shape, i32),
-        vox=jnp.zeros(shape, i32),
-        water=jnp.zeros(shape, f32),
-        wenter=jnp.full(shape, -1.0, f32),
-        steps=jnp.zeros(shape, i32),
+        ts=jnp.full(shape, EPS_T, f32),
+        fl=(jnp.broadcast_to(inside, shape) & valid).astype(i32),
+        wa=jnp.zeros(shape, f32),
+        we=jnp.full(shape, -1.0, f32),
         wc_ids=jnp.full((nB, N_WC), -1, i32),
         wc_meta=jnp.zeros((nB, 128), jnp.uint32),
         sc_ids=jnp.full((nB, N_SC), -1, i32),
@@ -713,11 +823,10 @@ def _trace_frame(
         sc_solid=jnp.zeros((nB, N_SC, 128), jnp.uint32),
         sc_liq=jnp.zeros((nB, N_SC, 128), jnp.uint32),
         sc_pid=jnp.zeros((nB, N_SC, 4, 128), jnp.uint32),
-        want_w=jnp.full((T, 1), -1, i32),
-        want_s=jnp.full((T, 4), -1, i32),
+        want=jnp.full((T, 8), -1, i32),
     )
     # Pre-seed window slot 0 with the camera's window for every block.
-    cam_w = jnp.clip(jnp.floor(origin / WIN).astype(i32), 0, nw - 1)
+    cam_w = jnp.clip(jnp.floor(seed_o / WIN).astype(i32), 0, nw - 1)
     cam_wid = cam_w[0] + cam_w[1] * nw + cam_w[2] * nw * nw
     carry["wc_ids"] = carry["wc_ids"].at[:, 0].set(cam_wid)
     m0 = wmeta[cam_wid]  # [8]
@@ -730,7 +839,7 @@ def _trace_frame(
     def insert_windows(c, r):
         """Serve up to _W_INS distinct uncached window wants per block."""
         bigi = jnp.int32(_BIGI)
-        pool = c["want_w"].reshape(nB, _BLK)
+        pool = c["want"][:, 4].reshape(nB, _BLK)
         cached = (pool[:, :, None] == c["wc_ids"][:, None, :]).any(axis=2)
         pool = jnp.where((pool >= 0) & ~cached, pool, bigi)
         wc_ids, wc_meta = c["wc_ids"], c["wc_meta"]
@@ -752,7 +861,7 @@ def _trace_frame(
     def insert_subwindows(c, r):
         """Serve up to _S_INS distinct uncached subwindow wants per block."""
         bigi = jnp.int32(_BIGI)
-        pool = c["want_s"].reshape(nB, _BLK * 4)
+        pool = c["want"][:, :4].reshape(nB, _BLK * 4)
         cached = (pool[:, :, None] == c["sc_ids"][:, None, :]).any(axis=2)
         pool = jnp.where((pool >= 0) & ~cached, pool, bigi)
         picks = []
@@ -797,26 +906,29 @@ def _trace_frame(
         )
         return sc_ids, sc_meta, sc_solid, sc_liq, sc_pid
 
-    scal = jnp.concatenate([origin, jnp.asarray([v], f32)])
+    gj3 = jnp.broadcast_to(gw_jump[None], (nB, 1, 128))
+    gl3 = jnp.broadcast_to(gw_liq[None], (nB, 1, 128))
 
     def round_body(c, r):
         wc_ids, wc_meta = insert_windows(c, r)
         sc_ids, sc_meta, sc_solid, sc_liq, sc_pid = insert_subwindows(c, r)
 
-        wid_k = jnp.broadcast_to(wc_ids[:, :, None], (nB, N_WC, 128))
-        sid_k = jnp.broadcast_to(sc_ids[:, :, None], (nB, N_SC, 128))
+        ids_u = jnp.concatenate(
+            [wc_ids, sc_ids, jnp.full((nB, 128 - N_WC - N_SC), -1, i32)],
+            axis=1,
+        ).astype(jnp.uint32)
+        meta = jnp.stack(
+            [gj3[:, 0], gl3[:, 0], wc_meta, sc_meta, ids_u], axis=1
+        )                                                  # [B,5,128]
+        cache = jnp.concatenate(
+            [sc_solid, sc_liq, sc_pid.reshape(nB, N_SC * 4, 128)], axis=1
+        )                                                  # [B,96,128]
         outs = _march(
-            scal, wid_k, sid_k, dx, dy, dz, gj3, gl3,
-            wc_meta[:, None, :], sc_meta[:, None, :], sc_solid, sc_liq,
-            sc_pid.reshape(nB, N_SC * 4, 128),
-            c["t"], c["active"], c["hit"], c["axmask"], c["vox"],
-            c["water"], c["wenter"], c["steps"],
+            scal, meta, cache, c["ts"], c["fl"], c["wa"], c["we"],
             sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
-            interpret=interpret,
+            tx=tx, interpret=interpret, rays=rays,
         )
-        keys = ("t", "active", "hit", "axmask", "vox", "water", "wenter",
-                "steps", "want_w", "want_s")
-        c2 = dict(zip(keys, outs))
+        c2 = dict(zip(("ts", "fl", "wa", "we", "want"), outs))
         c2.update(wc_ids=wc_ids, wc_meta=wc_meta, sc_ids=sc_ids,
                   sc_meta=sc_meta, sc_solid=sc_solid, sc_liq=sc_liq,
                   sc_pid=sc_pid)
@@ -824,7 +936,14 @@ def _trace_frame(
 
     carry, _ = jax.lax.scan(round_body, carry, jnp.arange(rounds, dtype=i32))
 
-    # ---- finish: forced-hit semantics + post-march voxel-id resolution ----
+    # ---- finish: forced-hit semantics; ids already decoded in-kernel ----
+    fl = carry["fl"]
+    active_end = (fl >> _FL_ACT) & 1
+    real_hit = ((fl >> _FL_HIT) & 1) != 0
+    axmask = (fl >> _FL_AX) & 7
+    steps = (fl >> _FL_STP) & 0xFFF
+    voxk = (fl >> _FL_VOX) & 0xFF
+
     def invh(cc):
         c2 = jnp.where(cc >= 0, jnp.maximum(cc, 1e-7), jnp.minimum(cc, -1e-7))
         return 1.0 / c2
@@ -832,30 +951,33 @@ def _trace_frame(
     def slabh(oc, ivc):
         return jnp.maximum((0.0 - oc) * ivc, (jnp.float32(v) - oc) * ivc)
 
+    if per_ray:
+        o0, o1, o2 = rays[0], rays[1], rays[2]
+    else:
+        o0, o1, o2 = origin[0], origin[1], origin[2]
     t_cap = jnp.float32(4.0 * v + 16.0)
     t_exit = jnp.minimum(
         jnp.minimum(
-            slabh(origin[0], invh(dx)),
-            jnp.minimum(slabh(origin[1], invh(dy)), slabh(origin[2], invh(dz))),
+            slabh(o0, invh(dx)),
+            jnp.minimum(slabh(o1, invh(dy)), slabh(o2, invh(dz))),
         ),
         t_cap,
     )
-    real_hit = carry["hit"] != 0
-    hit = real_hit | (carry["active"] != 0)
-    t_stop = jnp.minimum(carry["t"], t_exit)
-    water = carry["water"] + jnp.where(
-        carry["wenter"] >= 0.0, t_stop - carry["wenter"], 0.0
+    hit = real_hit | (active_end != 0)
+    t_stop = jnp.minimum(carry["ts"], t_exit)
+    water = carry["wa"] + jnp.where(
+        carry["we"] >= 0.0, t_stop - carry["we"], 0.0
     )
 
     if resolve_ids == "palette":
         # hit ids were decoded in-kernel from the palette bit planes and
         # already hold pack ids — no XLA gather (~36 ms/frame at 1080p).
-        voxel = jnp.where(real_hit, carry["vox"], 0)
+        voxel = jnp.where(real_hit, voxk, 0)
     elif resolve_ids == "gather":
         # fallback: batched gather chain through the v1 content tables
-        hx = jnp.floor(origin[0] + dx * carry["t"]).astype(i32)
-        hy = jnp.floor(origin[1] + dy * carry["t"]).astype(i32)
-        hz = jnp.floor(origin[2] + dz * carry["t"]).astype(i32)
+        hx = jnp.floor(o0 + dx * carry["ts"]).astype(i32)
+        hy = jnp.floor(o1 + dy * carry["ts"]).astype(i32)
+        hz = jnp.floor(o2 + dz * carry["ts"]).astype(i32)
         hxc = jnp.clip(hx, 0, bg_side * BRICK - 1)
         hyc = jnp.clip(hy, 0, bg_side * BRICK - 1)
         hzc = jnp.clip(hz, 0, bg_side * BRICK - 1)
@@ -874,9 +996,9 @@ def _trace_frame(
 
     norm = jnp.stack(
         [
-            -jnp.sign(dx) * ((carry["axmask"] >> 0) & 1).astype(f32),
-            -jnp.sign(dy) * ((carry["axmask"] >> 1) & 1).astype(f32),
-            -jnp.sign(dz) * ((carry["axmask"] >> 2) & 1).astype(f32),
+            -jnp.sign(dx) * ((axmask >> 0) & 1).astype(f32),
+            -jnp.sign(dy) * ((axmask >> 1) & 1).astype(f32),
+            -jnp.sign(dz) * ((axmask >> 2) & 1).astype(f32),
         ],
         axis=-1,
     )
@@ -893,14 +1015,66 @@ def _trace_frame(
         norm=untile(norm),
         t=untile(t_stop),
         water_dist=untile(water),
-        steps=untile(carry["steps"]),
+        steps=untile(steps),
     )
 
 
 def trace_wavefront3(
     rg: RenderGrid3,
     origin,
+    dirs=None,
+    *,
+    cam=None,
+    width=None,
+    height=None,
+    rounds=10,
+    steps_per_round=48,
+    interpret=None,
+    resolve_ids=None,
+):
+    """March one frame through a RenderGrid3 as a single fused program.
+
+    Rays come from ``cam`` (a :class:`~.camera.CamData`; preferred — the
+    kernel generates directions in-register, no direction arrays cross
+    HBM) — the legacy ``dirs`` argument is accepted and ignored apart from
+    a shape check, since directions are always re-derived from ``cam``.
+    ``origin`` must already be world-local (camera pos − world min), as
+    produced by :func:`~.camera.generate_rays`.
+
+    ``rounds * steps_per_round`` plays the role of the reference kernel's
+    500-step cap (ray_tracer.wgsl:220); convergence is usually service-bound
+    (subwindow rows per round), not step-bound.
+    """
+    assert cam is not None, "trace_wavefront3 needs cam=CamData"
+    if width is None or height is None:
+        width, height = cam.proj_size
+    assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
+    if interpret is None:
+        interpret = _interpret_default()
+    if resolve_ids is None:
+        resolve_ids = "palette" if rg.palettes_ok else "gather"
+    sub_steps = 8
+    sub_rounds = max(steps_per_round // sub_steps, 1)
+    z = jnp.zeros((), jnp.float32)
+    return _trace_frame(
+        rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
+        rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
+        jnp.asarray(origin, jnp.float32),
+        jnp.asarray(cam.inv_view, jnp.float32),
+        jnp.asarray(cam.inv_proj, jnp.float32),
+        z, z, z,
+        width=width, height=height, rounds=rounds,
+        sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
+        interpret=bool(interpret), resolve_ids=str(resolve_ids),
+        per_ray=False,
+    )
+
+
+def trace_wavefront3_rays(
+    rg: RenderGrid3,
+    origins,
     dirs,
+    active,
     *,
     width,
     height,
@@ -909,11 +1083,14 @@ def trace_wavefront3(
     interpret=None,
     resolve_ids=None,
 ):
-    """March one frame through a RenderGrid3 as a single fused program.
+    """March arbitrary per-ray (origin, direction) bundles — the secondary
+    -ray path for hard shadows and path-trace bounces.
 
-    ``rounds * steps_per_round`` plays the role of the reference kernel's
-    500-step cap (ray_tracer.wgsl:220); convergence is usually service-bound
-    (subwindow rows per round), not step-bound.
+    ``origins``/``dirs``: ``f32[H, W, 3]`` world-local; ``active``:
+    ``bool[H, W]`` — rays to march (e.g. the primary pass's hits). Returns
+    the same :class:`WavefrontResult` as the primary tracer; inactive rays
+    report miss. Enables BASELINE configs 2/3/5 on the fast path
+    (path_tracer.wgsl:149-194 is the reference's latent equivalent).
     """
     assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
     if interpret is None:
@@ -922,11 +1099,15 @@ def trace_wavefront3(
         resolve_ids = "palette" if rg.palettes_ok else "gather"
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
+    eye = jnp.eye(4, dtype=jnp.float32)
     return _trace_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
         rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
-        jnp.asarray(origin, jnp.float32), jnp.asarray(dirs),
+        jnp.zeros(3, jnp.float32), eye, eye,
+        jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
+        jnp.asarray(active, bool),
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), resolve_ids=str(resolve_ids),
+        per_ray=True,
     )
