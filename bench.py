@@ -1,7 +1,7 @@
 """Headline benchmark: primary rays/second at 1080p on one chip.
 
 Renders the standard demo world (8³ chunks of layered SVO terrain) at
-1920×1080 with the flagship windowed wavefront tracer and reports
+1920×1080 with the flagship subwindow bit-plane tracer (ops/wavefront3.py) and reports
 steady-state Mrays/s. Baseline = the 200 Mrays/s/chip north-star target
 from BASELINE.md (the reference publishes no numbers of its own).
 
@@ -19,7 +19,7 @@ import time
 
 WIDTH, HEIGHT = 1920, 1080
 BASELINE_MRAYS = 200.0
-MAX_ROUNDS = 48  # x12 steps ≈ the reference's 500-step cap
+ROUNDS = 14  # x48 steps > the reference's 500-step cap; converged at 12
 
 
 def main():
@@ -31,9 +31,9 @@ def main():
 
     from voxelraytracing_tpu.ops import noise
     from voxelraytracing_tpu.ops.camera import CamData, generate_rays
-    from voxelraytracing_tpu.ops.wavefront import (
-        build_render_grid_host,
-        trace_wavefront,
+    from voxelraytracing_tpu.ops.wavefront3 import (
+        build_render_grid3_host,
+        trace_wavefront3,
     )
     from voxelraytracing_tpu.world.demo import demo_chunk_grids_host, demo_materials
 
@@ -50,7 +50,7 @@ def main():
         w_chunks * 32 * 0.45, int(w_chunks * 32 * 0.28),
     )
     mats = demo_materials()
-    rgrid = build_render_grid_host(grids, cells, np.zeros(3, np.int32), w_chunks, mats)
+    rgrid = build_render_grid3_host(grids, cells, np.zeros(3, np.int32), w_chunks, mats)
 
     world_voxels = w_chunks * 32
     cam = CamData.create(
@@ -60,13 +60,9 @@ def main():
         proj_size=(WIDTH, HEIGHT),
     )
     origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
-    dirs = jax.device_put(jnp.asarray(dirs))
 
     def frame():
-        return trace_wavefront(
-            rgrid, origin, dirs, width=WIDTH, height=HEIGHT,
-            max_rounds=MAX_ROUNDS,
-        )
+        return trace_wavefront3(rgrid, origin, cam=cam, rounds=ROUNDS)
 
     # Warm-up / compile.
     print("# compiling...", file=sys.stderr, flush=True)

@@ -115,16 +115,60 @@ def _preset_world(w_chunks, seed=20260816):
     return world, mats, eye
 
 
-def config2():
-    from voxelraytracing_tpu.models.raytracer import RayTracer, RenderSettings
-    from voxelraytracing_tpu.ops.camera import CamData
+def _preset_world3(w_chunks, seed=20260816):
+    """Continents-preset terrain as a v3 RenderGrid3 (fast-path world)."""
+    from voxelraytracing_tpu.ops.wavefront3 import build_render_grid3_host
+    from voxelraytracing_tpu.resources.packs import Resources, builtin_respack_path
+    from voxelraytracing_tpu.worldgen import WorldGen
 
-    world, mats, eye = _preset_world(8)
+    res = Resources.load_from(builtin_respack_path())
+    dp, sp = res.datapacks["terra"], res.stylepacks["terra"]
+    gen = WorldGen.from_datapack(dp, seed=seed)
+    land = gen.find_land_near(0, 0) or (0, 80, 0)
+    x, h, z = land
+    mn = (x // 32 - w_chunks // 2, 0, z // 32 - w_chunks // 2)
+    pos = [
+        (mn[0] + i, j, mn[2] + k)
+        for i in range(w_chunks)
+        for j in range(w_chunks)
+        for k in range(w_chunks)
+    ]
+    grids, feats = gen.generate_chunks(pos)
+    g = np.asarray(grids).copy()
+    idx = {p: i for i, p in enumerate(pos)}
+    for fl in feats:
+        for f in fl:
+            for (vx, vy, vz), v in f.voxels.items():
+                cp = (vx // 32, vy // 32, vz // 32)
+                i = idx.get(cp)
+                if i is not None:
+                    g[i, vx % 32, vy % 32, vz % 32] = v
+    cells = np.asarray(
+        [(p[0] - mn[0]) + (p[1] - mn[1]) * w_chunks
+         + (p[2] - mn[2]) * w_chunks**2 for p in pos],
+        np.int32,
+    )
+    mats = sp.material_table(dp.voxels)
+    rg3 = build_render_grid3_host(
+        g, cells, np.asarray(mn, np.int32) * 32, w_chunks, mats
+    )
+    eye = (float(x + 20), float(h + 30), float(z + 20))
+    return rg3, mats, eye
+
+
+def config2():
+    from voxelraytracing_tpu.ops.camera import CamData
+    from voxelraytracing_tpu.ops.wavefront3 import render_frame3
+
+    rg3, mats, eye = _preset_world3(8)
     cam = CamData.create((30.0, 45.0, 0.0), eye, 70.0, (1280, 720))
-    tracer = RayTracer(mats, shadows=True)
-    s = RenderSettings(sun_pos=(eye[0] + 900, 2500.0, eye[2] + 300))
-    dt = _time(lambda: tracer.render(world, cam, s)[0])
-    # primary + one shadow ray per pixel
+    sun = (eye[0] + 900, 2500.0, eye[2] + 300)
+    dt = _time(
+        lambda: render_frame3(
+            rg3, cam, mats.color, sun_pos=sun, shadows=True, rounds=14
+        )
+    )
+    # primary + one shadow ray per pixel, shaded frame end to end
     _report("config2_720p_shadows", 2 * 1280 * 720 / dt / 1e6, "Mrays/s")
 
 

@@ -203,26 +203,42 @@ class WavefrontRenderer:
     """Flagship *fast-path* renderer: the windowed wavefront tracer plus the
     same face/sky/water shading as :class:`RayTracer`.
 
-    Takes a prebuilt :class:`~..ops.wavefront.RenderGrid` (see
-    ``ops.wavefront.build_render_grid_host`` for the upload-only builder).
-    Rendering follows the D2H discipline documented in ``ops/wavefront.py``:
-    nothing here reads device values; callers fetch the returned image when
-    they actually need it host-side.
-
-    Current limitation vs the SVO-path RayTracer: no hard-shadow pass (the
-    wavefront march currently assumes one shared ray origin per frame).
+    Dispatches on the grid type: a :class:`~..ops.wavefront3.RenderGrid3`
+    (``build_render_grid3_host``) renders through the fully-fused v3
+    pipeline — subwindow bit-plane march, optional hard-shadow pass via
+    per-ray bundles, and an in-kernel shade emitting packed RGBA8 — while
+    a v1 :class:`~..ops.wavefront.RenderGrid` uses the ``tracer=`` v1/v2
+    paths plus :func:`shade_hits`. Rendering follows the D2H discipline
+    documented in ``ops/wavefront.py``: nothing here reads device values;
+    callers fetch the returned image when they actually need it host-side.
     """
 
     def __init__(self, materials, show_step_count=False, max_rounds=48,
-                 inner_steps=12, tracer="v2"):
+                 inner_steps=12, tracer="v2", v3_rounds=14):
         self.materials = materials
         self.show_step_count = bool(show_step_count)
         self.max_rounds = int(max_rounds)
         self.inner_steps = int(inner_steps)
+        self.v3_rounds = int(v3_rounds)
         if tracer not in ("v1", "v2"):
             raise ValueError(f"unknown tracer {tracer!r}")
         self.tracer = tracer
         self._shade = jax.jit(self._shade_impl)
+
+    def render_packed(self, rgrid3, cam: CamData,
+                      settings: RenderSettings = None):
+        """v3 fast path: one fused program -> ``uint32[H,W]`` packed RGBA8
+        (the reference's rgba8unorm result-texture product)."""
+        from ..ops.wavefront3 import render_frame3
+
+        s = settings or RenderSettings()
+        return render_frame3(
+            rgrid3, cam, self.materials.color,
+            sky_color=s.sky_color, sun_pos=s.sun_pos,
+            sun_intensity=s.sun_intensity, shadows=s.shadows,
+            shadow_ambient=s.shadow_ambient,
+            show_steps=self.show_step_count, rounds=self.v3_rounds,
+        )
 
     def _shade_impl(self, wf, dirs, origin, world_min, sky_color, sun_pos,
                     sun_intensity, m_color, m_is_liquid):
@@ -240,8 +256,23 @@ class WavefrontRenderer:
         )
 
     def render(self, rgrid, cam: CamData, settings: RenderSettings = None):
-        """Render one frame; returns ``(f32[H,W,3] image, WavefrontResult)``."""
+        """Render one frame; returns ``(f32[H,W,3] image, trace result)``.
+
+        With a RenderGrid3, the trace result is the packed RGBA8 frame
+        (shading happened in-kernel) and the f32 image is unpacked from it.
+        """
+        from ..ops.wavefront3 import RenderGrid3
+
         s = settings or RenderSettings()
+        if isinstance(rgrid, RenderGrid3):
+            packed = self.render_packed(rgrid, cam, s)
+            img = (
+                jnp.stack(
+                    [(packed >> sh) & 0xFF for sh in (0, 8, 16)], axis=-1
+                ).astype(jnp.float32)
+                / 255.0
+            )
+            return img, packed
         w, h = cam.proj_size
         world_min = jnp.asarray(rgrid.world_min, jnp.int32)
         origin, dirs = generate_rays_raw(

@@ -738,7 +738,7 @@ def _tile_hw(x, tx, ty, n_tiles, T):
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
-        "interpret", "resolve_ids", "per_ray",
+        "interpret", "resolve_ids", "per_ray", "raw_out",
     ),
 )
 def _trace_frame(
@@ -746,7 +746,7 @@ def _trace_frame(
     brick_dir, bricks, to_pack,
     origin, inv_view, inv_proj, origins3, dirs3, active0,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
-    resolve_ids="palette", per_ray=False,
+    resolve_ids="palette", per_ray=False, raw_out=False,
 ):
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
@@ -783,8 +783,18 @@ def _trace_frame(
     lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
     valid = tile_i < n_tiles
     if per_ray:
-        ot = _tile_hw(jnp.asarray(origins3, f32), tx, ty, n_tiles, T)
-        dt3 = _tile_hw(jnp.asarray(dirs3, f32), tx, ty, n_tiles, T)
+        pre_tiled = (
+            origins3.ndim == 3 and origins3.shape[0] == T
+            and origins3.shape[1] == 128
+        )
+        if pre_tiled:
+            ot = jnp.asarray(origins3, f32)
+            dt3 = jnp.asarray(dirs3, f32)
+            act0 = jnp.asarray(active0, bool)
+        else:
+            ot = _tile_hw(jnp.asarray(origins3, f32), tx, ty, n_tiles, T)
+            dt3 = _tile_hw(jnp.asarray(dirs3, f32), tx, ty, n_tiles, T)
+            act0 = _tile_hw(jnp.asarray(active0, bool), tx, ty, n_tiles, T)
         oxr, oyr, ozr = ot[..., 0], ot[..., 1], ot[..., 2]
         dx, dy, dz = dt3[..., 0], dt3[..., 1], dt3[..., 2]
         rays = (oxr, oyr, ozr, dx, dy, dz)
@@ -793,7 +803,6 @@ def _trace_frame(
             & (oyr > 0.0) & (oyr < v)
             & (ozr > 0.0) & (ozr < v)
         )
-        act0 = _tile_hw(jnp.asarray(active0, bool), tx, ty, n_tiles, T)
         inside = inside & act0
         seed_o = ot[0, 0]  # any in-world point works as the cache seed
     else:
@@ -936,6 +945,10 @@ def _trace_frame(
 
     carry, _ = jax.lax.scan(round_body, carry, jnp.arange(rounds, dtype=i32))
 
+    if raw_out:
+        # tiled raw state for fused pipelines (shadow pass, shade kernel)
+        return carry["ts"], carry["fl"], carry["wa"], carry["we"]
+
     # ---- finish: forced-hit semantics; ids already decoded in-kernel ----
     fl = carry["fl"]
     active_end = (fl >> _FL_ACT) & 1
@@ -963,7 +976,11 @@ def _trace_frame(
         ),
         t_cap,
     )
-    hit = real_hit | (active_end != 0)
+    # Cap semantics match the reference kernel: a ray that exhausts its
+    # step/service budget without hitting renders as a MISS (sky), exactly
+    # like falling out of the 500-iteration loop (ray_tracer.wgsl:220).
+    del active_end
+    hit = real_hit
     t_stop = jnp.minimum(carry["ts"], t_exit)
     water = carry["wa"] + jnp.where(
         carry["we"] >= 0.0, t_stop - carry["we"], 0.0
@@ -1111,3 +1128,334 @@ def trace_wavefront3_rays(
         interpret=bool(interpret), resolve_ids=str(resolve_ids),
         per_ray=True,
     )
+
+
+# --------------------------------------------------------------- shade kernel
+#
+# Shading runs tiled and in-kernel: face tints, sky gradient + sun disc,
+# water overlay and the hard-shadow multiply are all [BLK,128] component
+# math (shade_hits does the same in [H,W,3] layout, which pads the
+# 3-channel minor dim to 128 lanes — ~42x the traffic — and resolves
+# material colors with a 2M-element XLA gather). Output is one packed
+# RGBA8 word per ray, the same rgba8unorm quantization the reference's
+# result texture stores (clientdesktop/src/graphics/mod.rs:158-168).
+
+def _shade_kernel(
+    scal_ref,        # SMEM f32[40]: cam scal[24] + shade params (below)
+    lut_ref,         # [1, 6, 128] f32: color LUT rows r0 r1 g0 g1 b0 b1
+    ts_ref, fl_ref, wa_ref, we_ref, sh_ref,
+    out_ref,         # [BLK,128] u32 packed RGBA8
+    *, tx, show_steps, shadows, max_steps,
+):
+    # scal[24..]: 24-26 sun_dir, 27 sun_intensity, 28-30 sky_color,
+    # 31 shadow_ambient, 32 water_overlay_strength (unused: overlay color
+    # and horizon/void are compile-time constants, matching shade_hits)
+    f32, i32 = jnp.float32, jnp.int32
+    v = scal_ref[3]
+    blk = ts_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(i32, (blk, 128), 1)
+    rows = jax.lax.broadcasted_iota(i32, (blk, 128), 0)
+    tg = pl.program_id(0) * blk + rows
+    scal_v = [scal_ref[i] for i in range(24)]
+    dx, dy, dz = _ray_dirs(scal_v, tg, lanes, tx)
+
+    fl = fl_ref[:]
+    # budget-exhausted actives shade as miss/sky, the reference's
+    # fell-out-of-the-loop behavior (ray_tracer.wgsl:220)
+    hit = ((fl >> _FL_HIT) & 1) != 0
+    ax = (fl >> _FL_AX) & 7
+    stp = (fl >> _FL_STP) & 0xFFF
+    vox = (fl >> _FL_VOX) & 0xFF
+
+    # water interval close (the raw carry leaves open intervals)
+    def inv(c):
+        c2 = jnp.where(c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
+        return 1.0 / c2
+
+    def slab(oc, ivc):
+        return jnp.maximum((0.0 - oc) * ivc, (v - oc) * ivc)
+
+    t_exit = jnp.minimum(
+        jnp.minimum(
+            slab(scal_ref[0], inv(dx)),
+            jnp.minimum(slab(scal_ref[1], inv(dy)), slab(scal_ref[2], inv(dz))),
+        ),
+        4.0 * v + 16.0,
+    )
+    t_stop = jnp.minimum(ts_ref[:], t_exit)
+    we = we_ref[:]
+    water = wa_ref[:] + jnp.where(we >= 0.0, t_stop - we, 0.0)
+
+    # material color via the 2-row-per-channel LUT (lane-local gathers)
+    lut = lut_ref[0]
+    lo = (vox & 127)
+    hi = vox >> 7
+
+    def chan(r0, r1):
+        a = jnp.take_along_axis(jnp.broadcast_to(r0, (blk, 128)), lo, axis=1)
+        b = jnp.take_along_axis(jnp.broadcast_to(r1, (blk, 128)), lo, axis=1)
+        return jnp.where(hi != 0, b, a)
+
+    cr = chan(lut[0:1], lut[1:2])
+    cg = chan(lut[2:3], lut[3:4])
+    cb = chan(lut[4:5], lut[5:6])
+
+    # face tints (ray_tracer.wgsl:298-305): X faces x0.5, Z x0.7, bottom x0.2
+    tint = jnp.where((ax & 1) != 0, f32(0.5), f32(1.0))
+    tint = tint * jnp.where((ax & 4) != 0, f32(0.7), f32(1.0))
+    bottom = ((ax & 2) != 0) & (dy > 0.0)
+    tint = tint * jnp.where(bottom, f32(0.2), f32(1.0))
+    cr = cr * tint
+    cg = cg * tint
+    cb = cb * tint
+
+    if show_steps:
+        fstep = jnp.clip(stp.astype(f32) / f32(max_steps), 0.0, 1.0)
+        cr = fstep
+        cg = fstep
+        cb = fstep
+
+    if shadows:
+        amb = scal_ref[31]
+        shm = jnp.where((sh_ref[:] != 0) & hit, amb, f32(1.0))
+        cr = cr * shm
+        cg = cg * shm
+        cb = cb * shm
+
+    # sky (ops/sky.py:ray_sky, ray_tracer.wgsl:144-157)
+    def sstep(e0, e1, x):
+        t = jnp.clip((x - e0) * (1.0 / (e1 - e0)), 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    gts = sstep(-0.01, 0.0, dy)
+    grad_t = sstep(0.0, 0.4, dy) ** 0.35
+    sun_dot = dx * scal_ref[24] + dy * scal_ref[25] + dz * scal_ref[26]
+    sun = ((sun_dot > (1.0 - 0.01)) & (gts >= 1.0)).astype(f32) * scal_ref[27]
+
+    def sky_chan(h, vd, sc):
+        g = h + (sc - h) * grad_t
+        return vd + (g - vd) * gts + sun
+
+    sr = sky_chan(f32(1.0), f32(0.03), scal_ref[28])
+    sg = sky_chan(f32(0.3), f32(0.03), scal_ref[29])
+    sb = sky_chan(f32(0.0), f32(0.03), scal_ref[30])
+
+    r = jnp.where(hit, cr, sr)
+    g = jnp.where(hit, cg, sg)
+    b = jnp.where(hit, cb, sb)
+
+    # water overlay (ray_tracer.wgsl:137-141; shade_hits parity)
+    factor = jnp.clip(water * (1.0 / 14.0), 0.8, 1.0)
+    wet = water != 0.0
+    r = jnp.where(wet, r * (1.0 - factor) + 0.2 * factor, r)
+    g = jnp.where(wet, g * (1.0 - factor) + 0.5 * factor, g)
+    b = jnp.where(wet, b * (1.0 - factor) + 1.0 * factor, b)
+
+    def q(c):
+        # f32 -> i32 -> u32: Mosaic has no direct f32->u32 convert
+        return (jnp.clip(c, 0.0, 1.0) * 255.0).astype(i32).astype(jnp.uint32)
+
+    out_ref[:] = q(r) | (q(g) << 8) | (q(b) << 16) | jnp.uint32(0xFF000000)
+
+
+def _shade(scal, lut, ts, fl, wa, we, sh,
+           *, tx, show_steps, shadows, max_steps, interpret):
+    T = ts.shape[0]
+    blk = 256 if T % 256 == 0 else _BLK
+
+    def vspec(w=128):
+        return pl.BlockSpec((blk, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    kern = partial(
+        _shade_kernel, tx=tx, show_steps=show_steps, shadows=shadows,
+        max_steps=max_steps,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(T // blk,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vspec(), vspec(), vspec(), vspec(), vspec(),
+        ],
+        out_specs=vspec(),
+        out_shape=jax.ShapeDtypeStruct((T, 128), jnp.uint32),
+        interpret=interpret,
+    )(scal, lut, ts, fl, wa, we, sh)
+
+
+def color_lut_rows(colors):
+    """[n,3] f32 material colors -> [6,128] LUT rows (r0 r1 g0 g1 b0 b1)."""
+    c = np.zeros((256, 3), np.float32)
+    cn = np.asarray(colors, np.float32)
+    c[: len(cn)] = cn[:256]
+    rows = np.zeros((6, 128), np.float32)
+    for ch in range(3):
+        rows[ch * 2] = c[:128, ch]
+        rows[ch * 2 + 1] = c[128:, ch]
+    return jnp.asarray(rows)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
+        "interpret", "shadows", "show_steps",
+    ),
+)
+def _render_frame(
+    gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
+    brick_dir, bricks, to_pack,
+    origin, inv_view, inv_proj, lut,
+    sky_color, sun_pos_local, sun_intensity, shadow_ambient,
+    *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
+    shadows, show_steps,
+):
+    """Primary trace (+ optional hard-shadow trace) + shade, fully tiled.
+
+    Returns ``uint32[H, W]`` packed RGBA8 — the fast-path frame product
+    (the reference's result texture is rgba8unorm too). All intermediate
+    state stays in the [T,128] tile layout; the only image-space reshape
+    is the final one-array untile.
+    """
+    f32, i32 = jnp.float32, jnp.int32
+    tx = width // TILE_W
+    ty = height // TILE_H
+    n_tiles = tx * ty
+    T = -(-n_tiles // _BLK) * _BLK
+
+    args = (gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
+            brick_dir, bricks, to_pack)
+    z = jnp.zeros((), f32)
+    ts, fl, wa, we = _trace_frame(
+        *args, origin, inv_view, inv_proj, z, z, z,
+        width=width, height=height, rounds=rounds,
+        sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
+        interpret=interpret, per_ray=False, raw_out=True,
+    )
+
+    origin = jnp.asarray(origin, f32)
+    scal = jnp.concatenate([
+        origin,
+        jnp.asarray([v, 2.0 / width, 2.0 / height], f32),
+        jnp.stack([
+            inv_proj[0, 0], inv_proj[1, 0],
+            -inv_proj[2, 0] + inv_proj[3, 0],
+            inv_proj[0, 1], inv_proj[1, 1],
+            -inv_proj[2, 1] + inv_proj[3, 1],
+        ]),
+        inv_view[0, :3], inv_view[1, :3], inv_view[2, :3],
+        jnp.zeros(3, f32),
+    ])
+
+    sh = jnp.zeros((T, 128), i32)
+    if shadows:
+        # shadow rays from hit points toward the sun (per-ray bundles)
+        shape = (T, 128)
+        tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
+        lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
+        dx, dy, dz = _ray_dirs(
+            [scal[i] for i in range(24)], tile_i, lane_i, tx
+        )
+        hitm = ((fl >> _FL_HIT) & 1) != 0
+        ax = (fl >> _FL_AX) & 7
+        nx = -jnp.sign(dx) * ((ax >> 0) & 1).astype(f32)
+        ny = -jnp.sign(dy) * ((ax >> 1) & 1).astype(f32)
+        nz = -jnp.sign(dz) * ((ax >> 2) & 1).astype(f32)
+        hx = origin[0] + dx * ts + nx * 1e-3
+        hy = origin[1] + dy * ts + ny * 1e-3
+        hz = origin[2] + dz * ts + nz * 1e-3
+        svx = sun_pos_local[0] - hx
+        svy = sun_pos_local[1] - hy
+        svz = sun_pos_local[2] - hz
+        sn = jnp.sqrt(svx * svx + svy * svy + svz * svz)
+        ot = jnp.stack([hx, hy, hz], axis=-1)
+        dt3 = jnp.stack([svx / sn, svy / sn, svz / sn], axis=-1)
+        _, fls, _, _ = _trace_frame(
+            *args, jnp.zeros(3, f32), inv_view, inv_proj, ot, dt3, hitm,
+            width=width, height=height, rounds=max(rounds // 2, 4),
+            sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
+            interpret=interpret, per_ray=True, raw_out=True,
+        )
+        sh = ((fls >> _FL_HIT) & 1)
+
+    # sun direction for the sky disc: constant per frame
+    # (normalize(sun_pos − origin), ray_tracer.wgsl:152)
+    sv = sun_pos_local - origin
+    sun_dir = sv / jnp.linalg.norm(sv)
+    scal2 = jnp.concatenate([
+        scal,
+        sun_dir,
+        jnp.asarray([sun_intensity], f32),
+        jnp.asarray(sky_color, f32),
+        jnp.asarray([shadow_ambient], f32),
+        jnp.zeros(8, f32),
+    ])
+    packed = _shade(
+        scal2, lut[None], ts, fl, wa, we, sh,
+        tx=tx, show_steps=show_steps, shadows=shadows,
+        max_steps=rounds * sub_rounds * sub_steps, interpret=interpret,
+    )
+    img = packed[:n_tiles].reshape(ty, tx, TILE_H, TILE_W)
+    img = img.transpose(0, 2, 1, 3).reshape(height, width)
+    return img
+
+
+def render_frame3(
+    rg: RenderGrid3,
+    cam,
+    materials_color,
+    *,
+    world_min=None,
+    sky_color=(0.81, 0.93, 1.0),
+    sun_pos=(0.0, 10_000.0, 0.0),
+    sun_intensity=4.0,
+    shadows=False,
+    shadow_ambient=0.4,
+    show_steps=False,
+    rounds=12,
+    steps_per_round=48,
+    interpret=None,
+):
+    """One shaded frame through the v3 fast path -> ``uint32[H,W]`` RGBA8.
+
+    ``materials_color``: [n,3] f32 pack-id colors (MaterialTable.color) or a
+    prebuilt :func:`color_lut_rows` result. Unpack to u8 RGB with
+    :func:`unpack_rgba8`.
+    """
+    width, height = cam.proj_size
+    if interpret is None:
+        interpret = _interpret_default()
+    wm = rg.world_min if world_min is None else world_min
+    wm = jnp.asarray(wm, jnp.float32)
+    origin = jnp.asarray(cam.pos, jnp.float32) - wm
+    sun_local = jnp.asarray(sun_pos, jnp.float32) - wm
+    lut = (jnp.asarray(materials_color)
+           if getattr(materials_color, "shape", None) == (6, 128)
+           else color_lut_rows(materials_color))
+    sub_steps = 8
+    sub_rounds = max(steps_per_round // sub_steps, 1)
+    return _render_frame(
+        rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
+        rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
+        origin,
+        jnp.asarray(cam.inv_view, jnp.float32),
+        jnp.asarray(cam.inv_proj, jnp.float32),
+        lut,
+        jnp.asarray(sky_color, jnp.float32), sun_local,
+        jnp.float32(sun_intensity), jnp.float32(shadow_ambient),
+        width=width, height=height, rounds=rounds,
+        sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
+        interpret=bool(interpret), shadows=bool(shadows),
+        show_steps=bool(show_steps),
+    )
+
+
+def unpack_rgba8(img_u32):
+    """uint32[H,W] packed RGBA8 -> uint8[H,W,3] (host-side, cheap)."""
+    a = np.asarray(img_u32)
+    return np.stack(
+        [(a & 0xFF), (a >> 8) & 0xFF, (a >> 16) & 0xFF], axis=-1
+    ).astype(np.uint8)
