@@ -175,16 +175,18 @@ def config2():
 def config3():
     import jax
 
-    from voxelraytracing_tpu.models.pathtracer import PathTracer
-    from voxelraytracing_tpu.models.raytracer import RenderSettings
     from voxelraytracing_tpu.ops.camera import CamData
+    from voxelraytracing_tpu.ops.wavefront3 import path_trace3
 
-    world, mats, eye = _preset_world(8)
+    rg3, mats, eye = _preset_world3(8)
     cam = CamData.create((30.0, 45.0, 0.0), eye, 70.0, (1920, 1080))
-    pt = PathTracer(mats, max_bounces=1)
-    s = RenderSettings(sun_pos=(eye[0] + 900, 2500.0, eye[2] + 300))
+    sun = (eye[0] + 900, 2500.0, eye[2] + 300)
     key = jax.random.PRNGKey(0)
-    dt = _time(lambda: pt.render(world, cam, s, samples=1, key=key))
+    dt = _time(
+        lambda: path_trace3(
+            rg3, cam, mats, sun_pos=sun, bounces=1, samples=1, key=key
+        )
+    )
     _report("config3_1080p_1bounce_pt", 2 * 1920 * 1080 / dt / 1e6, "Mrays/s")
 
 
@@ -223,14 +225,12 @@ def config4():
 def config5():
     import jax
 
-    from voxelraytracing_tpu.models.pathtracer import PathTracer
-    from voxelraytracing_tpu.models.raytracer import RenderSettings
     from voxelraytracing_tpu.ops.camera import CamData
+    from voxelraytracing_tpu.ops.wavefront3 import path_trace3
 
-    world, mats, eye = _preset_world(8)
+    rg3, mats, eye = _preset_world3(8)
     cam = CamData.create((30.0, 45.0, 0.0), eye, 70.0, (3840, 2160))
-    pt = PathTracer(mats, max_bounces=4)
-    s = RenderSettings(sun_pos=(eye[0] + 900, 2500.0, eye[2] + 300))
+    sun = (eye[0] + 900, 2500.0, eye[2] + 300)
     n_dev = len(jax.devices())
     key = jax.random.PRNGKey(1)
     # temporal accumulation: samples spread over devices when a mesh exists
@@ -241,7 +241,9 @@ def config5():
         del mesh  # sample sharding exercised in parallel tests; time 1 chip here
 
     dt = _time(
-        lambda: pt.render(world, cam, s, samples=1, key=key),
+        lambda: path_trace3(
+            rg3, cam, mats, sun_pos=sun, bounces=4, samples=1, key=key
+        ),
         min_iters=2,
         budget_s=20.0,
     )

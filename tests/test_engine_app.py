@@ -100,3 +100,100 @@ def test_composite_crosshair_styles():
     assert o[38, 38].sum() == 0.0  # diagonal outside both bars
 
     assert composite_crosshair(img, style="off") is img
+
+
+def test_render_grid_builder_matches_batch_build():
+    """Incremental RenderGrid3Builder == the one-shot host builder."""
+    import jax.numpy as jnp
+
+    from voxelraytracing_tpu.ops import noise
+    from voxelraytracing_tpu.ops.wavefront3 import build_render_grid3_host
+    from voxelraytracing_tpu.world.demo import demo_chunk_grids_host, demo_materials
+    from voxelraytracing_tpu.world.render_grid import RenderGrid3Builder
+
+    w = 2
+    perm = noise.make_permutation(7)
+    grids, cells = demo_chunk_grids_host(
+        perm, np.zeros(3, np.int64), w, w * 32 * 0.45, int(w * 32 * 0.28)
+    )
+    mats = demo_materials()
+    ref = build_render_grid3_host(
+        grids, cells, np.zeros(3, np.int32), w, mats
+    )
+
+    b = RenderGrid3Builder(w, mats)
+    cell_xyz = [(int(c % w), int((c // w) % w), int(c // (w * w)))
+                for c in cells]
+    # pack ids: demo grids are already pack ids
+    b.set_chunks(cell_xyz, grids)
+    got = b.grid()
+    for name in ("gw_jump", "gw_liq", "wmeta", "sw_meta", "sw_solid",
+                 "sw_liq", "sw_pid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            err_msg=name,
+        )
+
+    # eviction -> air everywhere -> fully jumpable world
+    b.clear_cells(cell_xyz)
+    got2 = b.grid()
+    assert np.asarray(got2.sw_solid).sum() == 0
+    # every real window jumpable
+    nw3 = b.nw ** 3
+    bits = np.asarray(got2.gw_jump).reshape(-1)
+    jump = np.unpackbits(
+        bits.view(np.uint8), bitorder="little"
+    )[:nw3]
+    assert jump.all()
+
+    # incremental single-chunk update equals a fresh build of that state
+    b.set_chunks(cell_xyz[:1], grids[:1])
+    got3 = b.grid()
+    ref3 = build_render_grid3_host(
+        grids[:1], np.asarray(cells)[:1], np.zeros(3, np.int32), w, mats
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got3.sw_solid), np.asarray(ref3.sw_solid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got3.wmeta), np.asarray(ref3.wmeta)
+    )
+
+
+def test_engine_fast_path_session(flat_root):
+    """Interactive session rendering through the fused v3 pipeline."""
+    import time
+
+    from voxelraytracing_tpu.client import PlayerInput
+    from voxelraytracing_tpu.engine import EngineApp
+
+    app = EngineApp.host_singleplayer(
+        flat_root, "Flat", port=61729, resolution=(128, 64),
+        world_size_chunks=4, fast_path=True,
+    )
+    try:
+        for _ in range(600):
+            app.update(net_budget_s=0.05)
+            app.update_game()
+            if app.game.world.populated_count() >= 64:
+                break
+            time.sleep(0.1)
+        assert app.game.world.populated_count() == 64
+
+        img = app.draw_frame()
+        assert img.shape == (64, 128, 3)
+        hits = np.asarray(app._last_trace.hit)
+        assert hits.mean() > 0.1  # flat ground fills the lower frame
+
+        # edit feeds the incremental builder: break a voxel, re-render
+        for _ in range(120):
+            app.update_input(PlayerInput())
+            if app.game.player.on_ground:
+                break
+        app.update_input(PlayerInput(cursor_movement=(0.0, 300.0)))  # look down
+        if app.pick() is not None:
+            assert app.break_voxel()
+            img2 = app.draw_frame()
+            assert not np.isnan(np.asarray(img2)).any()
+    finally:
+        app.close()

@@ -134,3 +134,19 @@ def test_v3_shadow_rays(scene):
     # but not all hit pixels are occluded on this hilly terrain
     frac = shadowed[hit].mean()
     assert 0.0 < frac < 0.5
+
+
+def test_v3_path_trace_zero_bounce_matches_svo_pathtracer(scene):
+    """0-bounce path trace (emission + sky + absorption, no RNG) is
+    deterministic and must match the SVO-path PathTracer exactly."""
+    from voxelraytracing_tpu.models.pathtracer import PathTracer
+    from voxelraytracing_tpu.ops.wavefront3 import path_trace3
+
+    rg3, world, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    pt = PathTracer(mats, max_bounces=0)
+    ref = np.asarray(pt.render(world, cam, samples=1))
+    got = np.asarray(path_trace3(rg3, cam, mats, bounces=0, samples=1,
+                                 rounds=32))
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -111,7 +111,9 @@ class EngineApp:
         resolution=(1280, 720),
         world_size_chunks=30,
         server_program=None,
+        fast_path=None,
     ):
+        import jax
         import jax.numpy as jnp
 
         self.game = game
@@ -124,6 +126,15 @@ class EngineApp:
         self._styles = styles or {}
         self.materials = self._build_materials()
         self.tracer = RayTracer(self.materials)
+        # fast path: the fused subwindow bit-plane pipeline over an
+        # incrementally-maintained RenderGrid3. Auto-enables on TPU; the
+        # CPU backend runs the Pallas kernels in interpret mode, far too
+        # slow for interactive resolutions, so it keeps the SVO tracer.
+        if fast_path is None:
+            fast_path = jax.default_backend() == "tpu"
+        self.fast_path = bool(fast_path)
+        self._rg_builder = None
+        self._rg_min = None
         from .ui import CrosshairStyle
 
         self.crosshair = CrosshairStyle()
@@ -196,7 +207,56 @@ class EngineApp:
         rs = self.game.process_cmds_timeout(net_budget_s)
         for pos, start, n in rs.updated_chunks:
             self._dirty_spans.append((start, n))
+        if self.fast_path and self._rg_builder is not None and rs.updated_chunks:
+            self._fast_set_chunks([pos for pos, _, _ in rs.updated_chunks])
         return rs
+
+    # ------------------------------------------------------- fast path
+
+    def _dense_chunk(self, chunk):
+        """Decode a client chunk's SVO span to a dense 32³ pack-id grid."""
+        from ..core import native
+
+        w = self.game.world
+        used = chunk.alloc.last_used_addr + 1
+        nodes = np.ascontiguousarray(
+            w.nodes[chunk.start:chunk.start + used], dtype=np.int32
+        )
+        return np.asarray(native.svo_to_dense(nodes))
+
+    def _fast_set_chunks(self, positions):
+        w = self.game.world
+        cells, grids = [], []
+        for pos in positions:
+            chunk = w.chunks.get(tuple(int(a) for a in pos))
+            if chunk is None or not w.in_window(pos):
+                continue
+            cell = tuple(
+                int(a) for a in (np.asarray(pos, np.int64) - w.min_chunk)
+            )
+            cells.append(cell)
+            grids.append(self._dense_chunk(chunk))
+        if cells:
+            self._rg_builder.set_chunks(cells, np.stack(grids))
+
+    def _fast_builder(self):
+        """RenderGrid3Builder tracking the client window; full rebuild on
+        recenter/resize, incremental on chunk arrival/edit."""
+        from ..world.render_grid import RenderGrid3Builder
+
+        w = self.game.world
+        if (
+            self._rg_builder is None
+            or self._rg_min is None
+            or not np.array_equal(self._rg_min, w.min_chunk)
+            or self._rg_builder.w != w.size_in_chunks
+        ):
+            self._rg_builder = RenderGrid3Builder(
+                w.size_in_chunks, self.materials, world_min=w.min_voxel
+            )
+            self._rg_min = np.asarray(w.min_chunk).copy()
+            self._fast_set_chunks(list(w.chunks.keys()))
+        return self._rg_builder
 
     def update_input(self, inp: PlayerInput, t_delta=1.0):
         """Player physics (main.rs:299-396)."""
@@ -250,7 +310,12 @@ class EngineApp:
         shader does (screen_shader.wgsl:43-65); style comes from the UI's
         Visuals page state when attached (ui.rs crosshair editor).
         """
-        img, rs = self.tracer.render(self.world_slice(), self.camera(), self.settings)
+        if self.fast_path:
+            img, rs = self._draw_fast()
+        else:
+            img, rs = self.tracer.render(
+                self.world_slice(), self.camera(), self.settings
+            )
         ch = getattr(self, "crosshair", None)
         if ch is not None and ch.style != "off":
             img = composite_crosshair(
@@ -292,11 +357,45 @@ class EngineApp:
         self._edit(pos + face, voxel if voxel is not None else self.placing_voxel)
         return True
 
+    def _draw_fast(self):
+        """One frame through the fused v3 pipeline (trace + shade + optional
+        shadows in a single program over the incremental RenderGrid3)."""
+        import jax.numpy as jnp
+        from types import SimpleNamespace
+
+        from ..ops.wavefront3 import render_frame3
+
+        rg = self._fast_builder().grid()
+        s = self.settings
+        packed, fl = render_frame3(
+            rg, self.camera(), self.materials.color,
+            sky_color=s.sky_color, sun_pos=s.sun_pos,
+            sun_intensity=s.sun_intensity, shadows=s.shadows,
+            shadow_ambient=s.shadow_ambient,
+            show_steps=s.show_step_count, with_flags=True,
+        )
+        img = (
+            jnp.stack(
+                [(packed >> sh) & 0xFF for sh in (0, 8, 16)], axis=-1
+            ).astype(jnp.float32)
+            / 255.0
+        )
+        rs = SimpleNamespace(
+            hit=((fl >> 1) & 1) != 0,
+            voxel=(fl >> 17) & 0xFF,
+            steps=(fl >> 5) & 0xFFF,
+            packed=packed,
+        )
+        return img, rs
+
     def _edit(self, pos, voxel):
         chunk = self.game.set_voxel(pos, voxel)
         if chunk is not None:
             used = chunk.alloc.last_used_addr + 1
             self._dirty_spans.append((chunk.start, used))
+            if self.fast_path and self._rg_builder is not None:
+                cpos = np.floor_divide(np.asarray(pos, np.int64), CHUNK_SIZE)
+                self._fast_set_chunks([cpos])
 
     # ------------------------------------------------------------ debug
 

@@ -1398,9 +1398,14 @@ def _render_frame(
         tx=tx, show_steps=show_steps, shadows=shadows,
         max_steps=rounds * sub_rounds * sub_steps, interpret=interpret,
     )
-    img = packed[:n_tiles].reshape(ty, tx, TILE_H, TILE_W)
-    img = img.transpose(0, 2, 1, 3).reshape(height, width)
-    return img
+
+    def untile(x):
+        y = x[:n_tiles].reshape(ty, tx, TILE_H, TILE_W)
+        return y.transpose(0, 2, 1, 3).reshape(height, width)
+
+    # the flags image rides along for overlays/picking feedback (hit mask,
+    # step heatmap, hit voxel ids) at the cost of one extra untile
+    return untile(packed), untile(fl)
 
 
 def render_frame3(
@@ -1418,12 +1423,14 @@ def render_frame3(
     rounds=12,
     steps_per_round=48,
     interpret=None,
+    with_flags=False,
 ):
     """One shaded frame through the v3 fast path -> ``uint32[H,W]`` RGBA8.
 
     ``materials_color``: [n,3] f32 pack-id colors (MaterialTable.color) or a
     prebuilt :func:`color_lut_rows` result. Unpack to u8 RGB with
-    :func:`unpack_rgba8`.
+    :func:`unpack_rgba8`. ``with_flags=True`` also returns the per-pixel
+    trace flags word (hit bit 1, axmask 2-4, steps 5-16, vox 17-24).
     """
     width, height = cam.proj_size
     if interpret is None:
@@ -1437,7 +1444,7 @@ def render_frame3(
            else color_lut_rows(materials_color))
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
-    return _render_frame(
+    img, fl = _render_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
         rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
         origin,
@@ -1451,6 +1458,9 @@ def render_frame3(
         interpret=bool(interpret), shadows=bool(shadows),
         show_steps=bool(show_steps),
     )
+    if with_flags:
+        return img, fl
+    return img
 
 
 def unpack_rgba8(img_u32):
@@ -1459,3 +1469,354 @@ def unpack_rgba8(img_u32):
     return np.stack(
         [(a & 0xFF), (a >> 8) & 0xFF, (a >> 16) & 0xFF], axis=-1
     ).astype(np.uint8)
+
+
+# ------------------------------------------------------------- path tracing
+#
+# The wavefront bounce loop of models/pathtracer.py rebuilt on the v3
+# march: every bounce is one fused per-ray trace plus tiled component
+# math. Material properties come from a lane-local LUT kernel (a 2M-ray
+# XLA gather costs ~18 ms on this runtime; the kernel costs microseconds).
+# Semantics follow path_tracer.wgsl:149-194 as completed by PathTracer.
+
+_WATER_ABSORB = (0.35, 0.08, 0.04)  # per-voxel-length (models/pathtracer.py)
+
+
+def _mat_kernel(lut_ref, fl_ref, e_o, sc_o, r_o, g_o, b_o):
+    """Per-ray material fetch: vox (from flags) -> emission, scatter, RGB."""
+    i32 = jnp.int32
+    fl = fl_ref[:]
+    blk = fl.shape[0]
+    vox = (fl >> _FL_VOX) & 0xFF
+    lo = vox & 127
+    hi = vox >> 7
+    lut = lut_ref[0]
+
+    def chan(i):
+        a = jnp.take_along_axis(
+            jnp.broadcast_to(lut[i:i + 1], (blk, 128)), lo, axis=1
+        )
+        b = jnp.take_along_axis(
+            jnp.broadcast_to(lut[i + 1:i + 2], (blk, 128)), lo, axis=1
+        )
+        return jnp.where(hi != 0, b, a)
+
+    e_o[:] = chan(0)
+    sc_o[:] = chan(2)
+    r_o[:] = chan(4)
+    g_o[:] = chan(6)
+    b_o[:] = chan(8)
+
+
+def _matfetch(lut, fl, *, interpret):
+    T = fl.shape[0]
+    blk = 256 if T % 256 == 0 else _BLK
+
+    def vspec():
+        return pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _mat_kernel,
+        grid=(T // blk,),
+        in_specs=[
+            pl.BlockSpec((1, 10, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vspec(),
+        ],
+        out_specs=tuple([vspec()] * 5),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((T, 128), f32) for _ in range(5)
+        ),
+        interpret=interpret,
+    )(lut, fl)
+
+
+def material_lut_rows(color, emission, scatter):
+    """Material tables -> [10,128] LUT rows (e0 e1 s0 s1 r0 r1 g0 g1 b0 b1)."""
+    n = len(np.asarray(emission))
+    e = np.zeros(256, np.float32)
+    s = np.zeros(256, np.float32)
+    c = np.zeros((256, 3), np.float32)
+    e[:n] = np.asarray(emission, np.float32)[:256]
+    s[:n] = np.asarray(scatter, np.float32)[:256]
+    c[: len(np.asarray(color))] = np.asarray(color, np.float32)[:256]
+    rows = np.zeros((10, 128), np.float32)
+    rows[0], rows[1] = e[:128], e[128:]
+    rows[2], rows[3] = s[:128], s[128:]
+    for ch in range(3):
+        rows[4 + ch * 2] = c[:128, ch]
+        rows[5 + ch * 2] = c[128:, ch]
+    return jnp.asarray(rows)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
+        "interpret", "bounces", "samples",
+    ),
+)
+def _path_frame(
+    gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
+    brick_dir, bricks, to_pack,
+    origin, inv_view, inv_proj, mlut,
+    sky_color, sun_pos_local, sun_intensity, key,
+    *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
+    bounces, samples,
+):
+    """Path-traced frame -> f32[H,W,3] linear radiance (sample average)."""
+    f32, i32 = jnp.float32, jnp.int32
+    tx = width // TILE_W
+    ty = height // TILE_H
+    n_tiles = tx * ty
+    T = -(-n_tiles // _BLK) * _BLK
+    shape = (T, 128)
+
+    args = (gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
+            brick_dir, bricks, to_pack)
+    origin = jnp.asarray(origin, f32)
+    scal = jnp.concatenate([
+        origin,
+        jnp.asarray([v, 2.0 / width, 2.0 / height], f32),
+        jnp.stack([
+            inv_proj[0, 0], inv_proj[1, 0],
+            -inv_proj[2, 0] + inv_proj[3, 0],
+            inv_proj[0, 1], inv_proj[1, 1],
+            -inv_proj[2, 1] + inv_proj[3, 1],
+        ]),
+        inv_view[0, :3], inv_view[1, :3], inv_view[2, :3],
+        jnp.zeros(3, f32),
+    ])
+    tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
+    lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
+    dx0, dy0, dz0 = _ray_dirs(
+        [scal[i] for i in range(24)], tile_i, lane_i, tx
+    )
+    kx, ky, kz = _WATER_ABSORB
+
+    def sstep(e0, e1, x):
+        t = jnp.clip((x - e0) * (1.0 / (e1 - e0)), 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    def sky_rgb(dX, dY, dZ, oX, oY, oZ):
+        gts = sstep(-0.01, 0.0, dY)
+        grad_t = sstep(0.0, 0.4, dY) ** 0.35
+        svx = sun_pos_local[0] - oX
+        svy = sun_pos_local[1] - oY
+        svz = sun_pos_local[2] - oZ
+        sn = jnp.sqrt(svx * svx + svy * svy + svz * svz)
+        sdot = (dX * svx + dY * svy + dZ * svz) / sn
+        sun = ((sdot > 0.99) & (gts >= 1.0)).astype(f32) * sun_intensity
+
+        def chanl(h, vd, sc):
+            g = h + (sc - h) * grad_t
+            return vd + (g - vd) * gts + sun
+
+        return (chanl(1.0, 0.03, sky_color[0]),
+                chanl(0.3, 0.03, sky_color[1]),
+                chanl(0.0, 0.03, sky_color[2]))
+
+    def one_sample(skey):
+        oX = jnp.broadcast_to(origin[0], shape)
+        oY = jnp.broadcast_to(origin[1], shape)
+        oZ = jnp.broadcast_to(origin[2], shape)
+        dX, dY, dZ = dx0, dy0, dz0
+        cr = jnp.ones(shape, f32)
+        cg = jnp.ones(shape, f32)
+        cb = jnp.ones(shape, f32)
+        lr = jnp.zeros(shape, f32)
+        lg = jnp.zeros(shape, f32)
+        lb = jnp.zeros(shape, f32)
+        alive = jnp.ones(shape, bool)
+
+        for bounce in range(bounces + 1):
+            z = jnp.zeros((), f32)
+            if bounce == 0:
+                ts, fl, wa, we = _trace_frame(
+                    *args, origin, inv_view, inv_proj, z, z, z,
+                    width=width, height=height, rounds=rounds,
+                    sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
+                    interpret=interpret, per_ray=False, raw_out=True,
+                )
+            else:
+                ot = jnp.stack([oX, oY, oZ], axis=-1)
+                dt3 = jnp.stack([dX, dY, dZ], axis=-1)
+                ts, fl, wa, we = _trace_frame(
+                    *args, jnp.zeros(3, f32), inv_view, inv_proj,
+                    ot, dt3, alive,
+                    width=width, height=height,
+                    rounds=max(rounds * 2 // 3, 4),
+                    sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
+                    interpret=interpret, per_ray=True, raw_out=True,
+                )
+            hit = ((fl >> _FL_HIT) & 1) != 0
+            ax = (fl >> _FL_AX) & 7
+
+            def invc(c):
+                c2 = jnp.where(
+                    c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7)
+                )
+                return 1.0 / c2
+
+            def slabc(oc, ivc):
+                return jnp.maximum((0.0 - oc) * ivc, (v - oc) * ivc)
+
+            t_exit = jnp.minimum(
+                jnp.minimum(
+                    slabc(oX, invc(dX)),
+                    jnp.minimum(slabc(oY, invc(dY)), slabc(oZ, invc(dZ))),
+                ),
+                jnp.float32(4.0 * v + 16.0),
+            )
+            t_stop = jnp.minimum(ts, t_exit)
+            water = wa + jnp.where(we >= 0.0, t_stop - we, 0.0)
+
+            emis, scat, ar, ag, ab = _matfetch(
+                mlut[None], fl, interpret=interpret
+            )
+
+            # Beer–Lambert water absorption along this segment
+            live = alive
+            cr = cr * jnp.where(live, jnp.exp(-water * kx), 1.0)
+            cg = cg * jnp.where(live, jnp.exp(-water * ky), 1.0)
+            cb = cb * jnp.where(live, jnp.exp(-water * kz), 1.0)
+
+            skr, skg, skb = sky_rgb(dX, dY, dZ, oX, oY, oZ)
+            miss = live & ~hit
+            lr = lr + jnp.where(miss, cr * skr, 0.0)
+            lg = lg + jnp.where(miss, cg * skg, 0.0)
+            lb = lb + jnp.where(miss, cb * skb, 0.0)
+
+            h = live & hit
+            lr = lr + jnp.where(h, cr * emis * ar, 0.0)
+            lg = lg + jnp.where(h, cg * emis * ag, 0.0)
+            lb = lb + jnp.where(h, cb * emis * ab, 0.0)
+            cr = jnp.where(h, cr * ar, cr)
+            cg = jnp.where(h, cg * ag, cg)
+            cb = jnp.where(h, cb * ab, cb)
+            alive = h
+
+            if bounce == bounces:
+                break
+
+            # next ray: mix diffuse/specular about the face normal
+            nx = -jnp.sign(dX) * ((ax >> 0) & 1).astype(f32)
+            ny = -jnp.sign(dY) * ((ax >> 1) & 1).astype(f32)
+            nz = -jnp.sign(dZ) * ((ax >> 2) & 1).astype(f32)
+            degen = (nx == 0.0) & (ny == 0.0) & (nz == 0.0)
+            nx = jnp.where(degen, -dX, nx)
+            ny = jnp.where(degen, -dY, ny)
+            nz = jnp.where(degen, -dZ, nz)
+
+            bkey = jax.random.fold_in(skey, bounce)
+            rv = jax.random.normal(bkey, shape + (3,), f32)
+            rn = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
+            rn = jnp.maximum(rn, 1e-6)
+            vx_ = rv[..., 0] / rn
+            vy_ = rv[..., 1] / rn
+            vz_ = rv[..., 2] / rn
+            dfx = nx + vx_
+            dfy = ny + vy_
+            dfz = nz + vz_
+            dn = jnp.sqrt(dfx * dfx + dfy * dfy + dfz * dfz)
+            ok = dn > 1e-6
+            dnm = jnp.maximum(dn, 1e-6)
+            dfx = jnp.where(ok, dfx / dnm, nx)
+            dfy = jnp.where(ok, dfy / dnm, ny)
+            dfz = jnp.where(ok, dfz / dnm, nz)
+            dot = dX * nx + dY * ny + dZ * nz
+            spx = dX - 2.0 * dot * nx
+            spy = dY - 2.0 * dot * ny
+            spz = dZ - 2.0 * dot * nz
+            ndx = dfx * scat + spx * (1.0 - scat)
+            ndy = dfy * scat + spy * (1.0 - scat)
+            ndz = dfz * scat + spz * (1.0 - scat)
+            nn = jnp.sqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+            ok = nn > 1e-6
+            nnm = jnp.maximum(nn, 1e-6)
+            ndx = jnp.where(ok, ndx / nnm, nx)
+            ndy = jnp.where(ok, ndy / nnm, ny)
+            ndz = jnp.where(ok, ndz / nnm, nz)
+
+            eps = 4.0 * 1e-3
+            oX = oX + dX * ts + nx * eps
+            oY = oY + dY * ts + ny * eps
+            oZ = oZ + dZ * ts + nz * eps
+            dX, dY, dZ = ndx, ndy, ndz
+
+        return lr, lg, lb
+
+    keys = jax.random.split(key, samples)
+    ar_ = jnp.zeros(shape, f32)
+    ag_ = jnp.zeros(shape, f32)
+    ab_ = jnp.zeros(shape, f32)
+    for si in range(samples):
+        r, g, b = one_sample(keys[si])
+        ar_ = ar_ + r
+        ag_ = ag_ + g
+        ab_ = ab_ + b
+    inv_s = 1.0 / samples
+
+    def untile(x):
+        y = x[:n_tiles].reshape(ty, tx, TILE_H, TILE_W)
+        y = y.transpose(0, 2, 1, 3).reshape(height, width)
+        return y
+
+    return jnp.stack(
+        [untile(ar_ * inv_s), untile(ag_ * inv_s), untile(ab_ * inv_s)],
+        axis=-1,
+    )
+
+
+def path_trace3(
+    rg: RenderGrid3,
+    cam,
+    materials,
+    *,
+    world_min=None,
+    sky_color=(0.81, 0.93, 1.0),
+    sun_pos=(0.0, 10_000.0, 0.0),
+    sun_intensity=4.0,
+    bounces=1,
+    samples=1,
+    key=None,
+    rounds=12,
+    steps_per_round=48,
+    interpret=None,
+):
+    """Path-traced frame through the v3 fast path -> f32[H,W,3] radiance.
+
+    ``materials``: a MaterialTable (color/emission/scatter used). The
+    reference's path tracer was never dispatched (path_tracer.wgsl, stale
+    node format); this is the working fast-path equivalent.
+    """
+    width, height = cam.proj_size
+    if interpret is None:
+        interpret = _interpret_default()
+    wm = rg.world_min if world_min is None else world_min
+    wm = jnp.asarray(wm, jnp.float32)
+    origin = jnp.asarray(cam.pos, jnp.float32) - wm
+    sun_local = jnp.asarray(sun_pos, jnp.float32) - wm
+    mlut = material_lut_rows(
+        materials.color, materials.emission, materials.scatter
+    )
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    sub_steps = 8
+    sub_rounds = max(steps_per_round // sub_steps, 1)
+    return _path_frame(
+        rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
+        rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
+        origin,
+        jnp.asarray(cam.inv_view, jnp.float32),
+        jnp.asarray(cam.inv_proj, jnp.float32),
+        mlut,
+        jnp.asarray(sky_color, jnp.float32), sun_local,
+        jnp.float32(sun_intensity), key,
+        width=width, height=height, rounds=rounds,
+        sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
+        interpret=bool(interpret), bounces=int(bounces),
+        samples=int(samples),
+    )

@@ -1,0 +1,301 @@
+"""Incrementally-maintained RenderGrid3 for the interactive engine.
+
+The fused tracer's world (ops/wavefront3.py:RenderGrid3) is a set of flat
+bit-plane tables. This module keeps host (NumPy) copies of those tables
+for a scrolling chunk window and re-derives only what a chunk arrival,
+edit, or eviction touches: a 32³ chunk covers exactly eight 16³
+subwindows and one-eighth of a 64³ window, so an update rewrites 8
+subwindow rows, refreshes one window's meta, and flips at most one global
+-plane bit (client/src/world.rs:126-183 is the reference's analogous
+incremental path — node spans into one GPU buffer).
+
+Uploads are incremental too: ``grid()`` scatters only dirty rows into the
+cached device arrays (`.at[rows].set`), so a steady-state frame moves a
+few KB, not the ~4 MB tables.
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.constants import CHUNK_SIZE
+from ..ops.wavefront import render_id_maps
+from ..ops.wavefront3 import SW, WIN, RenderGrid3, _pack_bits_np
+from ..utils.log import get_logger
+
+log = get_logger(__name__)
+
+
+def chunk_batch_sw_data(rgrids, n_liquid, to_pack):
+    """Vectorized per-subwindow data for a batch of chunks.
+
+    ``rgrids``: int array [B,32,32,32] of *render* ids (see render_id_maps).
+    Returns a dict of arrays over the B*8 subwindows, ordered chunk-major
+    with local subwindow index ``sz*4 + sy*2 + sx`` — plus per-sw flags
+    needed for window meta upkeep. Mirrors ops/wavefront3.py:
+    _planes_from_masks_np at chunk scale.
+    """
+    rg = np.asarray(rgrids)
+    b = rg.shape[0]
+    solid = rg > n_liquid
+    liq = (rg >= 1) & (rg <= n_liquid)
+
+    def sw_rows(m):
+        t = m.reshape(b, 2, SW, 2, SW, 2, SW)        # (B, X,xl, Y,yl, Z,zl)
+        t = t.transpose(0, 5, 3, 1, 6, 4, 2)         # (B, Z,Y,X, zl,yl,xl)
+        return t.reshape(b * 8, SW * SW * SW)
+
+    solid_rows = sw_rows(solid)
+    sw_solid = _pack_bits_np(solid_rows)
+    sw_liq = _pack_bits_np(sw_rows(liq))
+
+    def brick_reduce(m, op):
+        t = m.reshape(b, 2, 4, 4, 2, 4, 4, 2, 4, 4)
+        # (B, X,bx,vx, Y,by,vy, Z,bz,vz) -> any/all over voxel dims
+        r = op(t, (3, 6, 9))                         # (B, X,bx, Y,by, Z,bz)
+        r = r.transpose(0, 5, 3, 1, 6, 4, 2)         # (B, Z,Y,X, bz,by,bx)
+        return r.reshape(b * 8, 64)
+
+    b_any_solid = brick_reduce(solid, np.ndarray.any)
+    b_all_liq = brick_reduce(liq, np.ndarray.all)
+    b_any_liq = brick_reduce(liq, np.ndarray.any)
+    b_jump = ~b_any_solid & (b_all_liq | ~b_any_liq)
+
+    sw_meta = np.zeros((b * 8, 8), np.uint32)
+    sw_meta[:, 0:2] = _pack_bits_np(b_jump)
+    sw_meta[:, 2:4] = _pack_bits_np(b_all_liq)
+
+    # palettes + palette-index planes (only non-uniform rows need work)
+    vol_rows = sw_rows(rg)
+    pidx = np.zeros_like(vol_rows, dtype=np.uint8)
+    pal_ok = True
+    for r in np.flatnonzero(solid_rows.any(axis=1)):
+        ids = np.unique(vol_rows[r][solid_rows[r]])
+        if len(ids) > 16:
+            pal_ok = False
+            ids = ids[:16]
+        lut = np.zeros(256, np.uint8)
+        lut[ids] = np.arange(len(ids), dtype=np.uint8)
+        pidx[r] = lut[vol_rows[r]]
+        pal = np.zeros(16, np.uint32)
+        pal[: len(ids)] = to_pack[ids]
+        sw_meta[r, 4:8] = (
+            pal.reshape(4, 4) << (np.arange(4, dtype=np.uint32) * 8)[None]
+        ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
+    sw_pid = np.stack(
+        [_pack_bits_np(((pidx >> k) & 1) != 0) for k in range(4)], axis=1
+    )
+
+    s_any_solid = b_any_solid.any(axis=1)
+    s_all_liq = b_all_liq.all(axis=1)
+    s_any_liq = b_any_liq.any(axis=1)
+    return dict(
+        sw_solid=sw_solid, sw_liq=sw_liq, sw_meta=sw_meta, sw_pid=sw_pid,
+        any_solid=s_any_solid, all_liq=s_all_liq, any_liq=s_any_liq,
+        palettes_ok=pal_ok,
+    )
+
+
+class RenderGrid3Builder:
+    """Host-side RenderGrid3 with incremental chunk updates + uploads."""
+
+    def __init__(self, size_in_chunks, materials, world_min=(0, 0, 0)):
+        self.w = int(size_in_chunks)
+        v = self.w * CHUNK_SIZE
+        self.v = v
+        vpad = -(-v // WIN) * WIN
+        self.ns = vpad // SW
+        self.nw = vpad // WIN
+        assert self.nw ** 3 <= 4096, "global plane supports ≤16³ windows"
+        ns3, nw3 = self.ns ** 3, self.nw ** 3
+        self.sw_solid = np.zeros((ns3, 128), np.uint32)
+        self.sw_liq = np.zeros((ns3, 128), np.uint32)
+        self.sw_meta = np.zeros((ns3, 8), np.uint32)
+        self.sw_pid = np.zeros((ns3, 4, 128), np.uint32)
+        self.s_any_solid = np.zeros(ns3, bool)
+        self.s_all_liq = np.zeros(ns3, bool)
+        self.s_any_liq = np.zeros(ns3, bool)
+        self.wmeta = np.zeros((nw3, 8), np.uint32)
+        self._rebuild_all_windows = True
+        self.world_min = np.asarray(world_min, np.int64)
+
+        is_liquid = np.asarray(materials.is_liquid)
+        self.to_render, self.to_pack, self.n_liquid = render_id_maps(
+            is_liquid
+        )
+        self._dirty_sw = set()
+        self._dirty_w = set()
+        self._dev = None  # cached device arrays
+        self.palettes_ok = True
+
+    # ------------------------------------------------------------ updates
+
+    def _sw_ids_for_cell(self, cell):
+        """Global subwindow row ids for a chunk cell, in chunk-major
+        (sz,sy,sx) order matching chunk_batch_sw_data."""
+        cx, cy, cz = cell
+        out = []
+        for sz in range(2):
+            for sy in range(2):
+                for sx in range(2):
+                    X = cx * 2 + sx
+                    Y = cy * 2 + sy
+                    Z = cz * 2 + sz
+                    out.append(X + Y * self.ns + Z * self.ns * self.ns)
+        return out
+
+    def set_chunks(self, cells, grids_packids):
+        """Install/replace chunk contents. ``cells``: [(cx,cy,cz) window
+        -local chunk coords]; ``grids_packids``: [B,32,32,32] pack ids."""
+        if not len(cells):
+            return
+        rg = self.to_render[np.asarray(grids_packids, np.int64)]
+        data = chunk_batch_sw_data(rg, self.n_liquid, self.to_pack)
+        if not data["palettes_ok"]:
+            self.palettes_ok = False
+            log.warning(
+                "subwindow palette overflow (>16 solid ids); hit ids will "
+                "fall back to the gather path"
+            )
+        for bi, cell in enumerate(cells):
+            sids = self._sw_ids_for_cell(cell)
+            for k, sid in enumerate(sids):
+                r = bi * 8 + k
+                self.sw_solid[sid] = data["sw_solid"][r]
+                self.sw_liq[sid] = data["sw_liq"][r]
+                self.sw_meta[sid] = data["sw_meta"][r]
+                self.sw_pid[sid] = data["sw_pid"][r]
+                self.s_any_solid[sid] = data["any_solid"][r]
+                self.s_all_liq[sid] = data["all_liq"][r]
+                self.s_any_liq[sid] = data["any_liq"][r]
+                self._dirty_sw.add(sid)
+            cx, cy, cz = cell
+            self._dirty_w.add(
+                (cx // 2) + (cy // 2) * self.nw + (cz // 2) * self.nw ** 2
+            )
+
+    def clear_cells(self, cells):
+        """Evicted chunks become air."""
+        for cell in cells:
+            for sid in self._sw_ids_for_cell(cell):
+                self.sw_solid[sid] = 0
+                self.sw_liq[sid] = 0
+                self.sw_meta[sid] = 0
+                self.sw_pid[sid] = 0
+                self.s_any_solid[sid] = False
+                self.s_all_liq[sid] = False
+                self.s_any_liq[sid] = False
+                self._dirty_sw.add(sid)
+            cx, cy, cz = cell
+            self._dirty_w.add(
+                (cx // 2) + (cy // 2) * self.nw + (cz // 2) * self.nw ** 2
+            )
+
+    # ------------------------------------------------------------ windows
+
+    def _window_meta(self, wids):
+        """Recompute wmeta rows + window flags from subwindow flags."""
+        ns, nw = self.ns, self.nw
+        for w in wids:
+            wx, wy, wz = w % nw, (w // nw) % nw, w // (nw * nw)
+            sids = np.empty(64, np.int64)
+            i = 0
+            for sz in range(4):
+                for sy in range(4):
+                    for sx in range(4):
+                        X = wx * 4 + sx
+                        Y = wy * 4 + sy
+                        Z = wz * 4 + sz
+                        sids[i] = X + Y * ns + Z * ns * ns
+                        i += 1
+            a_sol = self.s_any_solid[sids]
+            a_all = self.s_all_liq[sids]
+            a_any = self.s_any_liq[sids]
+            s_jump = ~a_sol & (a_all | ~a_any)
+            self.wmeta[w, 0:2] = _pack_bits_np(s_jump.reshape(1, 64))
+            self.wmeta[w, 2:4] = _pack_bits_np(a_all.reshape(1, 64))
+
+    def _global_planes(self):
+        ns, nw = self.ns, self.nw
+
+        def win_flags(sflags, op):
+            t = sflags.reshape(ns, ns, ns)            # rows are (Z,Y,X)!
+            # s_* arrays are indexed sid = X + Y*ns + Z*ns² -> reshape
+            # gives (Z,Y,X); reduce windows in that order, then flatten to
+            # wid = X + Y*nw + Z*nw² the same way.
+            t = t.reshape(nw, 4, nw, 4, nw, 4)        # (Z,sz, Y,sy, X,sx)
+            return op(t, (1, 3, 5)).reshape(-1)       # (Z,Y,X) flat
+
+        w_any_solid = win_flags(self.s_any_solid, np.ndarray.any)
+        w_all_liq = win_flags(self.s_all_liq, np.ndarray.all)
+        w_any_liq = win_flags(self.s_any_liq, np.ndarray.any)
+        w_jump = ~w_any_solid & (w_all_liq | ~w_any_liq)
+
+        def gplane(bits):
+            pad = np.zeros(4096, bool)
+            pad[: bits.shape[0]] = bits
+            return _pack_bits_np(pad.reshape(1, 4096))
+
+        return gplane(w_jump), gplane(w_jump & w_all_liq)
+
+    # ------------------------------------------------------------- upload
+
+    def grid(self) -> RenderGrid3:
+        """Current device RenderGrid3; uploads only dirty rows."""
+        if self._dirty_w or self._rebuild_all_windows:
+            wids = (range(self.nw ** 3) if self._rebuild_all_windows
+                    else sorted(self._dirty_w))
+            self._window_meta(wids)
+            self._rebuild_all_windows = False
+        gw_jump, gw_liq = self._global_planes()
+
+        if self._dev is None:
+            self._dev = dict(
+                sw_solid=jnp.asarray(self.sw_solid),
+                sw_liq=jnp.asarray(self.sw_liq),
+                sw_meta=jnp.asarray(self.sw_meta),
+                sw_pid=jnp.asarray(self.sw_pid),
+                wmeta=jnp.asarray(self.wmeta),
+            )
+        else:
+            if self._dirty_sw:
+                rows = np.asarray(sorted(self._dirty_sw), np.int32)
+                d = self._dev
+                d["sw_solid"] = d["sw_solid"].at[rows].set(
+                    jnp.asarray(self.sw_solid[rows])
+                )
+                d["sw_liq"] = d["sw_liq"].at[rows].set(
+                    jnp.asarray(self.sw_liq[rows])
+                )
+                d["sw_meta"] = d["sw_meta"].at[rows].set(
+                    jnp.asarray(self.sw_meta[rows])
+                )
+                d["sw_pid"] = d["sw_pid"].at[rows].set(
+                    jnp.asarray(self.sw_pid[rows])
+                )
+            if self._dirty_w:
+                rows = np.asarray(sorted(self._dirty_w), np.int32)
+                self._dev["wmeta"] = self._dev["wmeta"].at[rows].set(
+                    jnp.asarray(self.wmeta[rows])
+                )
+        self._dirty_sw.clear()
+        self._dirty_w.clear()
+
+        zeros_i = jnp.zeros(1, jnp.int32)
+        zeros_b = jnp.zeros((1, 16), jnp.uint32)
+        return RenderGrid3(
+            gw_jump=jnp.asarray(gw_jump),
+            gw_liq=jnp.asarray(gw_liq),
+            wmeta=self._dev["wmeta"],
+            sw_meta=self._dev["sw_meta"],
+            sw_solid=self._dev["sw_solid"],
+            sw_liq=self._dev["sw_liq"],
+            sw_pid=self._dev["sw_pid"],
+            brick_dir=zeros_i,   # gather fallback unused when palettes_ok
+            bricks=zeros_b,
+            world_min=jnp.asarray(self.world_min, jnp.int32),
+            to_pack=jnp.asarray(self.to_pack),
+            n_liquid=jnp.asarray(np.int32(self.n_liquid)),
+            size_voxels=self.v,
+            palettes_ok=self.palettes_ok,
+        )
