@@ -257,8 +257,12 @@ def main():
         "1": config1, "2": config2, "3": config3, "4": config4, "5": config5,
     }
     if which == "all":
-        for fn in configs.values():
-            fn()
+        # each config in its own process: config1 pins the CPU backend and
+        # backend choice is process-global
+        import subprocess
+
+        for k in "12345":
+            subprocess.run([sys.executable, __file__, k], check=False)
     else:
         configs[which]()
     return 0

@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""TPU-side pixel-correctness harness (the north star's "pixel-exact vs
+CPU reference" clause, BASELINE.md).
+
+All automated tests pin the CPU backend, so nothing there proves that
+*TPU-compiled* kernels produce the right pixels. This harness closes that:
+
+  mode --render BACKEND OUT.npz : render the probe set (trace fields +
+      shaded frame) on that backend in a fresh process and write one .npz
+      at exit (a single end-of-process D2H, so the runtime's D2H poison
+      cannot contaminate the timing-sensitive processes; see
+      docs/TPU_NOTES.md).
+  default mode: run --render for the TPU and the CPU oracle as
+      subprocesses, compare, and print one JSON verdict line (also written
+      to TPU_CORRECTNESS.json when invoked from the repo root).
+
+Probe set: the standard demo world, three cameras (terrain, grazing,
+underwater) at 256x128, traced with trace_wavefront3 and shaded with
+render_frame3. Pass criteria: hit masks ≤0.2% apart (fp32 order of ops
+differs between Mosaic and the CPU path at grazing boundaries), voxel ids
+exact where both hit, shaded RGBA8 within 2/255 on ≥99.8% of pixels.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+CAMS = [
+    ((35.0, 45.0, 0.0), (128.0, 192.0, 128.0)),
+    ((5.0, 100.0, 0.0), (40.0, 80.0, 200.0)),
+    ((-20.0, 300.0, 0.0), (128.0, 40.0, 128.0)),  # underwater looking up
+]
+W, H = 256, 128
+ROUNDS = 24
+WC = 8
+
+
+def render_probe(out_path):
+    import jax
+    import jax.numpy as jnp
+
+    from voxelraytracing_tpu.models.raytracer import RenderSettings  # noqa
+    from voxelraytracing_tpu.ops import noise
+    from voxelraytracing_tpu.ops.camera import CamData, generate_rays
+    from voxelraytracing_tpu.ops.wavefront3 import (
+        build_render_grid3_host,
+        render_frame3,
+        trace_wavefront3,
+    )
+    from voxelraytracing_tpu.world.demo import (
+        demo_chunk_grids_host,
+        demo_materials,
+    )
+
+    perm = noise.make_permutation(7)
+    grids, cells = demo_chunk_grids_host(
+        perm, np.zeros(3, np.int64), WC, WC * 32 * 0.45, int(WC * 32 * 0.28)
+    )
+    mats = demo_materials()
+    rg3 = build_render_grid3_host(
+        grids, cells, np.zeros(3, np.int32), WC, mats
+    )
+    outs = {}
+    results = []
+    for ci, (rot, eye) in enumerate(CAMS):
+        cam = CamData.create(rot, eye, 70.0, (W, H))
+        origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+        wf = trace_wavefront3(rg3, origin, cam=cam, rounds=ROUNDS)
+        img = render_frame3(
+            rg3, cam, mats.color, sun_pos=(1000.0, 2500.0, 500.0),
+            shadows=True, rounds=ROUNDS,
+        )
+        results.append((ci, wf, img))
+    # ONE D2H at the very end of the process
+    for ci, wf, img in results:
+        outs[f"hit{ci}"] = np.asarray(wf.hit)
+        outs[f"vox{ci}"] = np.asarray(wf.voxel)
+        outs[f"t{ci}"] = np.asarray(wf.t)
+        outs[f"img{ci}"] = np.asarray(img)
+    outs["backend"] = np.asarray(jax.default_backend())
+    np.savez(out_path, **outs)
+
+
+def compare(tpu_path, cpu_path):
+    a = np.load(tpu_path)
+    b = np.load(cpu_path)
+    report = {"backend_device": str(a["backend"]), "cams": []}
+    ok = True
+    for ci in range(len(CAMS)):
+        ha, hb = a[f"hit{ci}"], b[f"hit{ci}"]
+        hit_mm = float((ha != hb).mean())
+        both = ha & hb
+        vox_mm = int(
+            (a[f"vox{ci}"][both] != b[f"vox{ci}"][both]).sum()
+        )
+        t_med = float(np.median(np.abs(a[f"t{ci}"] - b[f"t{ci}"])))
+        ia = a[f"img{ci}"].view(np.uint32).reshape(H, W)
+        ib = b[f"img{ci}"].view(np.uint32).reshape(H, W)
+        da = np.stack(
+            [((ia >> s) & 0xFF).astype(np.int32) for s in (0, 8, 16)], -1
+        )
+        db = np.stack(
+            [((ib >> s) & 0xFF).astype(np.int32) for s in (0, 8, 16)], -1
+        )
+        d = np.abs(da - db).max(axis=-1)
+        img_frac_ok = float((d <= 2).mean())
+        cam_ok = hit_mm <= 0.002 and vox_mm == 0 and img_frac_ok >= 0.998
+        ok &= cam_ok
+        report["cams"].append(
+            {
+                "cam": ci,
+                "hit_mismatch_frac": round(hit_mm, 6),
+                "voxel_mismatches": vox_mm,
+                "t_median_absdiff": round(t_med, 6),
+                "img_frac_within_2": round(img_frac_ok, 6),
+                "ok": cam_ok,
+            }
+        )
+    report["ok"] = bool(ok)
+    return report
+
+
+def main():
+    if len(sys.argv) >= 4 and sys.argv[1] == "--render":
+        backend, out = sys.argv[2], sys.argv[3]
+        if backend == "cpu":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        render_probe(out)
+        return 0
+
+    tmp = "/tmp/tpu_correctness"
+    os.makedirs(tmp, exist_ok=True)
+    tpu_npz = os.path.join(tmp, "tpu.npz")
+    cpu_npz = os.path.join(tmp, "cpu.npz")
+    env = dict(os.environ)
+    for backend, out in (("default", tpu_npz), ("cpu", cpu_npz)):
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--render", backend,
+             out],
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        if r.returncode != 0:
+            print(json.dumps({"ok": False, "error": f"render {backend} rc={r.returncode}"}))
+            return 1
+    report = compare(tpu_npz, cpu_npz)
+    line = json.dumps(report)
+    print(line)
+    try:
+        with open("TPU_CORRECTNESS.json", "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

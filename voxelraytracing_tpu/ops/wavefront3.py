@@ -868,17 +868,37 @@ def _trace_frame(
         return wc_ids, wc_meta
 
     def insert_subwindows(c, r):
-        """Serve up to _S_INS distinct uncached subwindow wants per block."""
+        """Serve up to _S_INS distinct uncached subwindow wants per block.
+
+        One pick per block *eighth* (8 consecutive tiles): spatially fair —
+        a global min-first order would starve tiles wanting high ids until
+        every low id in the block retires."""
         bigi = jnp.int32(_BIGI)
         pool = c["want"][:, :4].reshape(nB, _BLK * 4)
         cached = (pool[:, :, None] == c["sc_ids"][:, None, :]).any(axis=2)
         pool = jnp.where((pool >= 0) & ~cached, pool, bigi)
-        picks = []
+        seg = pool.reshape(nB, _S_INS, (_BLK * 4) // _S_INS)
+        picks = jnp.min(seg, axis=2)                           # [B,_S_INS]
+        # cross-segment duplicates waste a slot; keep only the first
+        dup = picks[:, :, None] == picks[:, None, :]
+        first = jnp.argmax(dup, axis=2)                        # [B,_S_INS]
+        j_i = jnp.arange(_S_INS, dtype=i32)[None, :]
+        picks = jnp.where(first == j_i, picks, bigi)
+        # fill unused slots (empty segments — e.g. padded tiny frames) with
+        # global mins of the leftover pool so capacity never shrinks
+        taken = (pool[:, :, None] == picks[:, None, :]).any(axis=2)
+        pool = jnp.where(taken, bigi, pool)
+        fills = []
         for j in range(_S_INS):
-            pick = jnp.min(pool, axis=1)
-            picks.append(pick)
-            pool = jnp.where(pool == pick[:, None], bigi, pool)
-        picks = jnp.stack(picks, axis=1)                       # [B,_S_INS]
+            g = jnp.min(pool, axis=1)
+            fills.append(g)
+            pool = jnp.where(pool == g[:, None], bigi, pool)
+        fills = jnp.stack(fills, axis=1)
+        need_fill = picks >= bigi
+        order = jnp.cumsum(need_fill.astype(i32), axis=1) - 1  # fill index
+        fill_v = jnp.take_along_axis(fills, jnp.clip(order, 0, _S_INS - 1),
+                                     axis=1)
+        picks = jnp.where(need_fill, fill_v, picks)
         ok = picks < bigi
         safe = jnp.clip(picks, 0, sw_solid.shape[0] - 1)
         new_ids = jnp.where(ok, picks, -1)
