@@ -304,14 +304,38 @@ _FL_STP = 5
 _FL_VOX = 17
 
 
+def _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0):
+    """SMEM scalar row for _ray_dirs + world bounds; scal[21] = band y0."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        origin,
+        jnp.asarray([v], f32),
+        jnp.asarray([2.0 / width], f32),
+        2.0 / jnp.asarray(full_height, f32).reshape(1),
+        jnp.stack([
+            inv_proj[0, 0], inv_proj[1, 0],
+            -inv_proj[2, 0] + inv_proj[3, 0],
+            inv_proj[0, 1], inv_proj[1, 1],
+            -inv_proj[2, 1] + inv_proj[3, 1],
+        ]),
+        inv_view[0, :3], inv_view[1, :3], inv_view[2, :3],
+        jnp.asarray(y0, f32).reshape(1),
+        jnp.zeros(2, f32),
+    ])
+
+
 def _ray_dirs(scal, tg, lane, tx):
     """Per-ray directions from the camera affine; shared by the Mosaic
-    kernel and the XLA finish (identical op order keeps them bit-equal)."""
+    kernel and the XLA finish (identical op order keeps them bit-equal).
+
+    ``scal[21]`` is the band's first pixel row (0 for a full frame) — how a
+    device renders its horizontal slice when the pixel grid is sharded.
+    """
     f32 = jnp.float32
     txi = (tg % tx).astype(f32)
     tyi = (tg // tx).astype(f32)
     px = txi * TILE_W + (lane % TILE_W).astype(f32)
-    py = tyi * TILE_H + (lane // TILE_W).astype(f32)
+    py = tyi * TILE_H + (lane // TILE_W).astype(f32) + scal[21]
     x = px * scal[4] - 1.0   # scal[4] = 2/width
     y = py * scal[5] - 1.0   # scal[5] = 2/height
     ex = x * scal[6] - y * scal[7] + scal[8]
@@ -738,7 +762,7 @@ def _tile_hw(x, tx, ty, n_tiles, T):
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
-        "interpret", "resolve_ids", "per_ray", "raw_out",
+        "interpret", "resolve_ids", "per_ray", "raw_out", "full_height",
     ),
 )
 def _trace_frame(
@@ -747,7 +771,9 @@ def _trace_frame(
     origin, inv_view, inv_proj, origins3, dirs3, active0,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     resolve_ids="palette", per_ray=False, raw_out=False,
+    full_height=None, y0=0.0,
 ):
+    full_height = height if full_height is None else full_height
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
     ty = height // TILE_H
@@ -765,18 +791,7 @@ def _trace_frame(
     inv_proj = jnp.asarray(inv_proj, f32)
     # camera affine for _ray_dirs: eye0 = (x, -y, -1, 1)·inv_proj, dir =
     # eye0.x·V0 + eye0.y·V1 − V2 (see ops/camera.py:generate_rays_raw)
-    scal = jnp.concatenate([
-        origin,
-        jnp.asarray([v, 2.0 / width, 2.0 / height], f32),
-        jnp.stack([
-            inv_proj[0, 0], inv_proj[1, 0],
-            -inv_proj[2, 0] + inv_proj[3, 0],
-            inv_proj[0, 1], inv_proj[1, 1],
-            -inv_proj[2, 1] + inv_proj[3, 1],
-        ]),
-        inv_view[0, :3], inv_view[1, :3], inv_view[2, :3],
-        jnp.zeros(3, f32),
-    ])
+    scal = _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0)
 
     shape = (T, 128)
     tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
@@ -1322,7 +1337,7 @@ def color_lut_rows(colors):
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
-        "interpret", "shadows", "show_steps",
+        "interpret", "shadows", "show_steps", "full_height",
     ),
 )
 def _render_frame(
@@ -1331,8 +1346,9 @@ def _render_frame(
     origin, inv_view, inv_proj, lut,
     sky_color, sun_pos_local, sun_intensity, shadow_ambient,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
-    shadows, show_steps,
+    shadows, show_steps, full_height=None, y0=0.0,
 ):
+    full_height = height if full_height is None else full_height
     """Primary trace (+ optional hard-shadow trace) + shade, fully tiled.
 
     Returns ``uint32[H, W]`` packed RGBA8 — the fast-path frame product
@@ -1354,21 +1370,11 @@ def _render_frame(
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
         interpret=interpret, per_ray=False, raw_out=True,
+        full_height=full_height, y0=y0,
     )
 
     origin = jnp.asarray(origin, f32)
-    scal = jnp.concatenate([
-        origin,
-        jnp.asarray([v, 2.0 / width, 2.0 / height], f32),
-        jnp.stack([
-            inv_proj[0, 0], inv_proj[1, 0],
-            -inv_proj[2, 0] + inv_proj[3, 0],
-            inv_proj[0, 1], inv_proj[1, 1],
-            -inv_proj[2, 1] + inv_proj[3, 1],
-        ]),
-        inv_view[0, :3], inv_view[1, :3], inv_view[2, :3],
-        jnp.zeros(3, f32),
-    ])
+    scal = _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0)
 
     sh = jnp.zeros((T, 128), i32)
     if shadows:
@@ -1575,7 +1581,7 @@ def material_lut_rows(color, emission, scatter):
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
-        "interpret", "bounces", "samples",
+        "interpret", "bounces", "samples", "full_height",
     ),
 )
 def _path_frame(
@@ -1584,8 +1590,9 @@ def _path_frame(
     origin, inv_view, inv_proj, mlut,
     sky_color, sun_pos_local, sun_intensity, key,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
-    bounces, samples,
+    bounces, samples, full_height=None, y0=0.0,
 ):
+    full_height = height if full_height is None else full_height
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average)."""
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
@@ -1597,18 +1604,7 @@ def _path_frame(
     args = (gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
             brick_dir, bricks, to_pack)
     origin = jnp.asarray(origin, f32)
-    scal = jnp.concatenate([
-        origin,
-        jnp.asarray([v, 2.0 / width, 2.0 / height], f32),
-        jnp.stack([
-            inv_proj[0, 0], inv_proj[1, 0],
-            -inv_proj[2, 0] + inv_proj[3, 0],
-            inv_proj[0, 1], inv_proj[1, 1],
-            -inv_proj[2, 1] + inv_proj[3, 1],
-        ]),
-        inv_view[0, :3], inv_view[1, :3], inv_view[2, :3],
-        jnp.zeros(3, f32),
-    ])
+    scal = _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0)
     tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
     lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
     dx0, dy0, dz0 = _ray_dirs(

@@ -158,3 +158,57 @@ def sharded_accumulate_step(mesh, materials, width, band_height, max_steps=64):
             **check_kw,
         )
     )
+
+
+def sharded_render_frame3(mesh, rg3, cam, materials_color, settings=None,
+                          rounds=12):
+    """Band-sharded fused v3 frame: each device on the mesh's ``rays`` axis
+    traces+shades its horizontal band through ops/wavefront3._render_frame
+    (its own Pallas programs), with world tables replicated — the flagship
+    pipeline under SPMD. Returns ``uint32[H, W]`` packed RGBA8 sharded over
+    rows.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..models.raytracer import RenderSettings
+    from ..ops.wavefront3 import _render_frame, color_lut_rows
+
+    s = settings or RenderSettings()
+    width, height = cam.proj_size
+    n_rays = mesh.shape["rays"]
+    assert height % (n_rays * 8) == 0, (height, n_rays)
+    band_h = height // n_rays
+    lut = color_lut_rows(materials_color)
+    wm = jnp.asarray(rg3.world_min, jnp.float32)
+    origin = jnp.asarray(cam.pos, jnp.float32) - wm
+    sun_local = jnp.asarray(s.sun_pos, jnp.float32) - wm
+    # interpret-mode decision follows the MESH's devices, not the default
+    # backend (a CPU fallback mesh can coexist with a live TPU default)
+    interpret = mesh.devices.reshape(-1)[0].platform != "tpu"
+    v = int(rg3.size_voxels)
+
+    tables = (rg3.gw_jump, rg3.gw_liq, rg3.wmeta, rg3.sw_meta, rg3.sw_solid,
+              rg3.sw_liq, rg3.sw_pid, rg3.brick_dir, rg3.bricks, rg3.to_pack)
+
+    def band(*tabs):
+        y0 = jax.lax.axis_index("rays").astype(jnp.float32) * band_h
+        img, _ = _render_frame(
+            *tabs, origin,
+            jnp.asarray(cam.inv_view, jnp.float32),
+            jnp.asarray(cam.inv_proj, jnp.float32), lut,
+            jnp.asarray(s.sky_color, jnp.float32), sun_local,
+            jnp.float32(s.sun_intensity), jnp.float32(s.shadow_ambient),
+            width=width, height=band_h, rounds=rounds,
+            sub_rounds=6, sub_steps=8, v=v, interpret=interpret,
+            shadows=bool(s.shadows), show_steps=False,
+            full_height=height, y0=y0,
+        )
+        return img
+
+    fn = shard_map(
+        band, mesh=mesh,
+        in_specs=tuple(P() for _ in tables),
+        out_specs=P("rays", None),
+        check_rep=False,
+    )
+    return jax.jit(fn)(*tables)
