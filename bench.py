@@ -70,14 +70,18 @@ def main():
     jax.block_until_ready(r)
     print("# compiled; timing...", file=sys.stderr, flush=True)
 
+    # Sustained throughput: keep a few frames in flight (a real frame loop
+    # pipelines too); syncing per frame would bill ~30 ms of this runtime's
+    # dispatch latency to every frame.
+    depth = 4
     frames = 0
     t0 = time.perf_counter()
     while True:
-        r = frame()
-        jax.block_until_ready(r)
-        frames += 1
+        rs = [frame() for _ in range(depth)]
+        jax.block_until_ready(rs[-1])
+        frames += depth
         elapsed = time.perf_counter() - t0
-        if frames >= 3 and (elapsed > 5.0 or frames >= 60):
+        if frames >= 8 and (elapsed > 5.0 or frames >= 96):
             break
         if elapsed > 30.0:
             break
