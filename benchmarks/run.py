@@ -191,7 +191,9 @@ def config3():
 
 
 def config4():
-    """Streaming: regenerate + SVO-rebuild + re-assemble a moving window."""
+    """Streaming fly-through: regenerate + SVO-rebuild a moving window, and
+    feed the fast-path RenderGrid3 incrementally (the render-side half of
+    client/src/world.rs:126-183 scrolling)."""
     import jax.numpy as jnp
 
     from voxelraytracing_tpu.ops.svo_build import build_chunk_svo_batch
@@ -199,7 +201,8 @@ def config4():
     from voxelraytracing_tpu.worldgen import WorldGen
 
     res = Resources.load_from(builtin_respack_path())
-    gen = WorldGen.from_datapack(res.datapacks["terra"], seed=1)
+    dp, sp = res.datapacks["terra"], res.stylepacks["terra"]
+    gen = WorldGen.from_datapack(dp, seed=1)
 
     batch = 128  # chunks per streaming step (reference: 16 threads × 128)
 
@@ -209,17 +212,49 @@ def config4():
         nodes, counts = build_chunk_svo_batch(jnp.asarray(grids))
         return counts
 
+    step(0)  # warm
     t0 = time.perf_counter()
     n = 0
     off = 0
-    step(off)  # warm
-    t0 = time.perf_counter()
     while time.perf_counter() - t0 < 10.0:
         off += 1
         step(off)
         n += batch
     dt = time.perf_counter() - t0
     _report("config4_streaming_rebuild", n / dt, "chunks/s")
+
+    # render-side: incremental RenderGrid3 update + dirty-row upload for a
+    # W=30 window (the reference's default client window, 960³ voxels)
+    from voxelraytracing_tpu.world.render_grid import RenderGrid3Builder
+
+    mats = sp.material_table(dp.voxels)
+    w = 30
+    b = RenderGrid3Builder(w, mats)
+    pos0 = [(i, 1, j) for i in range(16) for j in range(8)]
+    grids, _ = gen.generate_chunks(pos0)
+    grids = np.asarray(grids)
+    cells = [(i % w, 1, (i // 16) % w) for i in range(batch)]
+    b.set_chunks(cells, grids)
+    jnp_grid = b.grid()  # warm upload
+
+    t0 = time.perf_counter()
+    n = 0
+    col = 0
+    while time.perf_counter() - t0 < 10.0:
+        col = (col + 2) % (w - 2)
+        cells = [((col + i) % w, 1, j % w) for i in range(16) for j in range(8)]
+        b.set_chunks(cells, grids)
+        g = b.grid()
+        n += batch
+    import jax
+
+    jax.block_until_ready(g.sw_solid)
+    dt = time.perf_counter() - t0
+    mem_mb = (
+        g.sw_solid.size + g.sw_liq.size + g.sw_pid.size
+    ) * 4 / 1e6 + g.sw_meta.size * 4 / 1e6
+    _report("config4_rgrid_update", n / dt, "chunks/s",
+            window_chunks=w, tables_mb=round(mem_mb, 1))
 
 
 def config5():

@@ -214,7 +214,7 @@ class WavefrontRenderer:
     """
 
     def __init__(self, materials, show_step_count=False, max_rounds=48,
-                 inner_steps=12, tracer="v2", v3_rounds=14):
+                 inner_steps=12, tracer="v2", v3_rounds=16):
         self.materials = materials
         self.show_step_count = bool(show_step_count)
         self.max_rounds = int(max_rounds)

@@ -978,7 +978,21 @@ def _trace_frame(
                   sc_pid=sc_pid)
         return c2, ()
 
-    carry, _ = jax.lax.scan(round_body, carry, jnp.arange(rounds, dtype=i32))
+    # early-exit round loop: a frame stops paying for service rounds the
+    # moment every ray has hit or left the world (an idle round still costs
+    # ~2 ms of program/DMA overhead at 1080p), so the budget can be generous
+    def _round_cond(state):
+        r, c = state
+        return (r < rounds) & jnp.any((c["fl"] & 1) != 0)
+
+    def _round_body(state):
+        r, c = state
+        c2, _ = round_body(c, r)
+        return r + 1, c2
+
+    _, carry = jax.lax.while_loop(
+        _round_cond, _round_body, (jnp.int32(0), carry)
+    )
 
     if raw_out:
         # tiled raw state for fused pipelines (shadow pass, shade kernel)
@@ -1079,7 +1093,7 @@ def trace_wavefront3(
     cam=None,
     width=None,
     height=None,
-    rounds=10,
+    rounds=16,
     steps_per_round=48,
     interpret=None,
     resolve_ids=None,
@@ -1130,7 +1144,7 @@ def trace_wavefront3_rays(
     *,
     width,
     height,
-    rounds=10,
+    rounds=16,
     steps_per_round=48,
     interpret=None,
     resolve_ids=None,
@@ -1446,7 +1460,7 @@ def render_frame3(
     shadows=False,
     shadow_ambient=0.4,
     show_steps=False,
-    rounds=12,
+    rounds=16,
     steps_per_round=48,
     interpret=None,
     with_flags=False,
@@ -1798,7 +1812,7 @@ def path_trace3(
     bounces=1,
     samples=1,
     key=None,
-    rounds=12,
+    rounds=16,
     steps_per_round=48,
     interpret=None,
 ):

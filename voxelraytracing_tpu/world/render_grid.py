@@ -14,8 +14,11 @@ cached device arrays (`.at[rows].set`), so a steady-state frame moves a
 few KB, not the ~4 MB tables.
 """
 
+from functools import partial
+
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..core.constants import CHUNK_SIZE
@@ -24,6 +27,14 @@ from ..ops.wavefront3 import SW, WIN, RenderGrid3, _pack_bits_np
 from ..utils.log import get_logger
 
 log = get_logger(__name__)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows(dst, rows, vals):
+    """In-place row scatter: donating ``dst`` lets XLA update the buffer
+    without copying it (the tables are ~0.7 GB at the 30-chunk window, so a
+    functional update would move gigabytes per frame)."""
+    return dst.at[rows].set(vals)
 
 
 def chunk_batch_sw_data(rgrids, n_liquid, to_pack):
@@ -261,22 +272,18 @@ class RenderGrid3Builder:
             if self._dirty_sw:
                 rows = np.asarray(sorted(self._dirty_sw), np.int32)
                 d = self._dev
-                d["sw_solid"] = d["sw_solid"].at[rows].set(
-                    jnp.asarray(self.sw_solid[rows])
-                )
-                d["sw_liq"] = d["sw_liq"].at[rows].set(
-                    jnp.asarray(self.sw_liq[rows])
-                )
-                d["sw_meta"] = d["sw_meta"].at[rows].set(
-                    jnp.asarray(self.sw_meta[rows])
-                )
-                d["sw_pid"] = d["sw_pid"].at[rows].set(
-                    jnp.asarray(self.sw_pid[rows])
-                )
+                for name, host in (
+                    ("sw_solid", self.sw_solid), ("sw_liq", self.sw_liq),
+                    ("sw_meta", self.sw_meta), ("sw_pid", self.sw_pid),
+                ):
+                    d[name] = _scatter_rows(
+                        d[name], jnp.asarray(rows), jnp.asarray(host[rows])
+                    )
             if self._dirty_w:
                 rows = np.asarray(sorted(self._dirty_w), np.int32)
-                self._dev["wmeta"] = self._dev["wmeta"].at[rows].set(
-                    jnp.asarray(self.wmeta[rows])
+                self._dev["wmeta"] = _scatter_rows(
+                    self._dev["wmeta"], jnp.asarray(rows),
+                    jnp.asarray(self.wmeta[rows]),
                 )
         self._dirty_sw.clear()
         self._dirty_w.clear()
