@@ -296,10 +296,15 @@ def main():
         # backend choice is process-global
         import subprocess
 
+        rc = 0
         for k in "12345":
-            subprocess.run([sys.executable, __file__, k], check=False)
-    else:
-        configs[which]()
+            r = subprocess.run([sys.executable, __file__, k])
+            if r.returncode != 0:
+                print(json.dumps({"metric": f"config{k}", "error":
+                                  f"rc={r.returncode}"}), file=sys.stderr)
+                rc = 1
+        return rc
+    configs[which]()
     return 0
 
 

@@ -651,9 +651,11 @@ def _n_active(c: _Carry):
 @partial(jax.jit, static_argnames=("width", "height", "tx", "ty"))
 def _finish(to_pack, rays, c: _Carry, *, width, height, tx, ty):
     f32 = jnp.float32
-    # Step-cap survivors count as hits (ray_tracer.wgsl:291-309); submerged
-    # rays get water credit up to their stop point.
-    hit = c.hit | c.active
+    # Budget-exhausted survivors render as MISS (sky) — the reference's
+    # fell-out-of-the-loop behavior (ray_tracer.wgsl:220), same cap
+    # semantics as the v3 tracer. Submerged rays still get water credit up
+    # to their stop point.
+    hit = c.hit
     t_stop = jnp.minimum(c.t, rays.t_exit)
     water = c.water + jnp.where(c.wenter >= 0.0, t_stop - c.wenter, 0.0)
 

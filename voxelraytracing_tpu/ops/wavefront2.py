@@ -720,7 +720,9 @@ def _trace_frame(
         ),
         t_cap,
     )
-    hit = (carry["hit"] != 0) | (carry["active"] != 0)
+    # cap semantics match the reference kernel and v3: budget-exhausted
+    # rays render as miss/sky (ray_tracer.wgsl:220)
+    hit = carry["hit"] != 0
     t_stop = jnp.minimum(carry["t"], t_exit)
     water = carry["water"] + jnp.where(
         carry["wenter"] >= 0.0, t_stop - carry["wenter"], 0.0

@@ -132,6 +132,45 @@ def _pack_bits_np(bits):
     ).astype(np.uint32)
 
 
+def build_sw_palettes(vol_rows, solid_rows, to_pack):
+    """Per-subwindow solid-id palettes + 4 palette-index bit planes.
+
+    Shared by the one-shot host builder and the incremental engine builder
+    (world/render_grid.py) so palette policy can't drift between them.
+    Returns ``(pal_words u32[N,4], sw_pid u32[N,4,128], palettes_ok)``.
+
+    Overflow policy: a 16³ subwindow with more than 16 distinct solid ids
+    keeps its 16 MOST FREQUENT ids and maps the rest to the most frequent
+    one — a best-effort color for a few voxels of a pathological region —
+    and ``palettes_ok`` goes False so callers can route exact consumers
+    through the gather fallback (trace_wavefront3 does automatically when
+    real brick tables are present).
+    """
+    n_sw = vol_rows.shape[0]
+    pal_words = np.zeros((n_sw, 4), np.uint32)
+    pidx = np.zeros_like(vol_rows, dtype=np.uint8)
+    palettes_ok = True
+    for r in np.flatnonzero(solid_rows.any(axis=1)):
+        ids, counts = np.unique(
+            vol_rows[r][solid_rows[r]], return_counts=True
+        )
+        if len(ids) > 16:
+            palettes_ok = False
+            ids = ids[np.argsort(-counts)][:16]
+        lut = np.zeros(256, np.uint8)
+        lut[ids] = np.arange(len(ids), dtype=np.uint8)
+        pidx[r] = lut[vol_rows[r]]
+        pal = np.zeros(16, np.uint32)
+        pal[: len(ids)] = to_pack[ids]
+        pal_words[r] = (
+            pal.reshape(4, 4) << (np.arange(4, dtype=np.uint32) * 8)[None]
+        ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
+    sw_pid = np.stack(
+        [_pack_bits_np(((pidx >> b) & 1) != 0) for b in range(4)], axis=1
+    )
+    return pal_words, sw_pid, palettes_ok
+
+
 def build_render_grid3_host(grids, cells, world_min, size_in_chunks,
                             materials):
     """Host (NumPy) RenderGrid3 builder from per-chunk dense render grids.
@@ -207,29 +246,11 @@ def _planes_from_masks_np(solid, liq, vpad, vol=None, to_pack=None):
     sw_liq = _pack_bits_np(sw_rows(liq))
 
     # --- per-subwindow solid-id palettes + 4 palette-index bit planes ---
-    n_sw = ns * ns * ns
     vol_rows = sw_rows(vol)                          # [Ns³,4096] render ids
     solid_rows = sw_rows(solid)
-    pal_words = np.zeros((n_sw, 4), np.uint32)
-    pidx = np.zeros_like(vol_rows, dtype=np.uint8)
-    palettes_ok = True
-    nonuni = np.flatnonzero(solid_rows.any(axis=1))
-    for r in nonuni:
-        ids = np.unique(vol_rows[r][solid_rows[r]])
-        if len(ids) > 16:
-            palettes_ok = False
-            break
-        lut = np.zeros(256, np.uint8)
-        lut[ids] = np.arange(len(ids), dtype=np.uint8)
-        pidx[r] = lut[vol_rows[r]]
-        pal = np.zeros(16, np.uint32)
-        pal[: len(ids)] = to_pack[ids]
-        pal_words[r] = (
-            pal.reshape(4, 4) << (np.arange(4, dtype=np.uint32) * 8)[None]
-        ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
-    sw_pid = np.stack(
-        [_pack_bits_np(((pidx >> b) & 1) != 0) for b in range(4)], axis=1
-    )  # [Ns³, 4, 128]
+    pal_words, sw_pid, palettes_ok = build_sw_palettes(
+        vol_rows, solid_rows, to_pack
+    )
 
     # Per-brick (4³ within a subwindow) flags.
     def brick_reduce(m, op):
@@ -1362,7 +1383,6 @@ def _render_frame(
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, full_height=None, y0=0.0,
 ):
-    full_height = height if full_height is None else full_height
     """Primary trace (+ optional hard-shadow trace) + shade, fully tiled.
 
     Returns ``uint32[H, W]`` packed RGBA8 — the fast-path frame product
@@ -1370,6 +1390,7 @@ def _render_frame(
     state stays in the [T,128] tile layout; the only image-space reshape
     is the final one-array untile.
     """
+    full_height = height if full_height is None else full_height
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
     ty = height // TILE_H
@@ -1475,6 +1496,13 @@ def render_frame3(
     width, height = cam.proj_size
     if interpret is None:
         interpret = _interpret_default()
+    if not rg.palettes_ok:
+        from ..utils.log import get_logger
+
+        get_logger(__name__).warning(
+            "rendering with overflowed subwindow palettes: a few voxels in "
+            ">16-solid-id regions take the most-frequent entry's color"
+        )
     wm = rg.world_min if world_min is None else world_min
     wm = jnp.asarray(wm, jnp.float32)
     origin = jnp.asarray(cam.pos, jnp.float32) - wm
@@ -1606,8 +1634,8 @@ def _path_frame(
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     bounces, samples, full_height=None, y0=0.0,
 ):
-    full_height = height if full_height is None else full_height
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average)."""
+    full_height = height if full_height is None else full_height
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
     ty = height // TILE_H

@@ -168,7 +168,12 @@ def sharded_render_frame3(mesh, rg3, cam, materials_color, settings=None,
     pipeline under SPMD. Returns ``uint32[H, W]`` packed RGBA8 sharded over
     rows.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+        check_kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        check_kw = {"check_rep": False}
 
     from ..models.raytracer import RenderSettings
     from ..ops.wavefront3 import _render_frame, color_lut_rows
@@ -209,6 +214,6 @@ def sharded_render_frame3(mesh, rg3, cam, materials_color, settings=None,
         band, mesh=mesh,
         in_specs=tuple(P() for _ in tables),
         out_specs=P("rays", None),
-        check_rep=False,
+        **check_kw,
     )
     return jax.jit(fn)(*tables)

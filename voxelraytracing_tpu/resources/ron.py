@@ -208,16 +208,30 @@ def _unescape(s):
             out.append(_ESCAPES[e])
             i += 2
         elif e == "u":
-            # RON uses \u{XXXX}; also accept bare \uXXXX.
+            # RON uses \u{XXXX}; also accept bare \uXXXX (exactly 4 digits).
             if i + 2 < len(body) and body[i + 2] == "{":
-                end = body.index("}", i + 3)
-                out.append(chr(int(body[i + 3 : end], 16)))
+                end = body.find("}", i + 3)
+                if end < 0:
+                    raise RonError("unterminated \\u{...} escape in string")
+                hexs = body[i + 3 : end]
                 i = end + 1
             else:
-                out.append(chr(int(body[i + 2 : i + 6], 16)))
+                hexs = body[i + 2 : i + 6]
+                if len(hexs) != 4:
+                    raise RonError("truncated \\uXXXX escape in string")
                 i += 6
+            try:
+                out.append(chr(int(hexs, 16)))
+            except (ValueError, OverflowError) as exc:
+                raise RonError(f"bad unicode escape \\u{hexs!r}") from exc
         elif e == "x":
-            out.append(chr(int(body[i + 2 : i + 4], 16)))
+            hexs = body[i + 2 : i + 4]
+            if len(hexs) != 2:
+                raise RonError("truncated \\xNN escape in string")
+            try:
+                out.append(chr(int(hexs, 16)))
+            except ValueError as exc:
+                raise RonError(f"bad hex escape \\x{hexs!r}") from exc
             i += 4
         else:
             raise RonError(f"unknown escape \\{e} in string")

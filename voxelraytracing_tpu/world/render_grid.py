@@ -23,7 +23,13 @@ import jax.numpy as jnp
 
 from ..core.constants import CHUNK_SIZE
 from ..ops.wavefront import render_id_maps
-from ..ops.wavefront3 import SW, WIN, RenderGrid3, _pack_bits_np
+from ..ops.wavefront3 import (
+    SW,
+    WIN,
+    RenderGrid3,
+    _pack_bits_np,
+    build_sw_palettes,
+)
 from ..utils.log import get_logger
 
 log = get_logger(__name__)
@@ -76,26 +82,12 @@ def chunk_batch_sw_data(rgrids, n_liquid, to_pack):
     sw_meta[:, 0:2] = _pack_bits_np(b_jump)
     sw_meta[:, 2:4] = _pack_bits_np(b_all_liq)
 
-    # palettes + palette-index planes (only non-uniform rows need work)
-    vol_rows = sw_rows(rg)
-    pidx = np.zeros_like(vol_rows, dtype=np.uint8)
-    pal_ok = True
-    for r in np.flatnonzero(solid_rows.any(axis=1)):
-        ids = np.unique(vol_rows[r][solid_rows[r]])
-        if len(ids) > 16:
-            pal_ok = False
-            ids = ids[:16]
-        lut = np.zeros(256, np.uint8)
-        lut[ids] = np.arange(len(ids), dtype=np.uint8)
-        pidx[r] = lut[vol_rows[r]]
-        pal = np.zeros(16, np.uint32)
-        pal[: len(ids)] = to_pack[ids]
-        sw_meta[r, 4:8] = (
-            pal.reshape(4, 4) << (np.arange(4, dtype=np.uint32) * 8)[None]
-        ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
-    sw_pid = np.stack(
-        [_pack_bits_np(((pidx >> k) & 1) != 0) for k in range(4)], axis=1
+    # palettes + palette-index planes: shared with the one-shot builder
+    # (ops/wavefront3.build_sw_palettes) so overflow policy can't drift
+    pal_words, sw_pid, pal_ok = build_sw_palettes(
+        sw_rows(rg), solid_rows, to_pack
     )
+    sw_meta[:, 4:8] = pal_words
 
     s_any_solid = b_any_solid.any(axis=1)
     s_all_liq = b_all_liq.all(axis=1)
@@ -165,8 +157,11 @@ class RenderGrid3Builder:
         if not data["palettes_ok"]:
             self.palettes_ok = False
             log.warning(
-                "subwindow palette overflow (>16 solid ids); hit ids will "
-                "fall back to the gather path"
+                "subwindow palette overflow (>16 solid ids in a 16^3 "
+                "region): overflow voxels render with the most-frequent "
+                "palette entry on the fused path (exact consumers should "
+                "use the one-shot host builder, whose gather fallback has "
+                "real brick tables)"
             )
         for bi, cell in enumerate(cells):
             sids = self._sw_ids_for_cell(cell)
