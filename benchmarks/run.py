@@ -191,9 +191,29 @@ def config3():
 
 
 def config4():
-    """Streaming fly-through: regenerate + SVO-rebuild a moving window, and
-    feed the fast-path RenderGrid3 incrementally (the render-side half of
-    client/src/world.rs:126-183 scrolling)."""
+    """Streaming fly-through, two phases in two processes: 10 s of device
+    SVO-rebuild dispatches leave this runtime in a state where a later
+    transfer can stall for ~30-90 s (docs/TPU_NOTES.md — the same
+    process-scoped degradation that motivates subprocess isolation for the
+    configs themselves), which turns the second phase's 10 s loop into a
+    lottery. Each phase gets a fresh process."""
+    import subprocess
+
+    rc = 0
+    for k in ("4a", "4b"):
+        r = subprocess.run([sys.executable, __file__, k])
+        if r.returncode != 0:
+            print(json.dumps({"metric": f"config{k}", "error":
+                              f"rc={r.returncode}"}), file=sys.stderr)
+            rc = 1
+    if rc:
+        raise RuntimeError("config4 subphase failed")
+
+
+def config4a():
+    """Regenerate + SVO-rebuild a moving window (the server-side half of
+    streaming; reference: 16 builder threads × 128-chunk batches,
+    server/src/lib.rs:247-248)."""
     import jax.numpy as jnp
 
     from voxelraytracing_tpu.ops.svo_build import build_chunk_svo_batch
@@ -223,9 +243,19 @@ def config4():
     dt = time.perf_counter() - t0
     _report("config4_streaming_rebuild", n / dt, "chunks/s")
 
-    # render-side: incremental RenderGrid3 update + dirty-row upload for a
-    # W=30 window (the reference's default client window, 960³ voxels)
+
+def config4b():
+    """Incremental RenderGrid3 update + dirty-row upload for a W=30 window
+    (the render-side half of client/src/world.rs:126-183 scrolling; the
+    reference's default client window, 960³ voxels)."""
+    from voxelraytracing_tpu.resources.packs import Resources, builtin_respack_path
+    from voxelraytracing_tpu.worldgen import WorldGen
     from voxelraytracing_tpu.world.render_grid import RenderGrid3Builder
+
+    res = Resources.load_from(builtin_respack_path())
+    dp, sp = res.datapacks["terra"], res.stylepacks["terra"]
+    gen = WorldGen.from_datapack(dp, seed=1)
+    batch = 128
 
     mats = sp.material_table(dp.voxels)
     w = 30
@@ -236,24 +266,35 @@ def config4():
     cells = [(i % w, 1, (i // 16) % w) for i in range(batch)]
     b.set_chunks(cells, grids)
     jnp_grid = b.grid()  # warm upload
-
-    t0 = time.perf_counter()
-    n = 0
-    col = 0
-    while time.perf_counter() - t0 < 10.0:
-        col = (col + 2) % (w - 2)
-        cells = [((col + i) % w, 1, j % w) for i in range(16) for j in range(8)]
-        b.set_chunks(cells, grids)
-        g = b.grid()
-        n += batch
     import jax
 
+    def one_step(col):
+        cells = [((col + i) % w, 1, j % w) for i in range(16) for j in range(8)]
+        b.set_chunks(cells, grids)
+        return b.grid()
+
+    # Settle, then report the MEDIAN step: this runtime can insert one
+    # multi-second transfer stall at an arbitrary point after sustained
+    # dispatch activity (docs/TPU_NOTES.md), which makes a single timed
+    # window a lottery (observed 2.7 vs 183 chunks/s for identical code).
+    # The median over fixed steps measures the builder, not the lottery.
+    for s in range(2):
+        g = one_step(2 + 2 * s)
     jax.block_until_ready(g.sw_solid)
-    dt = time.perf_counter() - t0
+    times = []
+    col = 6
+    for s in range(8):
+        col = (col + 2) % (w - 2)
+        t0 = time.perf_counter()
+        g = one_step(col)
+        jax.block_until_ready(g.sw_solid)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
     mem_mb = (
         g.sw_solid.size + g.sw_liq.size + g.sw_pid.size
     ) * 4 / 1e6 + g.sw_meta.size * 4 / 1e6
-    _report("config4_rgrid_update", n / dt, "chunks/s",
+    _report("config4_rgrid_update", batch / dt, "chunks/s",
             window_chunks=w, tables_mb=round(mem_mb, 1))
 
 
@@ -290,6 +331,7 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     configs = {
         "1": config1, "2": config2, "3": config3, "4": config4, "5": config5,
+        "4a": config4a, "4b": config4b,
     }
     if which == "all":
         # each config in its own process: config1 pins the CPU backend and

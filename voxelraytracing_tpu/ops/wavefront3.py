@@ -147,24 +147,53 @@ def build_sw_palettes(vol_rows, solid_rows, to_pack):
     real brick tables are present).
     """
     n_sw = vol_rows.shape[0]
-    pal_words = np.zeros((n_sw, 4), np.uint32)
-    pidx = np.zeros_like(vol_rows, dtype=np.uint8)
-    palettes_ok = True
-    for r in np.flatnonzero(solid_rows.any(axis=1)):
-        ids, counts = np.unique(
-            vol_rows[r][solid_rows[r]], return_counts=True
-        )
-        if len(ids) > 16:
-            palettes_ok = False
-            ids = ids[np.argsort(-counts)][:16]
-        lut = np.zeros(256, np.uint8)
-        lut[ids] = np.arange(len(ids), dtype=np.uint8)
-        pidx[r] = lut[vol_rows[r]]
-        pal = np.zeros(16, np.uint32)
-        pal[: len(ids)] = to_pack[ids]
-        pal_words[r] = (
-            pal.reshape(4, 4) << (np.arange(4, dtype=np.uint32) * 8)[None]
-        ).sum(axis=1, dtype=np.uint64).astype(np.uint32)
+    vr = vol_rows.astype(np.int64)
+    # per-(row, id) solid counts in one bincount (render ids are < 256);
+    # fully vectorized — the per-row np.unique loop cost ~0.4 s per
+    # 128-chunk batch and dominated config4's streaming update step.
+    # Non-solid voxels land in each row's id-0 column, which is dropped
+    # (id 0 = air is never solid); int64 keys — np.bincount's int32 path
+    # is ~28x slower. A boolean-mask fancy-index here costs ~0.5 s.
+    ids = np.where(solid_rows, vr, 0)
+    flat = (
+        np.arange(n_sw, dtype=np.int64)[:, None] * 256 + ids
+    ).ravel()
+    cnt = np.bincount(flat, minlength=n_sw * 256).reshape(n_sw, 256)
+    cnt[:, 0] = 0
+    present = cnt > 0
+    n_ids = present.sum(axis=1)
+    over = n_ids > 16
+    palettes_ok = not bool(over.any())
+
+    # palette order: ascending id (matches np.unique) for ≤16-id rows;
+    # for overflow rows, count-desc with id-asc tiebreak (deterministic)
+    ids256 = np.arange(256, dtype=np.int64)[None]
+    absent = np.int64(1) << 22
+    key_asc = np.where(present, ids256, absent)
+    key_cnt = np.where(present, -(cnt.astype(np.int64) << 9) + ids256,
+                       absent)
+    key = np.where(over[:, None], key_cnt, key_asc)
+    pal_ids = np.argsort(key, axis=1, kind="stable")[:, :16]   # [N,16] ids
+    k_valid = np.arange(16)[None, :] < np.minimum(n_ids, 16)[:, None]
+    pal_ids = np.where(k_valid, pal_ids, 0)
+
+    # per-row LUT id -> palette index; ids outside the palette (overflow)
+    # keep 0 = the most-frequent entry (id 0 = air is never solid, so the
+    # invalid-slot writes to column 0 can't clobber a real entry)
+    lut = np.zeros((n_sw, 256), np.uint8)
+    np.put_along_axis(
+        lut, pal_ids,
+        (np.arange(16, dtype=np.uint8)[None] * k_valid).astype(np.uint8),
+        axis=1,
+    )
+    pidx = np.take_along_axis(lut, vr, axis=1)
+
+    pal = np.where(k_valid, np.asarray(to_pack)[pal_ids], 0).astype(
+        np.uint32)
+    pal_words = (
+        pal.reshape(n_sw, 4, 4)
+        << (np.arange(4, dtype=np.uint32) * 8)[None, None]
+    ).sum(axis=2, dtype=np.uint64).astype(np.uint32)
     sw_pid = np.stack(
         [_pack_bits_np(((pidx >> b) & 1) != 0) for b in range(4)], axis=1
     )
