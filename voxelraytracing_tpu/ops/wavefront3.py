@@ -66,6 +66,21 @@ from ..core.constants import CHUNK_SIZE
 SW = 16       # subwindow edge, voxels (one 128-word bit row)
 WIN = 64      # window edge, voxels (4³ subwindows)
 _BLK = 64     # tiles per Pallas grid program (8K rays)
+SB_W = 8      # tiles per superblock, x  (SB_W*SB_H == _BLK)
+SB_H = 8      # tiles per superblock, y
+
+# Tiles are ordered superblock-major: one Pallas grid program (= one
+# superblock = 8×8 tiles) covers a square 128×64-PIXEL patch instead of a
+# 1024×8 strip of 64 consecutive row-major tiles. Patch rays share a far
+# smaller set of subwindows, so the per-block 16-row cache converges in
+# fewer service rounds (frustum coherence is the whole point of tiling).
+
+
+def _sb_dims(tx, ty):
+    """Superblock grid dims + padded tile count for a (tx, ty) tile grid."""
+    nsx = -(-tx // SB_W)
+    nsy = -(-ty // SB_H)
+    return nsx, nsy, nsx * nsy * _BLK
 N_WC = 8      # windows cached per block (metas pack into one row)
 N_SC = 16     # subwindows cached per block
 _W_INS = 2    # window cache inserts per round
@@ -374,16 +389,19 @@ def _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0):
     ])
 
 
-def _ray_dirs(scal, tg, lane, tx):
+def _ray_dirs(scal, tg, lane, nsx):
     """Per-ray directions from the camera affine; shared by the Mosaic
     kernel and the XLA finish (identical op order keeps them bit-equal).
 
-    ``scal[21]`` is the band's first pixel row (0 for a full frame) — how a
-    device renders its horizontal slice when the pixel grid is sharded.
+    ``tg`` is a superblock-major tile index (see _sb_dims); ``scal[21]``
+    is the band's first pixel row (0 for a full frame) — how a device
+    renders its horizontal slice when the pixel grid is sharded.
     """
     f32 = jnp.float32
-    txi = (tg % tx).astype(f32)
-    tyi = (tg // tx).astype(f32)
+    sb = tg // _BLK
+    l = tg - sb * _BLK
+    txi = ((sb % nsx) * SB_W + l % SB_W).astype(f32)
+    tyi = ((sb // nsx) * SB_H + l // SB_W).astype(f32)
     px = txi * TILE_W + (lane % TILE_W).astype(f32)
     py = tyi * TILE_H + (lane // TILE_W).astype(f32) + scal[21]
     x = px * scal[4] - 1.0   # scal[4] = 2/width
@@ -402,7 +420,7 @@ def _ray_dirs(scal, tg, lane, tx):
 
 def _march_kernel(
     *refs,
-    sub_rounds, sub_steps, nw, ns, tx, per_ray,
+    sub_rounds, sub_steps, nw, ns, nsx, per_ray,
 ):
     """The march kernel. Ref order (inputs then outputs):
 
@@ -441,7 +459,7 @@ def _march_kernel(
         rows = jax.lax.broadcasted_iota(i32, (blk, 128), 0)
         tg = pl.program_id(0) * blk + rows
         scal_v = [scal_ref[i] for i in range(24)]
-        dx, dy, dz = _ray_dirs(scal_v, tg, lanes, tx)
+        dx, dy, dz = _ray_dirs(scal_v, tg, lanes, nsx)
 
     def inv(c):
         c2 = jnp.where(c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
@@ -744,7 +762,7 @@ def _march_kernel(
 
 def _march(
     scal, meta, cache, ts, fl, wa, we,
-    *, sub_rounds, sub_steps, nw, ns, tx, interpret, rays=None,
+    *, sub_rounds, sub_steps, nw, ns, nsx, interpret, rays=None,
 ):
     T = ts.shape[0]
     blk = _BLK
@@ -781,7 +799,7 @@ def _march(
     )
     kern = partial(
         _march_kernel, sub_rounds=sub_rounds, sub_steps=sub_steps,
-        nw=nw, ns=ns, tx=tx, per_ray=per_ray,
+        nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
     )
     return pl.pallas_call(
         kern,
@@ -799,13 +817,49 @@ def _march(
 # --------------------------------------------------------------------- frame
 
 
-def _tile_hw(x, tx, ty, n_tiles, T):
-    """[H, W(,C)] -> [T, 128(,C)] tile layout (16x8 pixels per 128-lane row)."""
+def _tile_hw(x, tx, ty, T):
+    """[H, W(,C)] -> [T, 128(,C)] superblock-major tile layout (16x8 pixels
+    per 128-lane row, 8x8 tiles per superblock; edge superblocks pad)."""
+    nsx, nsy, T2 = _sb_dims(tx, ty)
+    assert T2 == T, (T2, T)
+    ne = len(x.shape[2:])
     extra = x.shape[2:]
     y = x.reshape((ty, TILE_H, tx, TILE_W) + extra)
-    y = y.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(extra))))
-    y = y.reshape((n_tiles, 128) + extra)
-    return jnp.pad(y, [(0, T - n_tiles), (0, 0)] + [(0, 0)] * len(extra))
+    y = y.transpose((0, 2, 1, 3) + tuple(range(4, 4 + ne)))
+    # (ty, tx, TILE_H, TILE_W, *e) -> pad tile grid to the superblock grid
+    y = jnp.pad(
+        y,
+        [(0, nsy * SB_H - ty), (0, nsx * SB_W - tx), (0, 0), (0, 0)]
+        + [(0, 0)] * ne,
+    )
+    y = y.reshape((nsy, SB_H, nsx, SB_W, TILE_H, TILE_W) + extra)
+    y = y.transpose((0, 2, 1, 3, 4, 5) + tuple(range(6, 6 + ne)))
+    return y.reshape((T, 128) + extra)
+
+
+def _untile_hw(x, tx, ty, width, height):
+    """Inverse of _tile_hw: [T, 128(,C)] -> [height, width(,C)]."""
+    nsx, nsy, _ = _sb_dims(tx, ty)
+    ne = len(x.shape[2:])
+    extra = x.shape[2:]
+    y = x.reshape((nsy, nsx, SB_H, SB_W, TILE_H, TILE_W) + extra)
+    y = y.transpose((0, 2, 4, 1, 3, 5) + tuple(range(6, 6 + ne)))
+    y = y.reshape(
+        (nsy * SB_H * TILE_H, nsx * SB_W * TILE_W) + extra
+    )
+    return y[:height, :width]
+
+
+def _tile_valid(tx, ty, T):
+    """bool[T, 128]: tiles that carry real pixels (edge superblocks pad)."""
+    nsx, _, _ = _sb_dims(tx, ty)
+    i32 = jnp.int32
+    tile_i = jax.lax.broadcasted_iota(i32, (T, 128), 0)
+    sb = tile_i // _BLK
+    l = tile_i - sb * _BLK
+    txi = (sb % nsx) * SB_W + l % SB_W
+    tyi = (sb // nsx) * SB_H + l // SB_W
+    return (txi < tx) & (tyi < ty)
 
 
 @partial(
@@ -827,8 +881,7 @@ def _trace_frame(
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
     ty = height // TILE_H
-    n_tiles = tx * ty
-    T = -(-n_tiles // _BLK) * _BLK
+    nsx, nsy, T = _sb_dims(tx, ty)
     nB = T // _BLK
     ns = int(round(sw_solid.shape[0] ** (1 / 3)))
     while ns * ns * ns < sw_solid.shape[0]:
@@ -846,7 +899,7 @@ def _trace_frame(
     shape = (T, 128)
     tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
     lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
-    valid = tile_i < n_tiles
+    valid = _tile_valid(tx, ty, T)
     if per_ray:
         pre_tiled = (
             origins3.ndim == 3 and origins3.shape[0] == T
@@ -857,9 +910,9 @@ def _trace_frame(
             dt3 = jnp.asarray(dirs3, f32)
             act0 = jnp.asarray(active0, bool)
         else:
-            ot = _tile_hw(jnp.asarray(origins3, f32), tx, ty, n_tiles, T)
-            dt3 = _tile_hw(jnp.asarray(dirs3, f32), tx, ty, n_tiles, T)
-            act0 = _tile_hw(jnp.asarray(active0, bool), tx, ty, n_tiles, T)
+            ot = _tile_hw(jnp.asarray(origins3, f32), tx, ty, T)
+            dt3 = _tile_hw(jnp.asarray(dirs3, f32), tx, ty, T)
+            act0 = _tile_hw(jnp.asarray(active0, bool), tx, ty, T)
         oxr, oyr, ozr = ot[..., 0], ot[..., 1], ot[..., 2]
         dx, dy, dz = dt3[..., 0], dt3[..., 1], dt3[..., 2]
         rays = (oxr, oyr, ozr, dx, dy, dz)
@@ -872,7 +925,7 @@ def _trace_frame(
         seed_o = ot[0, 0]  # any in-world point works as the cache seed
     else:
         dx, dy, dz = _ray_dirs(
-            [scal[i] for i in range(24)], tile_i, lane_i, tx
+            [scal[i] for i in range(24)], tile_i, lane_i, nsx
         )
         rays = None
         inside = (
@@ -1020,7 +1073,7 @@ def _trace_frame(
         outs = _march(
             scal, meta, cache, c["ts"], c["fl"], c["wa"], c["we"],
             sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
-            tx=tx, interpret=interpret, rays=rays,
+            nsx=nsx, interpret=interpret, rays=rays,
         )
         c2 = dict(zip(("ts", "fl", "wa", "we", "want"), outs))
         c2.update(wc_ids=wc_ids, wc_meta=wc_meta, sc_ids=sc_ids,
@@ -1120,10 +1173,7 @@ def _trace_frame(
     )
 
     def untile(x):
-        extra = x.shape[2:]
-        y = x[:n_tiles].reshape((ty, tx, TILE_H, TILE_W) + extra)
-        y = y.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(extra))))
-        return y.reshape((height, width) + extra)
+        return _untile_hw(x, tx, ty, width, height)
 
     return WavefrontResult(
         hit=untile(hit),
@@ -1244,7 +1294,7 @@ def _shade_kernel(
     lut_ref,         # [1, 6, 128] f32: color LUT rows r0 r1 g0 g1 b0 b1
     ts_ref, fl_ref, wa_ref, we_ref, sh_ref,
     out_ref,         # [BLK,128] u32 packed RGBA8
-    *, tx, show_steps, shadows, max_steps,
+    *, nsx, show_steps, shadows, max_steps,
 ):
     # scal[24..]: 24-26 sun_dir, 27 sun_intensity, 28-30 sky_color,
     # 31 shadow_ambient, 32 water_overlay_strength (unused: overlay color
@@ -1256,7 +1306,7 @@ def _shade_kernel(
     rows = jax.lax.broadcasted_iota(i32, (blk, 128), 0)
     tg = pl.program_id(0) * blk + rows
     scal_v = [scal_ref[i] for i in range(24)]
-    dx, dy, dz = _ray_dirs(scal_v, tg, lanes, tx)
+    dx, dy, dz = _ray_dirs(scal_v, tg, lanes, nsx)
 
     fl = fl_ref[:]
     # budget-exhausted actives shade as miss/sky, the reference's
@@ -1358,7 +1408,7 @@ def _shade_kernel(
 
 
 def _shade(scal, lut, ts, fl, wa, we, sh,
-           *, tx, show_steps, shadows, max_steps, interpret):
+           *, nsx, show_steps, shadows, max_steps, interpret):
     T = ts.shape[0]
     blk = 256 if T % 256 == 0 else _BLK
 
@@ -1367,7 +1417,7 @@ def _shade(scal, lut, ts, fl, wa, we, sh,
                             memory_space=pltpu.VMEM)
 
     kern = partial(
-        _shade_kernel, tx=tx, show_steps=show_steps, shadows=shadows,
+        _shade_kernel, nsx=nsx, show_steps=show_steps, shadows=shadows,
         max_steps=max_steps,
     )
     return pl.pallas_call(
@@ -1423,8 +1473,7 @@ def _render_frame(
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
     ty = height // TILE_H
-    n_tiles = tx * ty
-    T = -(-n_tiles // _BLK) * _BLK
+    nsx, nsy, T = _sb_dims(tx, ty)
 
     args = (gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
             brick_dir, bricks, to_pack)
@@ -1447,7 +1496,7 @@ def _render_frame(
         tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
         lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
         dx, dy, dz = _ray_dirs(
-            [scal[i] for i in range(24)], tile_i, lane_i, tx
+            [scal[i] for i in range(24)], tile_i, lane_i, nsx
         )
         hitm = ((fl >> _FL_HIT) & 1) != 0
         ax = (fl >> _FL_AX) & 7
@@ -1485,13 +1534,12 @@ def _render_frame(
     ])
     packed = _shade(
         scal2, lut[None], ts, fl, wa, we, sh,
-        tx=tx, show_steps=show_steps, shadows=shadows,
+        nsx=nsx, show_steps=show_steps, shadows=shadows,
         max_steps=rounds * sub_rounds * sub_steps, interpret=interpret,
     )
 
     def untile(x):
-        y = x[:n_tiles].reshape(ty, tx, TILE_H, TILE_W)
-        return y.transpose(0, 2, 1, 3).reshape(height, width)
+        return _untile_hw(x, tx, ty, width, height)
 
     # the flags image rides along for overlays/picking feedback (hit mask,
     # step heatmap, hit voxel ids) at the cost of one extra untile
@@ -1668,8 +1716,7 @@ def _path_frame(
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
     ty = height // TILE_H
-    n_tiles = tx * ty
-    T = -(-n_tiles // _BLK) * _BLK
+    nsx, nsy, T = _sb_dims(tx, ty)
     shape = (T, 128)
 
     args = (gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
@@ -1679,7 +1726,7 @@ def _path_frame(
     tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
     lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
     dx0, dy0, dz0 = _ray_dirs(
-        [scal[i] for i in range(24)], tile_i, lane_i, tx
+        [scal[i] for i in range(24)], tile_i, lane_i, nsx
     )
     kx, ky, kz = _WATER_ABSORB
 
@@ -1847,9 +1894,7 @@ def _path_frame(
     inv_s = 1.0 / samples
 
     def untile(x):
-        y = x[:n_tiles].reshape(ty, tx, TILE_H, TILE_W)
-        y = y.transpose(0, 2, 1, 3).reshape(height, width)
-        return y
+        return _untile_hw(x, tx, ty, width, height)
 
     return jnp.stack(
         [untile(ar_ * inv_s), untile(ag_ * inv_s), untile(ab_ * inv_s)],
