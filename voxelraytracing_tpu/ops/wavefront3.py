@@ -86,6 +86,7 @@ N_SC = 16     # subwindows cached per block
 _W_INS = 2    # window cache inserts per round
 _S_INS = 8    # subwindow cache inserts per round
 _BIGI = 0x3FFFFFFF
+_FL_BIAS = 0x30000000  # flags-in-f32 bias: keeps the bit pattern a normal f32
 
 
 def _interpret_default():
@@ -425,33 +426,45 @@ def _march_kernel(
     """The march kernel. Ref order (inputs then outputs):
 
     scal_ref   SMEM f32[24]: ox,oy,oz,v, 2/w,2/h, cam affine (15)
-    meta_ref   [1, 5, 128] u32: gj, gl, wmeta-pack, smeta-pack, ids
-    cache_ref  [1, 6*N_SC, 128] u32: solid | liquid | 4 pid planes
-    (per_ray only) ox/oy/oz/dx/dy/dz [BLK,128] f32 — per-ray origins and
-      directions (secondary rays: shadows, bounces); otherwise the camera
-      affine in scal generates directions in-register
-    ts/fl/wa/we [BLK,128] f32/i32/f32/f32 state, then the same 4 outputs
+    mc_ref     [1, 5 + 6*N_SC, 128] u32: meta rows (gj, gl, wmeta-pack,
+               smeta-pack, ids) then cache rows (solid | liquid | 4 pid)
+    (per_ray only) rays_ref [6, BLK, 128] f32: ox oy oz dx dy dz planes —
+      per-ray origins/directions (secondary rays: shadows, bounces);
+      otherwise the camera affine in scal generates directions in-register
+    st_ref     [4, BLK, 128] f32: ts | flags (i32 bit pattern) | wa | we
+    st_o       same 4 planes out
     want_o     [BLK,8] i32: lanes 0-3 subwindow wants, 4 window want
+
+    Streams are packed this hard because this runtime charges ~1.8 µs of
+    per-program setup per block-DMA: at 254 programs x ~10 rounds, every
+    extra stream is ~5 ms/frame. The flags plane rides in the f32 state
+    array via bitcast, biased by _FL_BIAS so the pattern is a NORMAL f32
+    (raw flag values < 2^25 would be denormals, which this TPU flushes to
+    zero somewhere in the copy path - observed as every ray dying).
     """
     if per_ray:
-        (scal_ref, meta_ref, cache_ref, ox_ref, oy_ref, oz_ref,
-         dx_ref, dy_ref, dz_ref, ts_ref, fl_ref, wa_ref, we_ref,
-         ts_o, fl_o, wa_o, we_o, want_o) = refs
+        (scal_ref, mc_ref, rays_ref, st_ref, st_o, want_o) = refs
     else:
-        (scal_ref, meta_ref, cache_ref, ts_ref, fl_ref, wa_ref, we_ref,
-         ts_o, fl_o, wa_o, we_o, want_o) = refs
+        (scal_ref, mc_ref, st_ref, st_o, want_o) = refs
     f32, i32 = jnp.float32, jnp.int32
     v = scal_ref[3]
+
+    ts_ref = st_ref[0]
+    fl_ref = (
+        jax.lax.bitcast_convert_type(st_ref[1], i32) - _FL_BIAS
+    )
+    wa_ref = st_ref[2]
+    we_ref = st_ref[3]
 
     blk = ts_ref.shape[0]
     lanes = jax.lax.broadcasted_iota(i32, (blk, 128), 1)
     if per_ray:
-        ox = ox_ref[:]
-        oy = oy_ref[:]
-        oz = oz_ref[:]
-        dx = dx_ref[:]
-        dy = dy_ref[:]
-        dz = dz_ref[:]
+        ox = rays_ref[0]
+        oy = rays_ref[1]
+        oz = rays_ref[2]
+        dx = rays_ref[3]
+        dy = rays_ref[4]
+        dz = rays_ref[5]
     else:
         ox = scal_ref[0]
         oy = scal_ref[1]
@@ -479,7 +492,7 @@ def _march_kernel(
         t_cap,
     )
 
-    meta = meta_ref[0]
+    meta = mc_ref[0]
     gj_row = jnp.broadcast_to(meta[0:1, :], (blk, 128))
     gl_row = jnp.broadcast_to(meta[1:2, :], (blk, 128))
     wm_row = jnp.broadcast_to(meta[2:3, :], (blk, 128))
@@ -495,7 +508,7 @@ def _march_kernel(
     wid_rows = [id_at(k) for k in range(N_WC)]
     sid_rows = [id_at(N_WC + k) for k in range(N_SC)]
 
-    cache = cache_ref[0]
+    cache = meta[5:]
     ssol = cache[:N_SC]
     sliq = cache[N_SC:2 * N_SC]
     spid = cache[2 * N_SC:]
@@ -717,15 +730,12 @@ def _march_kernel(
         sr, go, _, _ = state
         return (sr < sub_rounds) & (go != 0)
 
-    fl_in = fl_ref[:]
+    fl_in = fl_ref
     any_active = jnp.any((fl_in & 1) != 0)
 
     @pl.when(jnp.logical_not(any_active))
     def _():
-        ts_o[:] = ts_ref[:]
-        fl_o[:] = fl_in
-        wa_o[:] = wa_ref[:]
-        we_o[:] = we_ref[:]
+        st_o[:] = st_ref[:]
         want_o[:] = jnp.full(want_o.shape, -1, i32)
 
     @pl.when(any_active)
@@ -737,64 +747,67 @@ def _march_kernel(
         stp0 = (fl_in >> _FL_STP) & 0xFFF
         vox0 = (fl_in >> _FL_VOX) & 0xFF
         tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(
-            ts_ref[:], act0
+            ts_ref, act0
         )
         init_c = (
-            ts_ref[:], act0, hit0, ax0, vox0, wa_ref[:], we_ref[:], stp0,
+            ts_ref, act0, hit0, ax0, vox0, wa_ref, we_ref, stp0,
         )
         _, _, c, _ = jax.lax.while_loop(
             cond, sub_round,
             (jnp.int32(0), go, init_c,
              (tsid, tslot, solid_row, liq_row, pid_rows)),
         )
-        ts_o[:] = c[0]
-        fl_o[:] = (
+        fl_out = (
             c[1]
             | (c[2] << _FL_HIT)
             | (c[3] << _FL_AX)
             | (jnp.minimum(c[7], 0xFFF) << _FL_STP)
             | (c[4] << _FL_VOX)
         )
-        wa_o[:] = c[5]
-        we_o[:] = c[6]
+        st_o[0, :, :] = c[0]
+        st_o[1, :, :] = jax.lax.bitcast_convert_type(
+            fl_out + _FL_BIAS, f32
+        )
+        st_o[2, :, :] = c[5]
+        st_o[3, :, :] = c[6]
         want_o[:] = wants(c[0], c[1])
 
 
 def _march(
-    scal, meta, cache, ts, fl, wa, we,
+    scal, metacache, state,
     *, sub_rounds, sub_steps, nw, ns, nsx, interpret, rays=None,
 ):
-    T = ts.shape[0]
+    """state: f32[4, T, 128] (ts | flags-bits | wa | we); metacache:
+    u32[nB, 5 + 6*N_SC, 128]; rays: f32[6, T, 128] or None.
+    Returns (state', want[T,8])."""
+    T = state.shape[1]
     blk = _BLK
     f32, i32 = jnp.float32, jnp.int32
     per_ray = rays is not None
 
-    def vspec(w=128):
-        return pl.BlockSpec((blk, w), lambda i: (i, 0),
+    def pspec(p):
+        return pl.BlockSpec((p, blk, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
-
-    def cspec(n):
-        return pl.BlockSpec(
-            (1, n, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),          # scal
-        cspec(5),                                       # meta
-        cspec(6 * N_SC),                                # cache
+        pl.BlockSpec(                                   # meta+cache block
+            (1, 5 + 6 * N_SC, 128), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
     ]
-    args = [scal, meta, cache]
+    args = [scal, metacache]
     if per_ray:
-        in_specs += [vspec()] * 6                       # ox oy oz dx dy dz
-        args += list(rays)
-    in_specs += [vspec(), vspec(), vspec(), vspec()]    # ts fl wa we
-    args += [ts, fl, wa, we]
-    out_specs = tuple([vspec()] * 4 + [vspec(8)])
+        in_specs.append(pspec(6))                       # ray planes
+        args.append(rays)
+    in_specs.append(pspec(4))                           # state planes
+    args.append(state)
+    out_specs = (
+        pspec(4),
+        pl.BlockSpec((blk, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )
     out_shape = (
-        jax.ShapeDtypeStruct((T, 128), f32),
-        jax.ShapeDtypeStruct((T, 128), i32),
-        jax.ShapeDtypeStruct((T, 128), f32),
-        jax.ShapeDtypeStruct((T, 128), f32),
+        jax.ShapeDtypeStruct((4, T, 128), f32),
         jax.ShapeDtypeStruct((T, 8), i32),
     )
     kern = partial(
@@ -915,7 +928,7 @@ def _trace_frame(
             act0 = _tile_hw(jnp.asarray(active0, bool), tx, ty, T)
         oxr, oyr, ozr = ot[..., 0], ot[..., 1], ot[..., 2]
         dx, dy, dz = dt3[..., 0], dt3[..., 1], dt3[..., 2]
-        rays = (oxr, oyr, ozr, dx, dy, dz)
+        rays = jnp.stack([oxr, oyr, ozr, dx, dy, dz])   # [6, T, 128]
         inside = (
             (oxr > 0.0) & (oxr < v)
             & (oyr > 0.0) & (oyr < v)
@@ -938,11 +951,15 @@ def _trace_frame(
     lane16 = jax.lax.broadcasted_iota(i32, (nB, N_WC), 1)
     lane128 = jax.lax.broadcasted_iota(i32, (nB, 128), 1)
 
+    fl0 = (jnp.broadcast_to(inside, shape) & valid).astype(i32)
     carry = dict(
-        ts=jnp.full(shape, EPS_T, f32),
-        fl=(jnp.broadcast_to(inside, shape) & valid).astype(i32),
-        wa=jnp.zeros(shape, f32),
-        we=jnp.full(shape, -1.0, f32),
+        # ts | flags (i32 bits, always < 2^25 so never NaN) | wa | we
+        state=jnp.stack([
+            jnp.full(shape, EPS_T, f32),
+            jax.lax.bitcast_convert_type(fl0 + _FL_BIAS, f32),
+            jnp.zeros(shape, f32),
+            jnp.full(shape, -1.0, f32),
+        ]),
         wc_ids=jnp.full((nB, N_WC), -1, i32),
         wc_meta=jnp.zeros((nB, 128), jnp.uint32),
         sc_ids=jnp.full((nB, N_SC), -1, i32),
@@ -1064,18 +1081,21 @@ def _trace_frame(
             [wc_ids, sc_ids, jnp.full((nB, 128 - N_WC - N_SC), -1, i32)],
             axis=1,
         ).astype(jnp.uint32)
-        meta = jnp.stack(
-            [gj3[:, 0], gl3[:, 0], wc_meta, sc_meta, ids_u], axis=1
-        )                                                  # [B,5,128]
-        cache = jnp.concatenate(
-            [sc_solid, sc_liq, sc_pid.reshape(nB, N_SC * 4, 128)], axis=1
-        )                                                  # [B,96,128]
-        outs = _march(
-            scal, meta, cache, c["ts"], c["fl"], c["wa"], c["we"],
+        metacache = jnp.concatenate(
+            [
+                jnp.stack(
+                    [gj3[:, 0], gl3[:, 0], wc_meta, sc_meta, ids_u], axis=1
+                ),                                         # [B,5,128]
+                sc_solid, sc_liq, sc_pid.reshape(nB, N_SC * 4, 128),
+            ],
+            axis=1,
+        )                                                  # [B,101,128]
+        state, want = _march(
+            scal, metacache, c["state"],
             sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
             nsx=nsx, interpret=interpret, rays=rays,
         )
-        c2 = dict(zip(("ts", "fl", "wa", "we", "want"), outs))
+        c2 = dict(state=state, want=want)
         c2.update(wc_ids=wc_ids, wc_meta=wc_meta, sc_ids=sc_ids,
                   sc_meta=sc_meta, sc_solid=sc_solid, sc_liq=sc_liq,
                   sc_pid=sc_pid)
@@ -1084,9 +1104,12 @@ def _trace_frame(
     # early-exit round loop: a frame stops paying for service rounds the
     # moment every ray has hit or left the world (an idle round still costs
     # ~2 ms of program/DMA overhead at 1080p), so the budget can be generous
+    def _fl_of(c):
+        return jax.lax.bitcast_convert_type(c["state"][1], i32) - _FL_BIAS
+
     def _round_cond(state):
         r, c = state
-        return (r < rounds) & jnp.any((c["fl"] & 1) != 0)
+        return (r < rounds) & jnp.any((_fl_of(c) & 1) != 0)
 
     def _round_body(state):
         r, c = state
@@ -1097,12 +1120,14 @@ def _trace_frame(
         _round_cond, _round_body, (jnp.int32(0), carry)
     )
 
+    st = carry["state"]
+    carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
+    fl = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
     if raw_out:
         # tiled raw state for fused pipelines (shadow pass, shade kernel)
-        return carry["ts"], carry["fl"], carry["wa"], carry["we"]
+        return carry_ts, fl, carry_wa, carry_we
 
     # ---- finish: forced-hit semantics; ids already decoded in-kernel ----
-    fl = carry["fl"]
     active_end = (fl >> _FL_ACT) & 1
     real_hit = ((fl >> _FL_HIT) & 1) != 0
     axmask = (fl >> _FL_AX) & 7
@@ -1133,9 +1158,9 @@ def _trace_frame(
     # like falling out of the 500-iteration loop (ray_tracer.wgsl:220).
     del active_end
     hit = real_hit
-    t_stop = jnp.minimum(carry["ts"], t_exit)
-    water = carry["wa"] + jnp.where(
-        carry["we"] >= 0.0, t_stop - carry["we"], 0.0
+    t_stop = jnp.minimum(carry_ts, t_exit)
+    water = carry_wa + jnp.where(
+        carry_we >= 0.0, t_stop - carry_we, 0.0
     )
 
     if resolve_ids == "palette":
@@ -1144,9 +1169,9 @@ def _trace_frame(
         voxel = jnp.where(real_hit, voxk, 0)
     elif resolve_ids == "gather":
         # fallback: batched gather chain through the v1 content tables
-        hx = jnp.floor(o0 + dx * carry["ts"]).astype(i32)
-        hy = jnp.floor(o1 + dy * carry["ts"]).astype(i32)
-        hz = jnp.floor(o2 + dz * carry["ts"]).astype(i32)
+        hx = jnp.floor(o0 + dx * carry_ts).astype(i32)
+        hy = jnp.floor(o1 + dy * carry_ts).astype(i32)
+        hz = jnp.floor(o2 + dz * carry_ts).astype(i32)
         hxc = jnp.clip(hx, 0, bg_side * BRICK - 1)
         hyc = jnp.clip(hy, 0, bg_side * BRICK - 1)
         hzc = jnp.clip(hz, 0, bg_side * BRICK - 1)
