@@ -150,3 +150,57 @@ def test_v3_path_trace_zero_bounce_matches_svo_pathtracer(scene):
     got = np.asarray(path_trace3(rg3, cam, mats, bounces=0, samples=1,
                                  rounds=32))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_v3_warm_cache_matches_cold(scene):
+    """A frame warm-started from another frame's service-cache token must
+    equal the cold trace exactly (ids are reused; contents re-gathered)."""
+    from voxelraytracing_tpu.ops.wavefront3 import empty_frame_cache
+
+    rg3, _, _ = scene
+    cam_a = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    cam_b = CamData.create((30.0, 52.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    origin, _ = generate_rays(cam_a, np.zeros(3, np.int32))
+    _, cache = trace_wavefront3(
+        rg3, origin, cam=cam_a, rounds=32, return_cache=True)
+    # converged budgets on both sides (tiny frames converge slowly cold;
+    # the warm side typically converges in far fewer rounds)
+    warm = trace_wavefront3(rg3, origin, cam=cam_b, rounds=96, cache=cache)
+    cold = trace_wavefront3(rg3, origin, cam=cam_b, rounds=96)
+    for f in ("hit", "voxel", "t", "water_dist", "norm"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(warm, f)), np.asarray(getattr(cold, f)), f)
+    # the empty token reproduces cold-start semantics exactly
+    e = trace_wavefront3(
+        rg3, origin, cam=cam_b, rounds=96, cache=empty_frame_cache(64, 32))
+    np.testing.assert_array_equal(np.asarray(e.hit), np.asarray(cold.hit))
+    np.testing.assert_array_equal(np.asarray(e.t), np.asarray(cold.t))
+
+
+def test_v3_warm_cache_sees_world_edits(scene):
+    """Cache tokens carry only IDS: after a world rebuild, a warm frame
+    must render the NEW world (contents are re-gathered every frame)."""
+    rg3, _, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+    _, cache = trace_wavefront3(
+        rg3, origin, cam=cam, rounds=32, return_cache=True)
+
+    # edited world: carve every solid voxel above y=40 out of the planes
+    w = 4
+    perm = jnp.asarray(noise.make_permutation(7))
+    grids, cells = demo_chunk_grids(
+        perm, jnp.zeros(3, jnp.int32), w,
+        jnp.float32(w * 32 * 0.30), jnp.int32(int(w * 32 * 0.18)),
+    )
+    rg_edit = build_render_grid3_host(
+        np.asarray(grids), np.asarray(cells), np.zeros(3, np.int32), w, mats
+    )
+    warm = trace_wavefront3(rg_edit, origin, cam=cam, rounds=32, cache=cache)
+    cold = trace_wavefront3(rg_edit, origin, cam=cam, rounds=32)
+    for f in ("hit", "voxel", "t"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(warm, f)), np.asarray(getattr(cold, f)), f)

@@ -878,18 +878,23 @@ def _tile_valid(tx, ty, T):
 @partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
+        "width", "height", "sub_rounds", "sub_steps", "v",
         "interpret", "resolve_ids", "per_ray", "raw_out", "full_height",
+        "warm", "return_cache",
     ),
 )
 def _trace_frame(
     gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
     brick_dir, bricks, to_pack,
     origin, inv_view, inv_proj, origins3, dirs3, active0,
-    *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
+    wc_ids0=None, sc_ids0=None, rounds=16,
+    *, width, height, sub_rounds, sub_steps, v, interpret,
     resolve_ids="palette", per_ray=False, raw_out=False,
-    full_height=None, y0=0.0,
+    full_height=None, y0=0.0, warm=False, return_cache=False,
 ):
+    # ``rounds`` is a TRACED scalar: the round loop is a while_loop, so the
+    # budget can vary per call without recompiling this (expensive) program.
+    rounds = jnp.asarray(rounds, jnp.int32)
     full_height = height if full_height is None else full_height
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
@@ -979,6 +984,40 @@ def _trace_frame(
         jnp.broadcast_to(m0[jnp.clip(lane128, 0, 7)], (nB, 128)),
         carry["wc_meta"],
     )
+    if warm:
+        # Persistent service cache: warm-start from the previous frame's
+        # cache IDS but re-gather every row's CONTENT from the current
+        # planes — temporal coherence without any staleness (world edits
+        # land in the planes and are re-read here every frame). Slot 0
+        # stays the camera window, matching the cold seed above.
+        wc0 = jnp.asarray(wc_ids0, i32).at[:, 0].set(cam_wid)
+        sc0 = jnp.asarray(sc_ids0, i32)
+        okw = wc0 >= 0
+        wmall = jnp.where(
+            okw[..., None],
+            wmeta[jnp.clip(wc0, 0, wmeta.shape[0] - 1)],
+            jnp.uint32(0),
+        )                                            # [nB, N_WC, 8]
+        carry["wc_ids"] = jnp.where(okw, wc0, -1)
+        carry["wc_meta"] = jnp.pad(
+            wmall.reshape(nB, 8 * N_WC),
+            ((0, 0), (0, 128 - 8 * N_WC)),
+        )
+        oks = sc0 >= 0
+        safe = jnp.clip(sc0, 0, sw_solid.shape[0] - 1)
+        carry.update(
+            sc_ids=jnp.where(oks, sc0, -1),
+            sc_meta=jnp.where(
+                oks[..., None], sw_meta[safe], jnp.uint32(0)
+            ).reshape(nB, 128),
+            sc_solid=jnp.where(
+                oks[..., None], sw_solid[safe], jnp.uint32(0)
+            ),
+            sc_liq=jnp.where(oks[..., None], sw_liq[safe], jnp.uint32(0)),
+            sc_pid=jnp.where(
+                oks[..., None, None], sw_pid[safe], jnp.uint32(0)
+            ),
+        )
 
     def insert_windows(c, r):
         """Serve up to _W_INS distinct uncached window wants per block."""
@@ -1123,8 +1162,11 @@ def _trace_frame(
     st = carry["state"]
     carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
     fl = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
+    cache_out = (carry["wc_ids"], carry["sc_ids"])
     if raw_out:
         # tiled raw state for fused pipelines (shadow pass, shade kernel)
+        if return_cache:
+            return carry_ts, fl, carry_wa, carry_we, cache_out
         return carry_ts, fl, carry_wa, carry_we
 
     # ---- finish: forced-hit semantics; ids already decoded in-kernel ----
@@ -1200,7 +1242,7 @@ def _trace_frame(
     def untile(x):
         return _untile_hw(x, tx, ty, width, height)
 
-    return WavefrontResult(
+    res = WavefrontResult(
         hit=untile(hit),
         voxel=untile(voxel),
         norm=untile(norm),
@@ -1208,6 +1250,9 @@ def _trace_frame(
         water_dist=untile(water),
         steps=untile(steps),
     )
+    if return_cache:
+        return res, cache_out
+    return res
 
 
 def trace_wavefront3(
@@ -1222,6 +1267,8 @@ def trace_wavefront3(
     steps_per_round=48,
     interpret=None,
     resolve_ids=None,
+    cache=None,
+    return_cache=False,
 ):
     """March one frame through a RenderGrid3 as a single fused program.
 
@@ -1235,6 +1282,12 @@ def trace_wavefront3(
     ``rounds * steps_per_round`` plays the role of the reference kernel's
     500-step cap (ray_tracer.wgsl:220); convergence is usually service-bound
     (subwindow rows per round), not step-bound.
+
+    ``cache``: an opaque service-cache token from a previous frame's
+    ``return_cache=True`` call — warm-starts each block's cached window /
+    subwindow IDS (contents are always re-gathered from the current
+    planes, so world edits are honored). Temporally coherent frames then
+    converge in a few rounds instead of re-serving geometry from scratch.
     """
     assert cam is not None, "trace_wavefront3 needs cam=CamData"
     if width is None or height is None:
@@ -1247,17 +1300,46 @@ def trace_wavefront3(
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
     z = jnp.zeros((), jnp.float32)
+    wc0, sc0, warm = _cache_args(cache, width, height)
     return _trace_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
         rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
         jnp.asarray(origin, jnp.float32),
         jnp.asarray(cam.inv_view, jnp.float32),
         jnp.asarray(cam.inv_proj, jnp.float32),
-        z, z, z,
+        z, z, z, wc0, sc0,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), resolve_ids=str(resolve_ids),
-        per_ray=False,
+        per_ray=False, warm=warm, return_cache=bool(return_cache),
+    )
+
+
+def _cache_args(cache, width, height):
+    """(wc_ids0, sc_ids0, warm) from an opaque frame-cache token."""
+    del width, height
+    if cache is not None:
+        wc0, sc0 = cache
+        return wc0, sc0, True
+    # scalar dummies: ignored under warm=False (a static branch)
+    z = jnp.zeros((), jnp.int32)
+    return z, z, False
+
+
+def empty_frame_cache(width, height):
+    """An all-empty service-cache token for a width x height frame.
+
+    Passing this as ``cache=`` reproduces cold-start semantics through the
+    warm code path — useful to keep a frame loop on ONE compiled program
+    (frame 0 empty, then chain each frame's returned token).
+    """
+    tx = width // TILE_W
+    ty = height // TILE_H
+    _, _, T = _sb_dims(tx, ty)
+    nB = T // _BLK
+    return (
+        jnp.full((nB, N_WC), -1, jnp.int32),
+        jnp.full((nB, N_SC), -1, jnp.int32),
     )
 
 
@@ -1273,6 +1355,8 @@ def trace_wavefront3_rays(
     steps_per_round=48,
     interpret=None,
     resolve_ids=None,
+    cache=None,
+    return_cache=False,
 ):
     """March arbitrary per-ray (origin, direction) bundles — the secondary
     -ray path for hard shadows and path-trace bounces.
@@ -1291,16 +1375,17 @@ def trace_wavefront3_rays(
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
     eye = jnp.eye(4, dtype=jnp.float32)
+    wc0, sc0, warm = _cache_args(cache, width, height)
     return _trace_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
         rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
         jnp.zeros(3, jnp.float32), eye, eye,
         jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
-        jnp.asarray(active, bool),
+        jnp.asarray(active, bool), wc0, sc0,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), resolve_ids=str(resolve_ids),
-        per_ray=True,
+        per_ray=True, warm=warm, return_cache=bool(return_cache),
     )
 
 
@@ -1477,6 +1562,7 @@ def color_lut_rows(colors):
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "full_height",
+        "warm", "return_cache",
     ),
 )
 def _render_frame(
@@ -1484,8 +1570,10 @@ def _render_frame(
     brick_dir, bricks, to_pack,
     origin, inv_view, inv_proj, lut,
     sky_color, sun_pos_local, sun_intensity, shadow_ambient,
+    wc_p=None, sc_p=None, wc_s=None, sc_s=None,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, full_height=None, y0=0.0,
+    warm=False, return_cache=False,
 ):
     """Primary trace (+ optional hard-shadow trace) + shade, fully tiled.
 
@@ -1503,13 +1591,21 @@ def _render_frame(
     args = (gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
             brick_dir, bricks, to_pack)
     z = jnp.zeros((), f32)
-    ts, fl, wa, we = _trace_frame(
+    zi = jnp.zeros((), i32)
+    tr = _trace_frame(
         *args, origin, inv_view, inv_proj, z, z, z,
+        wc_p if warm else zi, sc_p if warm else zi,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
         interpret=interpret, per_ray=False, raw_out=True,
         full_height=full_height, y0=y0,
+        warm=warm, return_cache=return_cache,
     )
+    if return_cache:
+        ts, fl, wa, we, cache_p = tr
+    else:
+        ts, fl, wa, we = tr
+        cache_p = None
 
     origin = jnp.asarray(origin, f32)
     scal = _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0)
@@ -1537,13 +1633,22 @@ def _render_frame(
         sn = jnp.sqrt(svx * svx + svy * svy + svz * svz)
         ot = jnp.stack([hx, hy, hz], axis=-1)
         dt3 = jnp.stack([svx / sn, svy / sn, svz / sn], axis=-1)
-        _, fls, _, _ = _trace_frame(
+        trs = _trace_frame(
             *args, jnp.zeros(3, f32), inv_view, inv_proj, ot, dt3, hitm,
+            wc_s if warm else zi, sc_s if warm else zi,
             width=width, height=height, rounds=max(rounds // 2, 4),
             sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
             interpret=interpret, per_ray=True, raw_out=True,
+            warm=warm, return_cache=return_cache,
         )
+        if return_cache:
+            _, fls, _, _, cache_s = trs
+        else:
+            _, fls, _, _ = trs
+            cache_s = None
         sh = ((fls >> _FL_HIT) & 1)
+    else:
+        cache_s = cache_p
 
     # sun direction for the sky disc: constant per frame
     # (normalize(sun_pos − origin), ray_tracer.wgsl:152)
@@ -1568,6 +1673,8 @@ def _render_frame(
 
     # the flags image rides along for overlays/picking feedback (hit mask,
     # step heatmap, hit voxel ids) at the cost of one extra untile
+    if return_cache:
+        return untile(packed), untile(fl), (cache_p, cache_s)
     return untile(packed), untile(fl)
 
 
@@ -1587,6 +1694,8 @@ def render_frame3(
     steps_per_round=48,
     interpret=None,
     with_flags=False,
+    cache=None,
+    return_cache=False,
 ):
     """One shaded frame through the v3 fast path -> ``uint32[H,W]`` RGBA8.
 
@@ -1594,6 +1703,9 @@ def render_frame3(
     prebuilt :func:`color_lut_rows` result. Unpack to u8 RGB with
     :func:`unpack_rgba8`. ``with_flags=True`` also returns the per-pixel
     trace flags word (hit bit 1, axmask 2-4, steps 5-16, vox 17-24).
+    ``cache``/``return_cache``: persistent service-cache token (primary +
+    shadow) — see :func:`trace_wavefront3`; pass the previous frame's
+    token back for temporally-coherent convergence in a few rounds.
     """
     width, height = cam.proj_size
     if interpret is None:
@@ -1614,7 +1726,15 @@ def render_frame3(
            else color_lut_rows(materials_color))
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
-    img, fl = _render_frame(
+    zi = jnp.zeros((), jnp.int32)
+    if cache is not None:
+        (wc_p, sc_p), cs = cache
+        wc_s, sc_s = cs if cs is not None else (zi, zi)
+        warm = True
+    else:
+        wc_p = sc_p = wc_s = sc_s = zi
+        warm = False
+    out = _render_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
         rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
         origin,
@@ -1623,14 +1743,22 @@ def render_frame3(
         lut,
         jnp.asarray(sky_color, jnp.float32), sun_local,
         jnp.float32(sun_intensity), jnp.float32(shadow_ambient),
+        wc_p, sc_p, wc_s, sc_s,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), shadows=bool(shadows),
-        show_steps=bool(show_steps),
+        show_steps=bool(show_steps), warm=warm,
+        return_cache=bool(return_cache),
     )
-    if with_flags:
-        return img, fl
-    return img
+    if return_cache:
+        img, fl, cache_out = out
+    else:
+        img, fl = out
+        cache_out = None
+    ret = (img, fl) if with_flags else (img,)
+    if return_cache:
+        ret = ret + (cache_out,)
+    return ret if len(ret) > 1 else ret[0]
 
 
 def unpack_rgba8(img_u32):
