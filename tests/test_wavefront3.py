@@ -204,3 +204,29 @@ def test_v3_warm_cache_sees_world_edits(scene):
     for f in ("hit", "voxel", "t"):
         np.testing.assert_array_equal(
             np.asarray(getattr(warm, f)), np.asarray(getattr(cold, f)), f)
+
+
+def test_renderer_persistent_cache_stable(scene):
+    """WavefrontRenderer.render_packed keeps a frame-to-frame service cache;
+    warm frames must equal a fresh renderer's frames, and a resolution
+    change must reset the cache (main.rs:540-556 resize handling)."""
+    from voxelraytracing_tpu.models.raytracer import WavefrontRenderer
+
+    rg3, _, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    r = WavefrontRenderer(mats, v3_rounds=32)
+    first = np.asarray(r.render_packed(rg3, cam))
+    warm = np.asarray(r.render_packed(rg3, cam))  # cache hit
+    fresh = np.asarray(WavefrontRenderer(mats, v3_rounds=32)
+                       .render_packed(rg3, cam))
+    np.testing.assert_array_equal(first, fresh)
+    np.testing.assert_array_equal(warm, fresh)
+
+    # resolution change: cache must not be reused across sizes
+    cam2 = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                          (64, 64))
+    resized = np.asarray(r.render_packed(rg3, cam2))
+    fresh2 = np.asarray(WavefrontRenderer(mats, v3_rounds=32)
+                        .render_packed(rg3, cam2))
+    np.testing.assert_array_equal(resized, fresh2)

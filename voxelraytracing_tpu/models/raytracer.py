@@ -214,31 +214,53 @@ class WavefrontRenderer:
     """
 
     def __init__(self, materials, show_step_count=False, max_rounds=48,
-                 inner_steps=12, tracer="v2", v3_rounds=16):
+                 inner_steps=12, tracer="v2", v3_rounds=16,
+                 v3_steps_per_round=48):
         self.materials = materials
         self.show_step_count = bool(show_step_count)
         self.max_rounds = int(max_rounds)
         self.inner_steps = int(inner_steps)
         self.v3_rounds = int(v3_rounds)
+        self.v3_steps_per_round = int(v3_steps_per_round)
         if tracer not in ("v1", "v2"):
             raise ValueError(f"unknown tracer {tracer!r}")
         self.tracer = tracer
         self._shade = jax.jit(self._shade_impl)
+        # persistent v3 service cache, keyed by frame size (see
+        # ops/wavefront3.trace_wavefront3: ids-only, never stale)
+        self._v3_cache = None
+        self._v3_cache_size = None
 
     def render_packed(self, rgrid3, cam: CamData,
                       settings: RenderSettings = None):
         """v3 fast path: one fused program -> ``uint32[H,W]`` packed RGBA8
-        (the reference's rgba8unorm result-texture product)."""
+        (the reference's rgba8unorm result-texture product).
+
+        Consecutive same-resolution frames warm-start the service cache
+        from the previous frame's token (temporal coherence), which cuts
+        the rounds needed to converge; world edits are safe because the
+        cache carries only ids.
+        """
         from ..ops.wavefront3 import render_frame3
 
         s = settings or RenderSettings()
-        return render_frame3(
+        cache = (
+            self._v3_cache
+            if self._v3_cache_size == tuple(cam.proj_size)
+            else None
+        )
+        img, cache = render_frame3(
             rgrid3, cam, self.materials.color,
             sky_color=s.sky_color, sun_pos=s.sun_pos,
             sun_intensity=s.sun_intensity, shadows=s.shadows,
             shadow_ambient=s.shadow_ambient,
             show_steps=self.show_step_count, rounds=self.v3_rounds,
+            steps_per_round=self.v3_steps_per_round,
+            cache=cache, return_cache=True,
         )
+        self._v3_cache = cache
+        self._v3_cache_size = tuple(cam.proj_size)
+        return img
 
     def _shade_impl(self, wf, dirs, origin, world_min, sky_color, sun_pos,
                     sun_intensity, m_color, m_is_liquid):
