@@ -19,7 +19,10 @@ import time
 
 WIDTH, HEIGHT = 1920, 1080
 BASELINE_MRAYS = 200.0
-ROUNDS = 14  # step-cap equivalent; early-exit stops sooner when converged
+ROUNDS = 14    # service-round budget; the frame exits early once converged
+STEP_CAP = 500  # per-ray step budget = the reference kernel's iteration cap
+#                 (ray_tracer.wgsl:220) -- steps here are coarser (window/
+#                 subwindow/brick skips), so 500 covers MORE distance
 
 
 def main():
@@ -62,7 +65,9 @@ def main():
     origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
 
     def frame():
-        return trace_wavefront3(rgrid, origin, cam=cam, rounds=ROUNDS)
+        return trace_wavefront3(
+            rgrid, origin, cam=cam, rounds=ROUNDS, step_cap=STEP_CAP
+        )
 
     # Warm-up / compile.
     print("# compiling...", file=sys.stderr, flush=True)

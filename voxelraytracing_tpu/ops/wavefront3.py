@@ -85,6 +85,7 @@ N_WC = 8      # windows cached per block (metas pack into one row)
 N_SC = 16     # subwindows cached per block
 _W_INS = 2    # window cache inserts per round
 _S_INS = 8    # subwindow cache inserts per round
+_H_REC = 16   # service-schedule rounds recorded in the frame cache token
 _BIGI = 0x3FFFFFFF
 _FL_BIAS = 0x30000000  # flags-in-f32 bias: keeps the bit pattern a normal f32
 
@@ -421,7 +422,7 @@ def _ray_dirs(scal, tg, lane, nsx):
 
 def _march_kernel(
     *refs,
-    sub_rounds, sub_steps, nw, ns, nsx, per_ray,
+    sub_rounds, sub_steps, nw, ns, nsx, per_ray, lookahead,
 ):
     """The march kernel. Ref order (inputs then outputs):
 
@@ -599,6 +600,20 @@ def _march_kernel(
         (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
          sw_jump, sw_liq, s, _) = classify(t)
 
+        # The t < t_exit guard has a one-ulp float gap: the EPS_T nudge
+        # can put a ray's POSITION outside [0,v)³ while t is still a hair
+        # below t_exit. On the low side such a ray classifies to a
+        # negative window id and zombies (no case matches — it never
+        # steps, never emits a servable want, and keeps its block's round
+        # loop alive forever); on the high side vx>>6 aliases INTO the
+        # next window row and the ray marches through the wrong geometry.
+        # Both die here on the position itself.
+        inw = (
+            (px >= 0.0) & (py >= 0.0) & (pz >= 0.0)
+            & (px < v) & (py < v) & (pz < v)
+        )
+        active = active & inw
+
         at_ts = s == tsid                                 # [BLK,128]
         b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
         bbase = tslot * 8 + (b_loc >> 5)
@@ -667,16 +682,75 @@ def _march_kernel(
                 wenter, stp)
 
     def wants(t, active_i):
-        active = active_i != 0
+        """Lookahead want-list: walk each stalled ray's FUTURE path.
+
+        The subwindow chain a ray crosses is pure geometry (a DDA over the
+        16-voxel grid) given the skip planes — contents only decide where
+        it stops. So instead of requesting one subwindow per service round
+        (discovery serialization: want -> served next round -> march ->
+        next want), walk up to ``lookahead`` cells forward from the stall
+        point, optimistically crossing unknown subwindows, and emit the
+        first few UNCACHED subwindow ids along the way. Wants are hints —
+        serving a subwindow a ray never reaches is harmless — so the
+        optimistic walk is always sound. The walk halts at the first
+        uncached WINDOW (its subwindow-skip meta is unreadable) and emits
+        that window id instead.
+        """
         bigi = jnp.int32(_BIGI)
-        (_, _, _, _, _, _, w, g_jump, _, wslot, sw_jump, _, s, sslot) = \
-            classify(t)
-        wkey = jnp.where(active & ~g_jump & (wslot < 0), w, bigi)
+        tw = t
+        alive = active_i != 0
+        wwid = jnp.full((blk, 128), -1, i32)
+        ch = [jnp.full((blk, 128), -1, i32) for _ in range(4)]
+        for j in range(lookahead):
+            (px, py, pz, _, _, _, w, g_jump, _, wslot,
+             sw_jump, _, s, sslot) = classify(tw)
+            alive = alive & (tw < t_exit)
+            wun = alive & ~g_jump & (wslot < 0)
+            wwid = jnp.where((wwid < 0) & wun, w, wwid)
+            alive = alive & ~wun
+            sun_ = alive & ~g_jump & ~sw_jump & (sslot < 0)
+            new = sun_
+            for c in ch:
+                new = new & (s != c)
+            if j == 0:
+                # true immediate stall — the only emission allowed into
+                # chain slot 0 (it feeds the priority want cols 0-3; a
+                # FUTURE id there would starve other rays' real stalls)
+                ch[0] = jnp.where(new, s, ch[0])
+            else:
+                prev = None
+                for k in range(1, len(ch)):
+                    e = new & (ch[k] < 0)
+                    if prev is not None:
+                        e = e & ~prev
+                        prev = prev | e
+                    else:
+                        prev = e
+                    ch[k] = jnp.where(e, s, ch[k])
+            if j + 1 < lookahead:
+                cell = jnp.where(g_jump, f32(WIN), f32(SW))
+                icell = 1.0 / cell
+
+                def adv(pc, ivc, sgn):
+                    nxt = (jnp.floor(pc * icell) + sgn) * cell
+                    dt = (nxt - pc) * ivc
+                    return jnp.where(
+                        jnp.abs(ivc) >= 0.99 * _BIG_IV, f32(_BIG), dt
+                    )
+
+                dt = jnp.minimum(
+                    adv(px, ivx, sx),
+                    jnp.minimum(adv(py, ivy, sy), adv(pz, ivz, sz)),
+                )
+                tw = jnp.where(alive, tw + dt + EPS_T, tw)
+
+        wkey = jnp.where(wwid >= 0, wwid, bigi)
         wmin = jnp.min(wkey, axis=1, keepdims=True)
         want_w = jnp.where(wmin < bigi, wmin, -1)
 
-        need = active & ~g_jump & (wslot >= 0) & ~sw_jump
-        skey = jnp.where(need & (sslot < 0), s, bigi)
+        # slots 0-3: per-32-lane-group min of each ray's FIRST uncached
+        # subwindow (the immediate stalls — same as the non-lookahead form)
+        skey = jnp.where(ch[0] >= 0, ch[0], bigi)
         for sh in (1, 2, 4, 8, 16):
             skey = jnp.minimum(
                 skey, jnp.take_along_axis(skey, lanes ^ sh, axis=1)
@@ -684,9 +758,20 @@ def _march_kernel(
         cols = [skey[:, j * 32:j * 32 + 1] for j in range(4)]
         want_s = jnp.concatenate(cols, axis=1)
         want_s = jnp.where(want_s < bigi, want_s, -1)
-        return jnp.concatenate(
-            [want_s, want_w, jnp.full((blk, 3), -1, i32)], axis=1
-        )
+
+        # slots 5-7: whole-tile min of chain elements 2..4 (prefetch)
+        if lookahead <= 1:
+            deep = [jnp.full((blk, 3), -1, i32)]
+        else:
+            deep = []
+            for c in ch[1:]:
+                k = jnp.where(c >= 0, c, bigi)
+                for sh in (1, 2, 4, 8, 16, 32, 64):
+                    k = jnp.minimum(
+                        k, jnp.take_along_axis(k, lanes ^ sh, axis=1)
+                    )
+                deep.append(jnp.where(k[:, :1] < bigi, k[:, :1], -1))
+        return jnp.concatenate([want_s, want_w] + deep, axis=1)
 
     def decode_hits(c, tslot, pid_rows):
         """Resolve pack ids for rays that hit during this sub-round.
@@ -714,6 +799,16 @@ def _march_kernel(
         vox = jnp.where(undec, pid, vox)
         return (t, active_i, hit_i, axmask, vox, water, wenter, stp)
 
+    # scal[23] > 0 is the TOTAL step cap (reference: the 500-iteration
+    # loop bound, ray_tracer.wgsl:220). A ray that exhausts it without
+    # hitting is dead — it renders as a MISS either way (_finish cap
+    # semantics) — so killing it here lets the frame's early-exit round
+    # loop fire instead of marching zombie rays for every budgeted round.
+    cap_f = scal_ref[23]
+    step_cap = jnp.where(cap_f > 0.5, cap_f, jnp.float32(1e9)).astype(
+        jnp.int32
+    )
+
     def sub_round(state):
         sr, _, c, rows_c = state
         tsid, tslot, solid_row, liq_row, pid_rows = rows_c
@@ -723,12 +818,22 @@ def _march_kernel(
 
         c = jax.lax.fori_loop(0, sub_steps, sbody, c)
         c = decode_hits(c, tslot, pid_rows)
+        t, a, h, axm, vox, wat, wen, stp = c
+        c = (t, jnp.where(stp < step_cap, a, 0), h, axm, vox, wat, wen, stp)
         tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(c[0], c[1])
         return sr + 1, go, c, (tsid, tslot, solid_row, liq_row, pid_rows)
 
     def cond(state):
         sr, go, _, _ = state
-        return (sr < sub_rounds) & (go != 0)
+        # scal[22] > 0 overrides the static sub_rounds budget: the host
+        # round loop RAISES it for tail rounds (few active, step-bound
+        # rays) so deep rays finish in far fewer grid sweeps. Idle blocks
+        # exit on go==0 regardless, so a big budget costs them nothing.
+        srd_f = scal_ref[22]
+        srd = jnp.where(
+            srd_f > 0.5, srd_f, jnp.float32(sub_rounds)
+        ).astype(jnp.int32)
+        return (sr < srd) & (go != 0)
 
     fl_in = fl_ref
     any_active = jnp.any((fl_in & 1) != 0)
@@ -746,6 +851,18 @@ def _march_kernel(
         ax0 = (fl_in >> _FL_AX) & 7
         stp0 = (fl_in >> _FL_STP) & 0xFFF
         vox0 = (fl_in >> _FL_VOX) & 0xFF
+        act0 = jnp.where(stp0 < step_cap, act0, 0)
+        # Kill rays that are already out of bounds HERE, not only inside
+        # step(): a block whose active rays are all stuck has go==0, so
+        # the while body (and any kill logic in it) never runs for them.
+        px0 = ox + dx * ts_ref
+        py0 = oy + dy * ts_ref
+        pz0 = oz + dz * ts_ref
+        inw0 = (
+            (px0 >= 0.0) & (py0 >= 0.0) & (pz0 >= 0.0)
+            & (px0 < v) & (py0 < v) & (pz0 < v)
+        )
+        act0 = jnp.where(inw0 & (ts_ref < t_exit), act0, 0)
         tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(
             ts_ref, act0
         )
@@ -776,6 +893,7 @@ def _march_kernel(
 def _march(
     scal, metacache, state,
     *, sub_rounds, sub_steps, nw, ns, nsx, interpret, rays=None,
+    lookahead=1,
 ):
     """state: f32[4, T, 128] (ts | flags-bits | wa | we); metacache:
     u32[nB, 5 + 6*N_SC, 128]; rays: f32[6, T, 128] or None.
@@ -812,7 +930,7 @@ def _march(
     )
     kern = partial(
         _march_kernel, sub_rounds=sub_rounds, sub_steps=sub_steps,
-        nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
+        nw=nw, ns=ns, nsx=nsx, per_ray=per_ray, lookahead=lookahead,
     )
     return pl.pallas_call(
         kern,
@@ -880,17 +998,19 @@ def _tile_valid(tx, ty, T):
     static_argnames=(
         "width", "height", "sub_rounds", "sub_steps", "v",
         "interpret", "resolve_ids", "per_ray", "raw_out", "full_height",
-        "warm", "return_cache",
+        "warm", "return_cache", "lookahead", "tail_start",
+        "tail_sub_rounds",
     ),
 )
 def _trace_frame(
     gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
     brick_dir, bricks, to_pack,
     origin, inv_view, inv_proj, origins3, dirs3, active0,
-    wc_ids0=None, sc_ids0=None, rounds=16,
+    wc_ids0=None, sc_ids0=None, hist0=None, rounds=16, step_cap=None,
     *, width, height, sub_rounds, sub_steps, v, interpret,
     resolve_ids="palette", per_ray=False, raw_out=False,
     full_height=None, y0=0.0, warm=False, return_cache=False,
+    lookahead=1, tail_start=5, tail_sub_rounds=30,
 ):
     # ``rounds`` is a TRACED scalar: the round loop is a while_loop, so the
     # budget can vary per call without recompiling this (expensive) program.
@@ -973,7 +1093,14 @@ def _trace_frame(
         sc_liq=jnp.zeros((nB, N_SC, 128), jnp.uint32),
         sc_pid=jnp.zeros((nB, N_SC, 4, 128), jnp.uint32),
         want=jnp.full((T, 8), -1, i32),
+        # this frame's service schedule: ids served per round (the replay
+        # source for the NEXT frame's warm start)
+        hist=jnp.full((_H_REC, nB, _S_INS), -1, i32),
     )
+    if warm and hist0 is not None and getattr(hist0, "ndim", 0) == 3:
+        hist_in = jnp.asarray(hist0, i32)
+    else:
+        hist_in = jnp.full((_H_REC, nB, _S_INS), -1, i32)
     # Pre-seed window slot 0 with the camera's window for every block.
     cam_w = jnp.clip(jnp.floor(seed_o / WIN).astype(i32), 0, nw - 1)
     cam_wid = cam_w[0] + cam_w[1] * nw + cam_w[2] * nw * nw
@@ -1046,7 +1173,12 @@ def _trace_frame(
 
         One pick per block *eighth* (8 consecutive tiles): spatially fair —
         a global min-first order would starve tiles wanting high ids until
-        every low id in the block retires."""
+        every low id in the block retires.
+
+        Service priority: immediate stalls (want cols 0-3) always come
+        first; lookahead prefetch hints (cols 5-7) only fill capacity the
+        immediate wants leave unused — a low prefetch id must never starve
+        a high immediate id (that livelocks under rotating eviction)."""
         bigi = jnp.int32(_BIGI)
         pool = c["want"][:, :4].reshape(nB, _BLK * 4)
         cached = (pool[:, :, None] == c["sc_ids"][:, None, :]).any(axis=2)
@@ -1067,11 +1199,56 @@ def _trace_frame(
             g = jnp.min(pool, axis=1)
             fills.append(g)
             pool = jnp.where(pool == g[:, None], bigi, pool)
-        fills = jnp.stack(fills, axis=1)
+        fills = jnp.stack(fills, axis=1)                       # [B,_S_INS]
+
+        def _pool_fills(pool, *exclude):
+            """Monotone min-sequence of a candidate pool, skipping ids
+            already cached or claimed by a higher-priority source."""
+            cachedx = (
+                pool[:, :, None] == c["sc_ids"][:, None, :]
+            ).any(axis=2)
+            keep = (pool >= 0) & ~cachedx
+            for e in exclude:
+                keep = keep & ~(
+                    pool[:, :, None] == e[:, None, :]
+                ).any(axis=2)
+            pool = jnp.where(keep, pool, bigi)
+            outs = []
+            for _ in range(_S_INS):
+                g = jnp.min(pool, axis=1)
+                outs.append(g)
+                pool = jnp.where(pool == g[:, None], bigi, pool)
+            return jnp.stack(outs, axis=1)                     # [B,_S_INS]
+
+        # history replay: the ids served at this round in the PREVIOUS
+        # frame (temporal coherence: rays will want the same rows at the
+        # same point of the schedule — serve them before they ask)
+        hrow = jax.lax.dynamic_slice_in_dim(
+            hist_in, jnp.clip(r, 0, _H_REC - 1), 1, axis=0
+        )[0]                                                   # [B,_S_INS]
+        hfills = _pool_fills(hrow, picks, fills)
+        # lookahead prefetch hints (want cols 5-7): lowest priority
+        prepool = c["want"][:, 5:8].reshape(nB, _BLK * 3)
+        pfills = _pool_fills(prepool, picks, fills, hfills)
+        # merged fill sequence by priority: immediate-stall leftovers,
+        # then history replay, then prefetch — each a valid prefix of a
+        # monotone min-sequence, so prefix arithmetic composes them
+        n_imm = jnp.sum((fills < bigi).astype(i32), axis=1, keepdims=True)
+        n_h = jnp.sum((hfills < bigi).astype(i32), axis=1, keepdims=True)
+        mid = jnp.take_along_axis(
+            hfills, jnp.clip(j_i - n_imm, 0, _S_INS - 1), axis=1
+        )
+        low = jnp.take_along_axis(
+            pfills, jnp.clip(j_i - n_imm - n_h, 0, _S_INS - 1), axis=1
+        )
+        fill_seq = jnp.where(
+            j_i < n_imm, fills, jnp.where(j_i < n_imm + n_h, mid, low)
+        )
         need_fill = picks >= bigi
         order = jnp.cumsum(need_fill.astype(i32), axis=1) - 1  # fill index
-        fill_v = jnp.take_along_axis(fills, jnp.clip(order, 0, _S_INS - 1),
-                                     axis=1)
+        fill_v = jnp.take_along_axis(
+            fill_seq, jnp.clip(order, 0, _S_INS - 1), axis=1
+        )
         picks = jnp.where(need_fill, fill_v, picks)
         ok = picks < bigi
         safe = jnp.clip(picks, 0, sw_solid.shape[0] - 1)
@@ -1107,14 +1284,18 @@ def _trace_frame(
             ),
             c["sc_meta"],
         )
-        return sc_ids, sc_meta, sc_solid, sc_liq, sc_pid
+        return sc_ids, sc_meta, sc_solid, sc_liq, sc_pid, new_ids
 
     gj3 = jnp.broadcast_to(gw_jump[None], (nB, 1, 128))
     gl3 = jnp.broadcast_to(gw_liq[None], (nB, 1, 128))
 
     def round_body(c, r):
         wc_ids, wc_meta = insert_windows(c, r)
-        sc_ids, sc_meta, sc_solid, sc_liq, sc_pid = insert_subwindows(c, r)
+        (sc_ids, sc_meta, sc_solid, sc_liq, sc_pid,
+         served) = insert_subwindows(c, r)
+        hist = jax.lax.dynamic_update_slice_in_dim(
+            c["hist"], served[None], jnp.clip(r, 0, _H_REC - 1), axis=0
+        )
 
         ids_u = jnp.concatenate(
             [wc_ids, sc_ids, jnp.full((nB, 128 - N_WC - N_SC), -1, i32)],
@@ -1129,12 +1310,35 @@ def _trace_frame(
             ],
             axis=1,
         )                                                  # [B,101,128]
-        state, want = _march(
-            scal, metacache, c["state"],
-            sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
-            nsx=nsx, interpret=interpret, rays=rays,
+        # adaptive step budget: bulk rounds use sub_rounds; once the bulk
+        # has converged (tail_start) the survivors are deep step-bound
+        # rays — give them a much larger budget per sweep so they finish
+        # in 2-3 rounds instead of 10 (each idle sweep costs ~2.5 ms at
+        # 1080p in grid-program launch overhead alone)
+        srd = jnp.where(
+            r < tail_start,
+            jnp.float32(sub_rounds),
+            jnp.float32(max(tail_sub_rounds, sub_rounds)),
         )
-        c2 = dict(state=state, want=want)
+        # Total step budget: an explicit step_cap (the reference's
+        # 500-iteration bound, decoupled from the service-round budget so
+        # converged frames exit early), else the nominal rounds x
+        # steps-per-round cap. The kernel kills rays at the cap so the
+        # early-exit loop can fire even for step-bound deep rays.
+        if step_cap is None:
+            cap = jnp.minimum(
+                jnp.asarray(rounds, jnp.float32)
+                * (sub_rounds * sub_steps),
+                4000.0,
+            )
+        else:
+            cap = jnp.minimum(jnp.asarray(step_cap, jnp.float32), 4000.0)
+        state, want = _march(
+            scal.at[22].set(srd).at[23].set(cap), metacache, c["state"],
+            sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
+            nsx=nsx, interpret=interpret, rays=rays, lookahead=lookahead,
+        )
+        c2 = dict(state=state, want=want, hist=hist)
         c2.update(wc_ids=wc_ids, wc_meta=wc_meta, sc_ids=sc_ids,
                   sc_meta=sc_meta, sc_solid=sc_solid, sc_liq=sc_liq,
                   sc_pid=sc_pid)
@@ -1162,7 +1366,7 @@ def _trace_frame(
     st = carry["state"]
     carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
     fl = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
-    cache_out = (carry["wc_ids"], carry["sc_ids"])
+    cache_out = (carry["wc_ids"], carry["sc_ids"], carry["hist"])
     if raw_out:
         # tiled raw state for fused pipelines (shadow pass, shade kernel)
         if return_cache:
@@ -1269,6 +1473,8 @@ def trace_wavefront3(
     resolve_ids=None,
     cache=None,
     return_cache=False,
+    lookahead=1,
+    step_cap=None,
 ):
     """March one frame through a RenderGrid3 as a single fused program.
 
@@ -1280,8 +1486,11 @@ def trace_wavefront3(
     produced by :func:`~.camera.generate_rays`.
 
     ``rounds * steps_per_round`` plays the role of the reference kernel's
-    500-step cap (ray_tracer.wgsl:220); convergence is usually service-bound
-    (subwindow rows per round), not step-bound.
+    500-step cap (ray_tracer.wgsl:220). Pass ``step_cap`` (e.g. 500) to
+    set the per-ray step budget independently of the service-round
+    budget: step-bound rays then die at the cap while service-stalled
+    rays keep being fed, and a converged frame's remaining rounds cost
+    nothing (the round loop exits the moment no ray is active).
 
     ``cache``: an opaque service-cache token from a previous frame's
     ``return_cache=True`` call — warm-starts each block's cached window /
@@ -1300,30 +1509,38 @@ def trace_wavefront3(
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
     z = jnp.zeros((), jnp.float32)
-    wc0, sc0, warm = _cache_args(cache, width, height)
+    wc0, sc0, h0, warm = _cache_args(cache, width, height)
     return _trace_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
         rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
         jnp.asarray(origin, jnp.float32),
         jnp.asarray(cam.inv_view, jnp.float32),
         jnp.asarray(cam.inv_proj, jnp.float32),
-        z, z, z, wc0, sc0,
-        width=width, height=height, rounds=rounds,
+        z, z, z, wc0, sc0, h0, rounds, step_cap,
+        width=width, height=height,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), resolve_ids=str(resolve_ids),
         per_ray=False, warm=warm, return_cache=bool(return_cache),
+        lookahead=int(lookahead),
     )
 
 
 def _cache_args(cache, width, height):
-    """(wc_ids0, sc_ids0, warm) from an opaque frame-cache token."""
+    """(wc_ids0, sc_ids0, hist0, warm) from an opaque frame-cache token.
+
+    Accepts the legacy 2-tuple (ids only, no schedule) as well as the
+    3-tuple with the recorded service schedule."""
     del width, height
     if cache is not None:
-        wc0, sc0 = cache
-        return wc0, sc0, True
+        if len(cache) == 2:
+            wc0, sc0 = cache
+            h0 = jnp.zeros((), jnp.int32)
+        else:
+            wc0, sc0, h0 = cache
+        return wc0, sc0, h0, True
     # scalar dummies: ignored under warm=False (a static branch)
     z = jnp.zeros((), jnp.int32)
-    return z, z, False
+    return z, z, z, False
 
 
 def empty_frame_cache(width, height):
@@ -1340,6 +1557,7 @@ def empty_frame_cache(width, height):
     return (
         jnp.full((nB, N_WC), -1, jnp.int32),
         jnp.full((nB, N_SC), -1, jnp.int32),
+        jnp.full((_H_REC, nB, _S_INS), -1, jnp.int32),
     )
 
 
@@ -1375,13 +1593,13 @@ def trace_wavefront3_rays(
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
     eye = jnp.eye(4, dtype=jnp.float32)
-    wc0, sc0, warm = _cache_args(cache, width, height)
+    wc0, sc0, h0, warm = _cache_args(cache, width, height)
     return _trace_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
         rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
         jnp.zeros(3, jnp.float32), eye, eye,
         jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
-        jnp.asarray(active, bool), wc0, sc0,
+        jnp.asarray(active, bool), wc0, sc0, h0,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), resolve_ids=str(resolve_ids),
@@ -1570,7 +1788,7 @@ def _render_frame(
     brick_dir, bricks, to_pack,
     origin, inv_view, inv_proj, lut,
     sky_color, sun_pos_local, sun_intensity, shadow_ambient,
-    wc_p=None, sc_p=None, wc_s=None, sc_s=None,
+    wc_p=None, sc_p=None, h_p=None, wc_s=None, sc_s=None, h_s=None,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, full_height=None, y0=0.0,
     warm=False, return_cache=False,
@@ -1595,6 +1813,7 @@ def _render_frame(
     tr = _trace_frame(
         *args, origin, inv_view, inv_proj, z, z, z,
         wc_p if warm else zi, sc_p if warm else zi,
+        h_p if warm else zi,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
         interpret=interpret, per_ray=False, raw_out=True,
@@ -1636,6 +1855,7 @@ def _render_frame(
         trs = _trace_frame(
             *args, jnp.zeros(3, f32), inv_view, inv_proj, ot, dt3, hitm,
             wc_s if warm else zi, sc_s if warm else zi,
+            h_s if warm else zi,
             width=width, height=height, rounds=max(rounds // 2, 4),
             sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
             interpret=interpret, per_ray=True, raw_out=True,
@@ -1728,11 +1948,16 @@ def render_frame3(
     sub_rounds = max(steps_per_round // sub_steps, 1)
     zi = jnp.zeros((), jnp.int32)
     if cache is not None:
-        (wc_p, sc_p), cs = cache
-        wc_s, sc_s = cs if cs is not None else (zi, zi)
+        prim, cs = cache
+        wc_p, sc_p, h_p = (prim if len(prim) == 3 else (*prim, zi))
+        wc_s, sc_s, h_s = (
+            cs if cs is not None and len(cs) == 3
+            else (*cs, zi) if cs is not None
+            else (zi, zi, zi)
+        )
         warm = True
     else:
-        wc_p = sc_p = wc_s = sc_s = zi
+        wc_p = sc_p = h_p = wc_s = sc_s = h_s = zi
         warm = False
     out = _render_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
@@ -1743,7 +1968,7 @@ def render_frame3(
         lut,
         jnp.asarray(sky_color, jnp.float32), sun_local,
         jnp.float32(sun_intensity), jnp.float32(shadow_ambient),
-        wc_p, sc_p, wc_s, sc_s,
+        wc_p, sc_p, h_p, wc_s, sc_s, h_s,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), shadows=bool(shadows),
