@@ -278,8 +278,13 @@ def _dda3(px, py, pz, rays, cell):
     cell containing p, plus per-axis crossing masks."""
 
     def axis(pc, iv, sgn):
-        nxt = (jnp.floor(pc / cell) + sgn) * cell
-        dt = (nxt - pc) * iv
+        # ceil-1 for negative directions: identical off-boundary, but a
+        # position exactly ON a plane targets the crossing strictly
+        # below instead of returning dt==0 (which micro-steps the ray
+        # in place — see wavefront3.py step() for the full analysis)
+        q = pc / cell
+        b = jnp.where(sgn > 0.5, jnp.floor(q) + 1.0, jnp.ceil(q) - 1.0)
+        dt = (b * cell - pc) * iv
         return jnp.where(jnp.abs(iv) >= 0.99 * _BIG_IV, _BIG, dt)
 
     dtx = axis(px, rays.ivx, rays.sx)

@@ -163,8 +163,13 @@ def _march_kernel(
 
     def dda3(px, py, pz, icell, cell):
         def axis(pc, ivc, sgn):
-            nxt = (jnp.floor(pc * icell) + sgn) * cell
-            dt = (nxt - pc) * ivc
+            # ceil-1 for negative directions: a position exactly ON a
+            # boundary must target the next plane strictly below, or
+            # dt==0 micro-steps the ray in place forever (see
+            # wavefront3.py step() for the full story)
+            q = pc * icell
+            b = jnp.where(sgn > 0.5, jnp.floor(q) + 1.0, jnp.ceil(q) - 1.0)
+            dt = (b * cell - pc) * ivc
             return jnp.where(jnp.abs(ivc) >= 0.99 * _BIG_IV, f32(_BIG), dt)
 
         dtx = axis(px, ivx, sx)

@@ -658,8 +658,20 @@ def _march_kernel(
         icell = 1.0 / cell
 
         def axis(pc, ivc, sgn):
-            nxt = (jnp.floor(pc * icell) + sgn) * cell
-            dt = (nxt - pc) * ivc
+            # Next crossing along this axis. Negative direction uses
+            # ceil-1, NOT floor: for a position exactly ON a cell
+            # boundary (px == 128.0 in f32 happens for real camera rays)
+            # floor returns the ray's own plane, dt == 0, and the EPS_T
+            # advance moves the position by |d|*EPS_T — below f32 ulp at
+            # that magnitude, so the ray micro-steps in place forever,
+            # marching the full budget every round and pinning its
+            # block's early-exit. ceil-1 is identical off-boundary and
+            # targets the next plane strictly below when on it (the
+            # reference escapes the same degeneracy with its positional
+            # 0.001 nudge, ray_tracer.wgsl:274-283).
+            q = pc * icell
+            b = jnp.where(sgn > 0.5, jnp.floor(q) + 1.0, jnp.ceil(q) - 1.0)
+            dt = (b * cell - pc) * ivc
             return jnp.where(jnp.abs(ivc) >= 0.99 * _BIG_IV, f32(_BIG), dt)
 
         dtx = axis(px, ivx, sx)
@@ -732,8 +744,13 @@ def _march_kernel(
                 icell = 1.0 / cell
 
                 def adv(pc, ivc, sgn):
-                    nxt = (jnp.floor(pc * icell) + sgn) * cell
-                    dt = (nxt - pc) * ivc
+                    # same ceil-1 negative-direction form as step()'s
+                    # axis(): on-boundary positions must make progress
+                    q = pc * icell
+                    b = jnp.where(
+                        sgn > 0.5, jnp.floor(q) + 1.0, jnp.ceil(q) - 1.0
+                    )
+                    dt = (b * cell - pc) * ivc
                     return jnp.where(
                         jnp.abs(ivc) >= 0.99 * _BIG_IV, f32(_BIG), dt
                     )
