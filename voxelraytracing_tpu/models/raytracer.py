@@ -215,13 +215,17 @@ class WavefrontRenderer:
 
     def __init__(self, materials, show_step_count=False, max_rounds=48,
                  inner_steps=12, tracer="v2", v3_rounds=16,
-                 v3_steps_per_round=48):
+                 v3_steps_per_round=48, v3_step_cap=500):
         self.materials = materials
         self.show_step_count = bool(show_step_count)
         self.max_rounds = int(max_rounds)
         self.inner_steps = int(inner_steps)
         self.v3_rounds = int(v3_rounds)
         self.v3_steps_per_round = int(v3_steps_per_round)
+        # per-ray step budget = the reference kernel's 500-iteration cap
+        # (ray_tracer.wgsl:220); decoupled from the service-round budget
+        # so converged frames early-exit their remaining rounds
+        self.v3_step_cap = None if v3_step_cap is None else int(v3_step_cap)
         if tracer not in ("v1", "v2"):
             raise ValueError(f"unknown tracer {tracer!r}")
         self.tracer = tracer
@@ -256,6 +260,7 @@ class WavefrontRenderer:
             shadow_ambient=s.shadow_ambient,
             show_steps=self.show_step_count, rounds=self.v3_rounds,
             steps_per_round=self.v3_steps_per_round,
+            step_cap=self.v3_step_cap,
             cache=cache, return_cache=True,
         )
         self._v3_cache = cache

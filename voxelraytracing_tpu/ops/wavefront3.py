@@ -518,8 +518,13 @@ def _march_kernel(
         wd = jnp.take_along_axis(row, jnp.clip(word_i, 0, 127), axis=1)
         return ((wd >> sh.astype(jnp.uint32)) & 1).astype(i32)
 
-    def classify(t):
-        """Everything position-derived: ids, slots, per-level bits."""
+    def classify(t, need_sslot=True):
+        """Everything position-derived: ids, slots, per-level bits.
+
+        ``need_sslot=False`` skips the N_SC-way subwindow-slot compare
+        chain — the hottest caller (step(), once per marched step) never
+        reads it; only boundary()/wants() (once per sub-round) do.
+        """
         px = ox + dx * t
         py = oy + dy * t
         pz = oz + dz * t
@@ -545,9 +550,10 @@ def _march_kernel(
 
         s = (vx >> 4) + (vy >> 4) * ns + (vz >> 4) * ns * ns
         sslot = jnp.full((blk, 128), -1, i32)
-        for k in range(N_SC):
-            sid_k = sid_rows[k]
-            sslot = jnp.where((s == sid_k) & (sid_k >= 0), i32(k), sslot)
+        if need_sslot:
+            for k in range(N_SC):
+                sid_k = sid_rows[k]
+                sslot = jnp.where((s == sid_k) & (sid_k >= 0), i32(k), sslot)
 
         return (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
                 sw_jump, sw_liq, s, sslot)
@@ -598,7 +604,7 @@ def _march_kernel(
         hit = hit_i != 0
 
         (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
-         sw_jump, sw_liq, s, _) = classify(t)
+         sw_jump, sw_liq, s, _) = classify(t, need_sslot=False)
 
         # The t < t_exit guard has a one-ulp float gap: the EPS_T nudge
         # can put a ray's POSITION outside [0,v)³ while t is still a hair
@@ -1103,17 +1109,21 @@ def _trace_frame(
             jnp.full(shape, -1.0, f32),
         ]),
         wc_ids=jnp.full((nB, N_WC), -1, i32),
-        wc_meta=jnp.zeros((nB, 128), jnp.uint32),
         sc_ids=jnp.full((nB, N_SC), -1, i32),
-        sc_meta=jnp.zeros((nB, 128), jnp.uint32),
-        sc_solid=jnp.zeros((nB, N_SC, 128), jnp.uint32),
-        sc_liq=jnp.zeros((nB, N_SC, 128), jnp.uint32),
-        sc_pid=jnp.zeros((nB, N_SC, 4, 128), jnp.uint32),
         want=jnp.full((T, 8), -1, i32),
         # this frame's service schedule: ids served per round (the replay
         # source for the NEXT frame's warm start)
         hist=jnp.full((_H_REC, nB, _S_INS), -1, i32),
     )
+    # the cache content lives as ONE packed per-block metacache carry —
+    # the exact array the kernel consumes (rows: gj, gl, wm, sm, ids,
+    # then ssol/sliq/spid) — updated per round with dynamic slices
+    # instead of rebuilding ~40 MB of concatenated halves every round
+    wc_meta0 = jnp.zeros((nB, 128), jnp.uint32)
+    sc_meta0 = jnp.zeros((nB, 128), jnp.uint32)
+    sc_solid0 = jnp.zeros((nB, N_SC, 128), jnp.uint32)
+    sc_liq0 = jnp.zeros((nB, N_SC, 128), jnp.uint32)
+    sc_pid0 = jnp.zeros((nB, N_SC, 4, 128), jnp.uint32)
     if warm and hist0 is not None and getattr(hist0, "ndim", 0) == 3:
         hist_in = jnp.asarray(hist0, i32)
     else:
@@ -1123,10 +1133,10 @@ def _trace_frame(
     cam_wid = cam_w[0] + cam_w[1] * nw + cam_w[2] * nw * nw
     carry["wc_ids"] = carry["wc_ids"].at[:, 0].set(cam_wid)
     m0 = wmeta[cam_wid]  # [8]
-    carry["wc_meta"] = jnp.where(
+    wc_meta0 = jnp.where(
         lane128 < 8,
         jnp.broadcast_to(m0[jnp.clip(lane128, 0, 7)], (nB, 128)),
-        carry["wc_meta"],
+        wc_meta0,
     )
     if warm:
         # Persistent service cache: warm-start from the previous frame's
@@ -1143,33 +1153,38 @@ def _trace_frame(
             jnp.uint32(0),
         )                                            # [nB, N_WC, 8]
         carry["wc_ids"] = jnp.where(okw, wc0, -1)
-        carry["wc_meta"] = jnp.pad(
+        wc_meta0 = jnp.pad(
             wmall.reshape(nB, 8 * N_WC),
             ((0, 0), (0, 128 - 8 * N_WC)),
         )
         oks = sc0 >= 0
         safe = jnp.clip(sc0, 0, sw_solid.shape[0] - 1)
-        carry.update(
-            sc_ids=jnp.where(oks, sc0, -1),
-            sc_meta=jnp.where(
-                oks[..., None], sw_meta[safe], jnp.uint32(0)
-            ).reshape(nB, 128),
-            sc_solid=jnp.where(
-                oks[..., None], sw_solid[safe], jnp.uint32(0)
-            ),
-            sc_liq=jnp.where(oks[..., None], sw_liq[safe], jnp.uint32(0)),
-            sc_pid=jnp.where(
-                oks[..., None, None], sw_pid[safe], jnp.uint32(0)
-            ),
+        carry["sc_ids"] = jnp.where(oks, sc0, -1)
+        sc_meta0 = jnp.where(
+            oks[..., None], sw_meta[safe], jnp.uint32(0)
+        ).reshape(nB, 128)
+        sc_solid0 = jnp.where(
+            oks[..., None], sw_solid[safe], jnp.uint32(0)
+        )
+        sc_liq0 = jnp.where(oks[..., None], sw_liq[safe], jnp.uint32(0))
+        sc_pid0 = jnp.where(
+            oks[..., None, None], sw_pid[safe], jnp.uint32(0)
         )
 
-    def insert_windows(c, r):
-        """Serve up to _W_INS distinct uncached window wants per block."""
+    carry.update(wc_meta=wc_meta0, sc_meta=sc_meta0, sc_solid=sc_solid0,
+                 sc_liq=sc_liq0, sc_pid=sc_pid0)
+    gj_bcast = jnp.broadcast_to(gw_jump.reshape(1, 128), (nB, 128))
+    gl_bcast = jnp.broadcast_to(gw_liq.reshape(1, 128), (nB, 128))
+
+    def insert_windows(c, wc_meta, r):
+        """Serve up to _W_INS distinct uncached window wants per block.
+
+        ``wc_meta`` is mc row 2; returns the updated ids and row."""
         bigi = jnp.int32(_BIGI)
         pool = c["want"][:, 4].reshape(nB, _BLK)
         cached = (pool[:, :, None] == c["wc_ids"][:, None, :]).any(axis=2)
         pool = jnp.where((pool >= 0) & ~cached, pool, bigi)
-        wc_ids, wc_meta = c["wc_ids"], c["wc_meta"]
+        wc_ids = c["wc_ids"]
         for j in range(_W_INS):
             pick = jnp.min(pool, axis=1)                       # [B]
             ok = pick < bigi
@@ -1270,44 +1285,50 @@ def _trace_frame(
         ok = picks < bigi
         safe = jnp.clip(picks, 0, sw_solid.shape[0] - 1)
         new_ids = jnp.where(ok, picks, -1)
-        new_sol = jnp.where(ok[..., None], sw_solid[safe],
-                            jnp.uint32(0))                     # [B,8,128]
-        new_liq = jnp.where(ok[..., None], sw_liq[safe], jnp.uint32(0))
-        new_meta = jnp.where(ok[..., None], sw_meta[safe], jnp.uint32(0))
-        new_pid = jnp.where(
-            ok[..., None, None], sw_pid[safe], jnp.uint32(0)
-        )                                                      # [B,8,4,128]
+        new_sol = sw_solid[safe]                               # [B,8,128]
+        new_liq = sw_liq[safe]
+        new_meta = sw_meta[safe]                               # [B,8,8]
+        new_pid = sw_pid[safe]                                 # [B,8,4,128]
 
         # rotating half-cache replacement: even rounds -> slots 0..7,
-        # odd rounds -> slots 8..15
+        # odd rounds -> slots 8..15. A slot whose pick is invalid KEEPS
+        # its old row (clearing it silently evicted still-wanted rows in
+        # low-traffic tail rounds) — elementwise merges only, no gathers.
+        # (A dynamic-slice in-place variant on the packed metacache
+        # carry measured ~3 ms/frame WORSE: XLA copies the carry.)
         lo = (r % 2) == 0
 
-        def half(old, new):
+        def half(old, new, okx):
+            lo_m = jnp.where(okx, new, old[:, :_S_INS])
+            hi_m = jnp.where(okx, new, old[:, _S_INS:])
             return jnp.where(
                 lo,
-                jnp.concatenate([new, old[:, _S_INS:]], axis=1),
-                jnp.concatenate([old[:, :_S_INS], new], axis=1),
+                jnp.concatenate([lo_m, old[:, _S_INS:]], axis=1),
+                jnp.concatenate([old[:, :_S_INS], hi_m], axis=1),
             )
 
-        sc_ids = half(c["sc_ids"], new_ids)
-        sc_solid = half(c["sc_solid"], new_sol)
-        sc_liq = half(c["sc_liq"], new_liq)
-        sc_pid = half(c["sc_pid"], new_pid)
-        meta64 = new_meta.reshape(nB, 64)
+        okc = ok[..., None]
+        sc_ids = half(c["sc_ids"], new_ids, ok)
+        sc_solid = half(c["sc_solid"], new_sol, okc)
+        sc_liq = half(c["sc_liq"], new_liq, okc)
+        sc_pid = half(c["sc_pid"], new_pid, ok[..., None, None])
+        meta64 = new_meta.reshape(nB, _S_INS * 8)
+        spread = jnp.take_along_axis(
+            meta64, jnp.clip(lane128 & (_S_INS * 8 - 1), 0,
+                             _S_INS * 8 - 1), axis=1
+        )
+        ok_ln = jnp.take_along_axis(
+            ok.astype(i32),
+            jnp.clip((lane128 >> 3) & (_S_INS - 1), 0, _S_INS - 1),
+            axis=1,
+        ) != 0
         sc_meta = jnp.where(
-            lo == (lane128 < 64),
-            jnp.take_along_axis(
-                meta64, jnp.clip(lane128 & 63, 0, 63), axis=1
-            ),
-            c["sc_meta"],
+            (lo == (lane128 < _S_INS * 8)) & ok_ln, spread, c["sc_meta"]
         )
         return sc_ids, sc_meta, sc_solid, sc_liq, sc_pid, new_ids
 
-    gj3 = jnp.broadcast_to(gw_jump[None], (nB, 1, 128))
-    gl3 = jnp.broadcast_to(gw_liq[None], (nB, 1, 128))
-
     def round_body(c, r):
-        wc_ids, wc_meta = insert_windows(c, r)
+        wc_ids, wc_meta = insert_windows(c, c["wc_meta"], r)
         (sc_ids, sc_meta, sc_solid, sc_liq, sc_pid,
          served) = insert_subwindows(c, r)
         hist = jax.lax.dynamic_update_slice_in_dim(
@@ -1318,10 +1339,10 @@ def _trace_frame(
             [wc_ids, sc_ids, jnp.full((nB, 128 - N_WC - N_SC), -1, i32)],
             axis=1,
         ).astype(jnp.uint32)
-        metacache = jnp.concatenate(
+        mc = jnp.concatenate(
             [
                 jnp.stack(
-                    [gj3[:, 0], gl3[:, 0], wc_meta, sc_meta, ids_u], axis=1
+                    [gj_bcast, gl_bcast, wc_meta, sc_meta, ids_u], axis=1
                 ),                                         # [B,5,128]
                 sc_solid, sc_liq, sc_pid.reshape(nB, N_SC * 4, 128),
             ],
@@ -1351,15 +1372,14 @@ def _trace_frame(
         else:
             cap = jnp.minimum(jnp.asarray(step_cap, jnp.float32), 4000.0)
         state, want = _march(
-            scal.at[22].set(srd).at[23].set(cap), metacache, c["state"],
+            scal.at[22].set(srd).at[23].set(cap), mc, c["state"],
             sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
             nsx=nsx, interpret=interpret, rays=rays, lookahead=lookahead,
         )
-        c2 = dict(state=state, want=want, hist=hist)
-        c2.update(wc_ids=wc_ids, wc_meta=wc_meta, sc_ids=sc_ids,
-                  sc_meta=sc_meta, sc_solid=sc_solid, sc_liq=sc_liq,
-                  sc_pid=sc_pid)
-        return c2, ()
+        return dict(state=state, want=want, hist=hist,
+                    wc_ids=wc_ids, wc_meta=wc_meta, sc_ids=sc_ids,
+                    sc_meta=sc_meta, sc_solid=sc_solid, sc_liq=sc_liq,
+                    sc_pid=sc_pid), ()
 
     # early-exit round loop: a frame stops paying for service rounds the
     # moment every ray has hit or left the world (an idle round still costs
@@ -1797,7 +1817,7 @@ def color_lut_rows(colors):
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "full_height",
-        "warm", "return_cache",
+        "warm", "return_cache", "step_cap",
     ),
 )
 def _render_frame(
@@ -1808,7 +1828,7 @@ def _render_frame(
     wc_p=None, sc_p=None, h_p=None, wc_s=None, sc_s=None, h_s=None,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, full_height=None, y0=0.0,
-    warm=False, return_cache=False,
+    warm=False, return_cache=False, step_cap=None,
 ):
     """Primary trace (+ optional hard-shadow trace) + shade, fully tiled.
 
@@ -1831,7 +1851,7 @@ def _render_frame(
         *args, origin, inv_view, inv_proj, z, z, z,
         wc_p if warm else zi, sc_p if warm else zi,
         h_p if warm else zi,
-        width=width, height=height, rounds=rounds,
+        width=width, height=height, rounds=rounds, step_cap=step_cap,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
         interpret=interpret, per_ray=False, raw_out=True,
         full_height=full_height, y0=y0,
@@ -1874,6 +1894,7 @@ def _render_frame(
             wc_s if warm else zi, sc_s if warm else zi,
             h_s if warm else zi,
             width=width, height=height, rounds=max(rounds // 2, 4),
+            step_cap=step_cap,
             sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
             interpret=interpret, per_ray=True, raw_out=True,
             warm=warm, return_cache=return_cache,
@@ -1929,6 +1950,7 @@ def render_frame3(
     show_steps=False,
     rounds=16,
     steps_per_round=48,
+    step_cap=None,
     interpret=None,
     with_flags=False,
     cache=None,
@@ -1987,6 +2009,7 @@ def render_frame3(
         jnp.float32(sun_intensity), jnp.float32(shadow_ambient),
         wc_p, sc_p, h_p, wc_s, sc_s, h_s,
         width=width, height=height, rounds=rounds,
+        step_cap=None if step_cap is None else int(step_cap),
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), shadows=bool(shadows),
         show_steps=bool(show_steps), warm=warm,
