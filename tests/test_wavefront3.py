@@ -230,3 +230,27 @@ def test_renderer_persistent_cache_stable(scene):
     fresh2 = np.asarray(WavefrontRenderer(mats, v3_rounds=32)
                         .render_packed(rg3, cam2))
     np.testing.assert_array_equal(resized, fresh2)
+
+
+def test_v3_step_cap_semantics(scene):
+    """A ray that exhausts the step budget renders as a MISS — the
+    reference's 500-iteration loop falls through to sky
+    (ray_tracer.wgsl:220), it never force-hits. Pinned at a low budget
+    where many rays die early."""
+    rg3, world, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+
+    full = trace_wavefront3(rg3, origin, cam=cam, rounds=32, step_cap=500)
+    low = trace_wavefront3(rg3, origin, cam=cam, rounds=32, step_cap=4)
+
+    sl = np.asarray(low.steps)
+    assert sl.max() <= 4  # nobody marches past the cap
+    # capped rays are misses, never forced hits
+    hl, hf = np.asarray(low.hit), np.asarray(full.hit)
+    assert hl.sum() < hf.sum()
+    # every low-cap hit is a real full-budget hit with the same voxel
+    assert (~hl | hf).all()
+    vl, vf = np.asarray(low.voxel), np.asarray(full.voxel)
+    np.testing.assert_array_equal(vl[hl], vf[hl])

@@ -369,6 +369,8 @@ _FL_HIT = 1
 _FL_AX = 2
 _FL_STP = 5
 _FL_VOX = 17
+_FL_SGN = 25  # 3 direction-sign bits (dx>0, dy>0, dz>0): lets the XLA
+#               finish derive face normals without regenerating ray dirs
 
 
 def _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0):
@@ -618,7 +620,10 @@ def _march_kernel(
             (px >= 0.0) & (py >= 0.0) & (pz >= 0.0)
             & (px < v) & (py < v) & (pz < v)
         )
-        active = active & inw
+        # per-step cap check (the reference tests its iteration bound
+        # every loop step, ray_tracer.wgsl:220 — a sub-round-boundary
+        # check alone overshoots by up to sub_steps-1 steps)
+        active = active & inw & (stp < step_cap)
 
         at_ts = s == tsid                                 # [BLK,128]
         b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
@@ -842,6 +847,11 @@ def _march_kernel(
         c = jax.lax.fori_loop(0, sub_steps, sbody, c)
         c = decode_hits(c, tslot, pid_rows)
         t, a, h, axm, vox, wat, wen, stp = c
+        # clamp t to the world-exit distance: a no-op for live rays
+        # (active requires t < t_exit), and for dead rays it makes the
+        # carried ts the final t_stop directly — the XLA finish no
+        # longer recomputes the exit slab per ray
+        t = jnp.minimum(t, t_exit)
         c = (t, jnp.where(stp < step_cap, a, 0), h, axm, vox, wat, wen, stp)
         tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(c[0], c[1])
         return sr + 1, go, c, (tsid, tslot, solid_row, liq_row, pid_rows)
@@ -897,12 +907,18 @@ def _march_kernel(
             (jnp.int32(0), go, init_c,
              (tsid, tslot, solid_row, liq_row, pid_rows)),
         )
+        sgn_bits = (
+            sx.astype(i32)
+            | (sy.astype(i32) << 1)
+            | (sz.astype(i32) << 2)
+        )
         fl_out = (
             c[1]
             | (c[2] << _FL_HIT)
             | (c[3] << _FL_AX)
             | (jnp.minimum(c[7], 0xFFF) << _FL_STP)
             | (c[4] << _FL_VOX)
+            | (sgn_bits << _FL_SGN)
         )
         st_o[0, :, :] = c[0]
         st_o[1, :, :] = jax.lax.bitcast_convert_type(
@@ -1085,9 +1101,9 @@ def _trace_frame(
         inside = inside & act0
         seed_o = ot[0, 0]  # any in-world point works as the cache seed
     else:
-        dx, dy, dz = _ray_dirs(
-            [scal[i] for i in range(24)], tile_i, lane_i, nsx
-        )
+        # ray dirs are generated in-register inside the kernel; the XLA
+        # side only needs them for the "gather" id-resolve fallback
+        dx = dy = dz = None
         rays = None
         inside = (
             (origin[0] > 0.0) & (origin[0] < v)
@@ -1411,37 +1427,19 @@ def _trace_frame(
         return carry_ts, fl, carry_wa, carry_we
 
     # ---- finish: forced-hit semantics; ids already decoded in-kernel ----
-    active_end = (fl >> _FL_ACT) & 1
     real_hit = ((fl >> _FL_HIT) & 1) != 0
     axmask = (fl >> _FL_AX) & 7
     steps = (fl >> _FL_STP) & 0xFFF
     voxk = (fl >> _FL_VOX) & 0xFF
+    sgnb = (fl >> _FL_SGN) & 7
 
-    def invh(cc):
-        c2 = jnp.where(cc >= 0, jnp.maximum(cc, 1e-7), jnp.minimum(cc, -1e-7))
-        return 1.0 / c2
-
-    def slabh(oc, ivc):
-        return jnp.maximum((0.0 - oc) * ivc, (jnp.float32(v) - oc) * ivc)
-
-    if per_ray:
-        o0, o1, o2 = rays[0], rays[1], rays[2]
-    else:
-        o0, o1, o2 = origin[0], origin[1], origin[2]
-    t_cap = jnp.float32(4.0 * v + 16.0)
-    t_exit = jnp.minimum(
-        jnp.minimum(
-            slabh(o0, invh(dx)),
-            jnp.minimum(slabh(o1, invh(dy)), slabh(o2, invh(dz))),
-        ),
-        t_cap,
-    )
     # Cap semantics match the reference kernel: a ray that exhausts its
     # step/service budget without hitting renders as a MISS (sky), exactly
     # like falling out of the 500-iteration loop (ray_tracer.wgsl:220).
-    del active_end
+    # The kernel clamps the carried ts to the world-exit distance at
+    # death, so it IS the stop distance — no per-ray slab recompute here.
     hit = real_hit
-    t_stop = jnp.minimum(carry_ts, t_exit)
+    t_stop = carry_ts
     water = carry_wa + jnp.where(
         carry_we >= 0.0, t_stop - carry_we, 0.0
     )
@@ -1452,6 +1450,13 @@ def _trace_frame(
         voxel = jnp.where(real_hit, voxk, 0)
     elif resolve_ids == "gather":
         # fallback: batched gather chain through the v1 content tables
+        if per_ray:
+            o0, o1, o2 = rays[0], rays[1], rays[2]
+        else:
+            o0, o1, o2 = origin[0], origin[1], origin[2]
+            dx, dy, dz = _ray_dirs(
+                [scal[i] for i in range(24)], tile_i, lane_i, nsx
+            )
         hx = jnp.floor(o0 + dx * carry_ts).astype(i32)
         hy = jnp.floor(o1 + dy * carry_ts).astype(i32)
         hz = jnp.floor(o2 + dz * carry_ts).astype(i32)
@@ -1471,25 +1476,37 @@ def _trace_frame(
     else:  # "none": hit mask only (ablation/benchmarks)
         voxel = real_hit.astype(i32)
 
-    norm = jnp.stack(
+    # One batched untile over 8 f32 planes instead of 6 separate
+    # transpose chains (norm stays component-form until the very end —
+    # a [T,128,3] intermediate pads its minor dim to 128 lanes). All
+    # packed values (hit/voxel/steps <= 4095) are exact in f32.
+    def nrm(b):
+        # -sign(d)*crossed_bit, sign reconstructed from the packed
+        # direction-sign bit (d == 0 axes are divisor-guarded in the
+        # kernel and never the crossing axis of a live hit)
+        s = 2.0 * ((sgnb >> b) & 1).astype(f32) - 1.0
+        return -s * ((axmask >> b) & 1).astype(f32)
+
+    planes = jnp.stack(
         [
-            -jnp.sign(dx) * ((axmask >> 0) & 1).astype(f32),
-            -jnp.sign(dy) * ((axmask >> 1) & 1).astype(f32),
-            -jnp.sign(dz) * ((axmask >> 2) & 1).astype(f32),
-        ],
-        axis=-1,
-    )
-
-    def untile(x):
-        return _untile_hw(x, tx, ty, width, height)
-
+            hit.astype(f32),
+            voxel.astype(f32),
+            nrm(0),
+            nrm(1),
+            nrm(2),
+            t_stop,
+            water,
+            steps.astype(f32),
+        ]
+    )                                                      # [8, T, 128]
+    out = jax.vmap(lambda x: _untile_hw(x, tx, ty, width, height))(planes)
     res = WavefrontResult(
-        hit=untile(hit),
-        voxel=untile(voxel),
-        norm=untile(norm),
-        t=untile(t_stop),
-        water_dist=untile(water),
-        steps=untile(steps),
+        hit=out[0] != 0.0,
+        voxel=out[1].astype(i32),
+        norm=jnp.stack([out[2], out[3], out[4]], axis=-1),
+        t=out[5],
+        water_dist=out[6],
+        steps=out[7].astype(i32),
     )
     if return_cache:
         return res, cache_out
@@ -2118,7 +2135,7 @@ def material_lut_rows(color, emission, scatter):
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
-        "interpret", "bounces", "samples", "full_height",
+        "interpret", "bounces", "samples", "full_height", "step_cap",
     ),
 )
 def _path_frame(
@@ -2127,7 +2144,7 @@ def _path_frame(
     origin, inv_view, inv_proj, mlut,
     sky_color, sun_pos_local, sun_intensity, key,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
-    bounces, samples, full_height=None, y0=0.0,
+    bounces, samples, full_height=None, y0=0.0, step_cap=None,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average)."""
     full_height = height if full_height is None else full_height
@@ -2189,6 +2206,7 @@ def _path_frame(
                 ts, fl, wa, we = _trace_frame(
                     *args, origin, inv_view, inv_proj, z, z, z,
                     width=width, height=height, rounds=rounds,
+                    step_cap=step_cap,
                     sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
                     interpret=interpret, per_ray=False, raw_out=True,
                 )
@@ -2200,6 +2218,7 @@ def _path_frame(
                     ot, dt3, alive,
                     width=width, height=height,
                     rounds=max(rounds * 2 // 3, 4),
+                    step_cap=step_cap,
                     sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
                     interpret=interpret, per_ray=True, raw_out=True,
                 )
@@ -2334,6 +2353,7 @@ def path_trace3(
     key=None,
     rounds=16,
     steps_per_round=48,
+    step_cap=None,
     interpret=None,
 ):
     """Path-traced frame through the v3 fast path -> f32[H,W,3] radiance.
@@ -2369,4 +2389,5 @@ def path_trace3(
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), bounces=int(bounces),
         samples=int(samples),
+        step_cap=None if step_cap is None else int(step_cap),
     )
