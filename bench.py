@@ -1,9 +1,12 @@
 """Headline benchmark: primary rays/second at 1080p on one chip.
 
 Renders the standard demo world (8³ chunks of layered SVO terrain) at
-1920×1080 with the flagship subwindow bit-plane tracer (ops/wavefront3.py) and reports
-steady-state Mrays/s. Baseline = the 200 Mrays/s/chip north-star target
-from BASELINE.md (the reference publishes no numbers of its own).
+1920×1080 through the flagship fused pipeline (ops/wavefront3.py march +
+in-kernel shade -> packed RGBA8) and reports steady-state Mrays/s. This
+matches what the reference kernel does per frame — trace AND shade into
+an rgba8unorm texture in one compute pass (ray_tracer.wgsl update()).
+Baseline = the 200 Mrays/s/chip north-star target from BASELINE.md (the
+reference publishes no numbers of its own).
 
 D2H DISCIPLINE: on this TPU, any device->host transfer permanently drops
 the process into a ~83 ms/dispatch mode (see ops/wavefront.py). Nothing
@@ -33,10 +36,11 @@ def main():
     # an earlier (degraded) session reproduce the degraded behavior.
 
     from voxelraytracing_tpu.ops import noise
-    from voxelraytracing_tpu.ops.camera import CamData, generate_rays
+    from voxelraytracing_tpu.ops.camera import CamData
     from voxelraytracing_tpu.ops.wavefront3 import (
         build_render_grid3_host,
-        trace_wavefront3,
+        color_lut_rows,
+        render_frame3,
     )
     from voxelraytracing_tpu.world.demo import demo_chunk_grids_host, demo_materials
 
@@ -62,11 +66,11 @@ def main():
         fov_deg=70.0,
         proj_size=(WIDTH, HEIGHT),
     )
-    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    lut = color_lut_rows(mats.color)
 
     def frame(tok):
-        return trace_wavefront3(
-            rgrid, origin, cam=cam, rounds=ROUNDS, step_cap=STEP_CAP,
+        return render_frame3(
+            rgrid, cam, lut, rounds=ROUNDS, step_cap=STEP_CAP,
             cache=tok, return_cache=True,
         )
 

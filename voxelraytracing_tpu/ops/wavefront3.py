@@ -371,6 +371,8 @@ _FL_STP = 5
 _FL_VOX = 17
 _FL_SGN = 25  # 3 direction-sign bits (dx>0, dy>0, dz>0): lets the XLA
 #               finish derive face normals without regenerating ray dirs
+_SCAL_N = 27  # length of the _cam_scal row; the shade kernel's extra
+#               scalars (sun dir/intensity, sky color, ambient) follow it
 
 
 def _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0):
@@ -389,7 +391,8 @@ def _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0):
         ]),
         inv_view[0, :3], inv_view[1, :3], inv_view[2, :3],
         jnp.asarray(y0, f32).reshape(1),
-        jnp.zeros(2, f32),
+        # 22 srd | 23 step cap | 24 round-0 init flag | 25 tx | 26 ty
+        jnp.zeros(5, f32),
     ])
 
 
@@ -869,7 +872,43 @@ def _march_kernel(
         return (sr < srd) & (go != 0)
 
     fl_in = fl_ref
-    any_active = jnp.any((fl_in & 1) != 0)
+    # round-0 in-kernel state init (primary path): the state planes
+    # arrive as plain zeros; activity, ts=EPS_T, wa=0, we=-1 are
+    # synthesized here from the camera scalars + tile index instead of
+    # six full-frame XLA writes in the prep
+    if not per_ray:
+        init = scal_ref[24] > 0.5
+        sbi = tg // _BLK
+        li = tg - sbi * _BLK
+        txi = (sbi % nsx) * SB_W + li % SB_W
+        tyi = (sbi // nsx) * SB_H + li // SB_W
+        val_t = (
+            (txi.astype(f32) < scal_ref[25])
+            & (tyi.astype(f32) < scal_ref[26])
+        )
+        in_w = (
+            (ox > 0.0) & (ox < v)
+            & (oy > 0.0) & (oy < v)
+            & (oz > 0.0) & (oz < v)
+        )
+        act_i = (val_t & in_w).astype(i32)
+        ts0_in = jnp.where(init, f32(EPS_T), ts_ref)
+        wa_in = jnp.where(init, f32(0.0), wa_ref)
+        we_in = jnp.where(init, f32(-1.0), we_ref)
+        acti_in = jnp.where(init, act_i, (fl_in >> _FL_ACT) & 1)
+        zi_ = jnp.zeros_like(fl_in)
+        hit_in = jnp.where(init, zi_, (fl_in >> _FL_HIT) & 1)
+        ax_in = jnp.where(init, zi_, (fl_in >> _FL_AX) & 7)
+        stp_in = jnp.where(init, zi_, (fl_in >> _FL_STP) & 0xFFF)
+        vox_in = jnp.where(init, zi_, (fl_in >> _FL_VOX) & 0xFF)
+    else:
+        ts0_in, wa_in, we_in = ts_ref, wa_ref, we_ref
+        acti_in = (fl_in >> _FL_ACT) & 1
+        hit_in = (fl_in >> _FL_HIT) & 1
+        ax_in = (fl_in >> _FL_AX) & 7
+        stp_in = (fl_in >> _FL_STP) & 0xFFF
+        vox_in = (fl_in >> _FL_VOX) & 0xFF
+    any_active = jnp.any(acti_in != 0)
 
     @pl.when(jnp.logical_not(any_active))
     def _():
@@ -878,29 +917,25 @@ def _march_kernel(
 
     @pl.when(any_active)
     def _():
-        # unpack flags once; repack once at exit
-        act0 = (fl_in >> _FL_ACT) & 1
-        hit0 = (fl_in >> _FL_HIT) & 1
-        ax0 = (fl_in >> _FL_AX) & 7
-        stp0 = (fl_in >> _FL_STP) & 0xFFF
-        vox0 = (fl_in >> _FL_VOX) & 0xFF
+        act0, hit0, ax0, stp0, vox0 = acti_in, hit_in, ax_in, stp_in, vox_in
+        ts_in = ts0_in
         act0 = jnp.where(stp0 < step_cap, act0, 0)
         # Kill rays that are already out of bounds HERE, not only inside
         # step(): a block whose active rays are all stuck has go==0, so
         # the while body (and any kill logic in it) never runs for them.
-        px0 = ox + dx * ts_ref
-        py0 = oy + dy * ts_ref
-        pz0 = oz + dz * ts_ref
+        px0 = ox + dx * ts_in
+        py0 = oy + dy * ts_in
+        pz0 = oz + dz * ts_in
         inw0 = (
             (px0 >= 0.0) & (py0 >= 0.0) & (pz0 >= 0.0)
             & (px0 < v) & (py0 < v) & (pz0 < v)
         )
-        act0 = jnp.where(inw0 & (ts_ref < t_exit), act0, 0)
+        act0 = jnp.where(inw0 & (ts_in < t_exit), act0, 0)
         tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(
-            ts_ref, act0
+            ts_in, act0
         )
         init_c = (
-            ts_ref, act0, hit0, ax0, vox0, wa_ref, we_ref, stp0,
+            ts_in, act0, hit0, ax0, vox0, wa_in, we_in, stp0,
         )
         _, _, c, _ = jax.lax.while_loop(
             cond, sub_round,
@@ -1115,15 +1150,23 @@ def _trace_frame(
     lane16 = jax.lax.broadcasted_iota(i32, (nB, N_WC), 1)
     lane128 = jax.lax.broadcasted_iota(i32, (nB, 128), 1)
 
-    fl0 = (jnp.broadcast_to(inside, shape) & valid).astype(i32)
-    carry = dict(
-        # ts | flags (i32 bits, always < 2^25 so never NaN) | wa | we
-        state=jnp.stack([
+    if per_ray:
+        fl0 = (jnp.broadcast_to(inside, shape) & valid).astype(i32)
+        state0 = jnp.stack([
             jnp.full(shape, EPS_T, f32),
             jax.lax.bitcast_convert_type(fl0 + _FL_BIAS, f32),
             jnp.zeros(shape, f32),
             jnp.full(shape, -1.0, f32),
-        ]),
+        ])
+    else:
+        # primary path: plain zeros — the kernel synthesizes activity,
+        # ts=EPS_T, wa=0, we=-1 on round 0 from the camera scalars (the
+        # all-zero flags pattern reads as inactive/no-hit/0-steps after
+        # the _FL_BIAS bitcast, so an untouched block stays harmless)
+        state0 = jnp.zeros((4,) + shape, f32)
+    carry = dict(
+        # ts | flags (i32 bits, always < 2^25 so never NaN) | wa | we
+        state=state0,
         wc_ids=jnp.full((nB, N_WC), -1, i32),
         sc_ids=jnp.full((nB, N_SC), -1, i32),
         want=jnp.full((T, 8), -1, i32),
@@ -1387,8 +1430,17 @@ def _trace_frame(
             )
         else:
             cap = jnp.minimum(jnp.asarray(step_cap, jnp.float32), 4000.0)
+        scal_r = scal.at[22].set(srd).at[23].set(cap)
+        if rays is None:
+            # primary path: the kernel initializes ray state itself on
+            # round 0 (the state planes arrive as plain zeros)
+            scal_r = (
+                scal_r.at[24].set(jnp.where(r == 0, 1.0, 0.0))
+                .at[25].set(jnp.float32(tx))
+                .at[26].set(jnp.float32(ty))
+            )
         state, want = _march(
-            scal.at[22].set(srd).at[23].set(cap), mc, c["state"],
+            scal_r, mc, c["state"],
             sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
             nsx=nsx, interpret=interpret, rays=rays, lookahead=lookahead,
         )
@@ -1405,7 +1457,10 @@ def _trace_frame(
 
     def _round_cond(state):
         r, c = state
-        return (r < rounds) & jnp.any((_fl_of(c) & 1) != 0)
+        # round 0 must always run: on the primary path the ray state is
+        # initialized inside the kernel, so the carried flags are still
+        # all-zero when this cond is first evaluated
+        return (r < rounds) & ((r == 0) | jnp.any((_fl_of(c) & 1) != 0))
 
     def _round_body(state):
         r, c = state
@@ -1747,7 +1802,7 @@ def _shade_kernel(
         cb = fstep
 
     if shadows:
-        amb = scal_ref[31]
+        amb = scal_ref[_SCAL_N + 7]
         shm = jnp.where((sh_ref[:] != 0) & hit, amb, f32(1.0))
         cr = cr * shm
         cg = cg * shm
@@ -1760,16 +1815,20 @@ def _shade_kernel(
 
     gts = sstep(-0.01, 0.0, dy)
     grad_t = sstep(0.0, 0.4, dy) ** 0.35
-    sun_dot = dx * scal_ref[24] + dy * scal_ref[25] + dz * scal_ref[26]
-    sun = ((sun_dot > (1.0 - 0.01)) & (gts >= 1.0)).astype(f32) * scal_ref[27]
+    sun_dot = (dx * scal_ref[_SCAL_N] + dy * scal_ref[_SCAL_N + 1]
+               + dz * scal_ref[_SCAL_N + 2])
+    sun = (
+        ((sun_dot > (1.0 - 0.01)) & (gts >= 1.0)).astype(f32)
+        * scal_ref[_SCAL_N + 3]
+    )
 
     def sky_chan(h, vd, sc):
         g = h + (sc - h) * grad_t
         return vd + (g - vd) * gts + sun
 
-    sr = sky_chan(f32(1.0), f32(0.03), scal_ref[28])
-    sg = sky_chan(f32(0.3), f32(0.03), scal_ref[29])
-    sb = sky_chan(f32(0.0), f32(0.03), scal_ref[30])
+    sr = sky_chan(f32(1.0), f32(0.03), scal_ref[_SCAL_N + 4])
+    sg = sky_chan(f32(0.3), f32(0.03), scal_ref[_SCAL_N + 5])
+    sb = sky_chan(f32(0.0), f32(0.03), scal_ref[_SCAL_N + 6])
 
     r = jnp.where(hit, cr, sr)
     g = jnp.where(hit, cg, sg)
