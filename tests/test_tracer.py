@@ -152,3 +152,24 @@ def test_shadow_settings_are_live(cam, world, mats):
         world, cam, RenderSettings(sun_pos=sun, shadows=True, shadow_ambient=1.0)
     )
     np.testing.assert_allclose(np.asarray(lit), base, atol=1e-6)
+
+
+def test_packed_node_pool_matches_unpacked(cam, world, mats):
+    """Two-u16-per-u32 packed node pool (the reference's device layout,
+    shader.rs:22-40) traces identically to the widened int32 pool."""
+    import jax.numpy as jnp
+
+    origin, dirs = generate_rays(cam, world.world_min)
+    ref = trace_rays(world, mats.is_liquid, origin, dirs, 500)
+    pw = world.packed()
+    assert pw.nodes.dtype == jnp.uint32
+    assert pw.nodes.shape[0] == (world.nodes.shape[0] + 1) // 2
+    got = trace_rays(pw, mats.is_liquid, origin, dirs, 500)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(got.hit))
+    np.testing.assert_array_equal(
+        np.asarray(ref.voxel), np.asarray(got.voxel)
+    )
+    np.testing.assert_array_equal(np.asarray(ref.pos), np.asarray(got.pos))
+    np.testing.assert_array_equal(
+        np.asarray(ref.steps), np.asarray(got.steps)
+    )

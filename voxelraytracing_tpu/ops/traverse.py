@@ -59,6 +59,35 @@ class WorldSlice(NamedTuple):
     def size_in_voxels(self):
         return self.size_in_chunks * CHUNK_SIZE
 
+    def packed(self):
+        """Same world with the node pool packed two u16 nodes per u32
+        word — the reference's device layout (shader.rs:22-40), halving
+        the pool's HBM footprint. ``find_node`` dispatches on dtype, so
+        a packed slice is a drop-in replacement everywhere."""
+        if self.nodes.dtype == jnp.uint32:
+            return self
+        return self._replace(nodes=pack_nodes(self.nodes))
+
+
+def pack_nodes(nodes_i32):
+    """int32[pool] widened nodes -> uint32[ceil(pool/2)] packed pairs."""
+    n = nodes_i32.shape[0]
+    ev = nodes_i32[0::2].astype(jnp.uint32) & 0xFFFF
+    od = jnp.pad(nodes_i32[1::2], (0, (n + 1) // 2 - n // 2)).astype(
+        jnp.uint32
+    ) & 0xFFFF
+    return ev | (od << 16)
+
+
+def _node_fetch(nodes, i):
+    """Node value at pool index ``i`` for either pool layout."""
+    if nodes.dtype == jnp.uint32:  # packed u16 pairs
+        w_ = nodes[i >> 1]
+        return (
+            (w_ >> ((i & 1).astype(jnp.uint32) * 16)) & 0xFFFF
+        ).astype(jnp.int32)
+    return nodes[i]
+
 
 class FoundNodes(NamedTuple):
     node: jax.Array  # int32[N] — node value at the query position
@@ -92,7 +121,7 @@ def find_node(nodes, chunk_roots, size_in_chunks, pos):
     idx = jnp.zeros_like(root)
     done = jnp.zeros(pos.shape[:-1], dtype=bool)
 
-    node = nodes[root + idx]
+    node = _node_fetch(nodes, root + idx)
     for _ in range(5):  # CHUNK_DEPTH
         leaf = (node & nodefmt.SPLIT_MASK) == 0
         done = done | leaf
@@ -110,7 +139,7 @@ def find_node(nodes, chunk_roots, size_in_chunks, pos):
         idx = jnp.where(done, idx, nxt_idx)
         center = jnp.where(done[..., None], center, nxt_center)
         size = jnp.where(done, size, half)
-        node = jnp.where(done, node, nodes[root + idx])
+        node = jnp.where(done, node, _node_fetch(nodes, root + idx))
 
     half = (size * 0.5)[..., None]
     return FoundNodes(node=node, box_min=center - half, box_max=center + half)
