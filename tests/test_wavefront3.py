@@ -254,3 +254,36 @@ def test_v3_step_cap_semantics(scene):
     assert (~hl | hf).all()
     vl, vf = np.asarray(low.voxel), np.asarray(full.voxel)
     np.testing.assert_array_equal(vl[hl], vf[hl])
+
+
+def test_v3_tail_compaction_matches_uncompacted(scene):
+    """A frame large enough to trigger the two-phase tail compaction
+    (T2 < T) produces exactly the same trace as the single-phase loop —
+    the compacted grid serves the same rows, so every ray's march is
+    deterministic and identical given a generous round budget."""
+    import jax.numpy as jnp
+    from voxelraytracing_tpu.ops.wavefront3 import _trace_frame
+
+    rg3, world, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (256, 128))
+    origin = jnp.asarray(cam.pos, jnp.float32)
+    args = (rg3.gw_jump, rg3.gw_liq, rg3.wmeta, rg3.sw_meta, rg3.sw_solid,
+            rg3.sw_liq, rg3.sw_pid, rg3.brick_dir, rg3.bricks, rg3.to_pack)
+    z = jnp.zeros((), jnp.float32)
+    zi = jnp.zeros((), jnp.int32)
+    kw = dict(width=256, height=128, sub_rounds=6, sub_steps=8,
+              v=int(rg3.size_voxels), interpret=True, per_ray=False,
+              raw_out=False)
+    iv = jnp.asarray(cam.inv_view, jnp.float32)
+    ip = jnp.asarray(cam.inv_proj, jnp.float32)
+    a = _trace_frame(*args, origin, iv, ip, z, z, z, zi, zi, zi, 48, 500,
+                     compact=False, **kw)
+    b = _trace_frame(*args, origin, iv, ip, z, z, z, zi, zi, zi, 48, 500,
+                     compact=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.voxel), np.asarray(b.voxel))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+    np.testing.assert_array_equal(
+        np.asarray(a.steps), np.asarray(b.steps)
+    )

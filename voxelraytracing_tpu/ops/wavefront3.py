@@ -428,15 +428,19 @@ def _ray_dirs(scal, tg, lane, nsx):
 def _march_kernel(
     *refs,
     sub_rounds, sub_steps, nw, ns, nsx, per_ray, lookahead,
+    with_tmap=False,
 ):
     """The march kernel. Ref order (inputs then outputs):
 
-    scal_ref   SMEM f32[24]: ox,oy,oz,v, 2/w,2/h, cam affine (15)
+    scal_ref   SMEM f32[27]: ox,oy,oz,v, 2/w,2/h, cam affine (15), y0,
+               srd | cap | init | tx | ty
     mc_ref     [1, 5 + 6*N_SC, 128] u32: meta rows (gj, gl, wmeta-pack,
                smeta-pack, ids) then cache rows (solid | liquid | 4 pid)
     (per_ray only) rays_ref [6, BLK, 128] f32: ox oy oz dx dy dz planes —
       per-ray origins/directions (secondary rays: shadows, bounces);
       otherwise the camera affine in scal generates directions in-register
+    (with_tmap only) tmap_ref [BLK, 8] i32: original tile index per row
+      (compacted tail grid)
     st_ref     [4, BLK, 128] f32: ts | flags (i32 bit pattern) | wa | we
     st_o       same 4 planes out
     want_o     [BLK,8] i32: lanes 0-3 subwindow wants, 4 window want
@@ -448,10 +452,12 @@ def _march_kernel(
     (raw flag values < 2^25 would be denormals, which this TPU flushes to
     zero somewhere in the copy path - observed as every ray dying).
     """
-    if per_ray:
-        (scal_ref, mc_ref, rays_ref, st_ref, st_o, want_o) = refs
-    else:
-        (scal_ref, mc_ref, st_ref, st_o, want_o) = refs
+    refs = list(refs)
+    scal_ref = refs.pop(0)
+    mc_ref = refs.pop(0)
+    rays_ref = refs.pop(0) if per_ray else None
+    tmap_ref = refs.pop(0) if with_tmap else None
+    (st_ref, st_o, want_o) = refs
     f32, i32 = jnp.float32, jnp.int32
     v = scal_ref[3]
 
@@ -475,8 +481,13 @@ def _march_kernel(
         ox = scal_ref[0]
         oy = scal_ref[1]
         oz = scal_ref[2]
-        rows = jax.lax.broadcasted_iota(i32, (blk, 128), 0)
-        tg = pl.program_id(0) * blk + rows
+        if tmap_ref is not None:
+            # compacted tail grid: rows hold arbitrary original tiles;
+            # their pixel identity comes from the tile-map input
+            tg = jnp.broadcast_to(tmap_ref[:, 0:1], (blk, 128))
+        else:
+            rows = jax.lax.broadcasted_iota(i32, (blk, 128), 0)
+            tg = pl.program_id(0) * blk + rows
         scal_v = [scal_ref[i] for i in range(24)]
         dx, dy, dz = _ray_dirs(scal_v, tg, lanes, nsx)
 
@@ -967,10 +978,11 @@ def _march_kernel(
 def _march(
     scal, metacache, state,
     *, sub_rounds, sub_steps, nw, ns, nsx, interpret, rays=None,
-    lookahead=1,
+    lookahead=1, tile_map=None,
 ):
     """state: f32[4, T, 128] (ts | flags-bits | wa | we); metacache:
-    u32[nB, 5 + 6*N_SC, 128]; rays: f32[6, T, 128] or None.
+    u32[nB, 5 + 6*N_SC, 128]; rays: f32[6, T, 128] or None; tile_map:
+    i32[T, 8] original tile index per row (compacted grids) or None.
     Returns (state', want[T,8])."""
     T = state.shape[1]
     blk = _BLK
@@ -992,6 +1004,12 @@ def _march(
     if per_ray:
         in_specs.append(pspec(6))                       # ray planes
         args.append(rays)
+    if tile_map is not None:
+        in_specs.append(
+            pl.BlockSpec((blk, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(tile_map)
     in_specs.append(pspec(4))                           # state planes
     args.append(state)
     out_specs = (
@@ -1005,6 +1023,7 @@ def _march(
     kern = partial(
         _march_kernel, sub_rounds=sub_rounds, sub_steps=sub_steps,
         nw=nw, ns=ns, nsx=nsx, per_ray=per_ray, lookahead=lookahead,
+        with_tmap=tile_map is not None,
     )
     return pl.pallas_call(
         kern,
@@ -1073,7 +1092,7 @@ def _tile_valid(tx, ty, T):
         "width", "height", "sub_rounds", "sub_steps", "v",
         "interpret", "resolve_ids", "per_ray", "raw_out", "full_height",
         "warm", "return_cache", "lookahead", "tail_start",
-        "tail_sub_rounds",
+        "tail_sub_rounds", "compact",
     ),
 )
 def _trace_frame(
@@ -1084,7 +1103,7 @@ def _trace_frame(
     *, width, height, sub_rounds, sub_steps, v, interpret,
     resolve_ids="palette", per_ray=False, raw_out=False,
     full_height=None, y0=0.0, warm=False, return_cache=False,
-    lookahead=1, tail_start=5, tail_sub_rounds=30,
+    lookahead=1, tail_start=5, tail_sub_rounds=30, compact=True,
 ):
     # ``rounds`` is a TRACED scalar: the round loop is a while_loop, so the
     # budget can vary per call without recompiling this (expensive) program.
@@ -1232,222 +1251,233 @@ def _trace_frame(
 
     carry.update(wc_meta=wc_meta0, sc_meta=sc_meta0, sc_solid=sc_solid0,
                  sc_liq=sc_liq0, sc_pid=sc_pid0)
-    gj_bcast = jnp.broadcast_to(gw_jump.reshape(1, 128), (nB, 128))
-    gl_bcast = jnp.broadcast_to(gw_liq.reshape(1, 128), (nB, 128))
 
-    def insert_windows(c, wc_meta, r):
-        """Serve up to _W_INS distinct uncached window wants per block.
+    def make_round_body(nBx, hist_x, rays_x, tmap_x):
+        """Service + march for one grid shape: the full frame grid, or a
+        compacted tail grid (nBx blocks, rays/tile-map gathered)."""
+        lane16 = jax.lax.broadcasted_iota(i32, (nBx, N_WC), 1)
+        lane128 = jax.lax.broadcasted_iota(i32, (nBx, 128), 1)
+        gj_bcast = jnp.broadcast_to(gw_jump.reshape(1, 128), (nBx, 128))
+        gl_bcast = jnp.broadcast_to(gw_liq.reshape(1, 128), (nBx, 128))
 
-        ``wc_meta`` is mc row 2; returns the updated ids and row."""
-        bigi = jnp.int32(_BIGI)
-        pool = c["want"][:, 4].reshape(nB, _BLK)
-        cached = (pool[:, :, None] == c["wc_ids"][:, None, :]).any(axis=2)
-        pool = jnp.where((pool >= 0) & ~cached, pool, bigi)
-        wc_ids = c["wc_ids"]
-        for j in range(_W_INS):
-            pick = jnp.min(pool, axis=1)                       # [B]
-            ok = pick < bigi
-            pool = jnp.where(pool == pick[:, None], bigi, pool)
-            slot = (r * _W_INS + j) % (N_WC - 1) + 1           # keep slot 0
-            sel = (lane16 == slot) & ok[:, None]
-            wc_ids = jnp.where(sel, pick[:, None], wc_ids)
-            meta = wmeta[jnp.clip(pick, 0, wmeta.shape[0] - 1)]  # [B,8]
-            spread = jnp.take_along_axis(
-                meta, jnp.clip(lane128 & 7, 0, 7), axis=1
-            )
-            msel = (lane128 >> 3) == slot  # slot: traced scalar
-            wc_meta = jnp.where(msel & ok[:, None], spread, wc_meta)
-        return wc_ids, wc_meta
+        def insert_windows(c, wc_meta, r):
+            """Serve up to _W_INS distinct uncached window wants per block.
 
-    def insert_subwindows(c, r):
-        """Serve up to _S_INS distinct uncached subwindow wants per block.
+            ``wc_meta`` is mc row 2; returns the updated ids and row."""
+            bigi = jnp.int32(_BIGI)
+            pool = c["want"][:, 4].reshape(nBx, _BLK)
+            cached = (pool[:, :, None] == c["wc_ids"][:, None, :]).any(axis=2)
+            pool = jnp.where((pool >= 0) & ~cached, pool, bigi)
+            wc_ids = c["wc_ids"]
+            for j in range(_W_INS):
+                pick = jnp.min(pool, axis=1)                       # [B]
+                ok = pick < bigi
+                pool = jnp.where(pool == pick[:, None], bigi, pool)
+                slot = (r * _W_INS + j) % (N_WC - 1) + 1           # keep slot 0
+                sel = (lane16 == slot) & ok[:, None]
+                wc_ids = jnp.where(sel, pick[:, None], wc_ids)
+                meta = wmeta[jnp.clip(pick, 0, wmeta.shape[0] - 1)]  # [B,8]
+                spread = jnp.take_along_axis(
+                    meta, jnp.clip(lane128 & 7, 0, 7), axis=1
+                )
+                msel = (lane128 >> 3) == slot  # slot: traced scalar
+                wc_meta = jnp.where(msel & ok[:, None], spread, wc_meta)
+            return wc_ids, wc_meta
 
-        One pick per block *eighth* (8 consecutive tiles): spatially fair —
-        a global min-first order would starve tiles wanting high ids until
-        every low id in the block retires.
+        def insert_subwindows(c, r):
+            """Serve up to _S_INS distinct uncached subwindow wants per block.
 
-        Service priority: immediate stalls (want cols 0-3) always come
-        first; lookahead prefetch hints (cols 5-7) only fill capacity the
-        immediate wants leave unused — a low prefetch id must never starve
-        a high immediate id (that livelocks under rotating eviction)."""
-        bigi = jnp.int32(_BIGI)
-        pool = c["want"][:, :4].reshape(nB, _BLK * 4)
-        cached = (pool[:, :, None] == c["sc_ids"][:, None, :]).any(axis=2)
-        pool = jnp.where((pool >= 0) & ~cached, pool, bigi)
-        seg = pool.reshape(nB, _S_INS, (_BLK * 4) // _S_INS)
-        picks = jnp.min(seg, axis=2)                           # [B,_S_INS]
-        # cross-segment duplicates waste a slot; keep only the first
-        dup = picks[:, :, None] == picks[:, None, :]
-        first = jnp.argmax(dup, axis=2)                        # [B,_S_INS]
-        j_i = jnp.arange(_S_INS, dtype=i32)[None, :]
-        picks = jnp.where(first == j_i, picks, bigi)
-        # fill unused slots (empty segments — e.g. padded tiny frames) with
-        # global mins of the leftover pool so capacity never shrinks
-        taken = (pool[:, :, None] == picks[:, None, :]).any(axis=2)
-        pool = jnp.where(taken, bigi, pool)
-        fills = []
-        for j in range(_S_INS):
-            g = jnp.min(pool, axis=1)
-            fills.append(g)
-            pool = jnp.where(pool == g[:, None], bigi, pool)
-        fills = jnp.stack(fills, axis=1)                       # [B,_S_INS]
+            One pick per block *eighth* (8 consecutive tiles): spatially fair —
+            a global min-first order would starve tiles wanting high ids until
+            every low id in the block retires.
 
-        def _pool_fills(pool, *exclude):
-            """Monotone min-sequence of a candidate pool, skipping ids
-            already cached or claimed by a higher-priority source."""
-            cachedx = (
-                pool[:, :, None] == c["sc_ids"][:, None, :]
-            ).any(axis=2)
-            keep = (pool >= 0) & ~cachedx
-            for e in exclude:
-                keep = keep & ~(
-                    pool[:, :, None] == e[:, None, :]
-                ).any(axis=2)
-            pool = jnp.where(keep, pool, bigi)
-            outs = []
-            for _ in range(_S_INS):
+            Service priority: immediate stalls (want cols 0-3) always come
+            first; lookahead prefetch hints (cols 5-7) only fill capacity the
+            immediate wants leave unused — a low prefetch id must never starve
+            a high immediate id (that livelocks under rotating eviction)."""
+            bigi = jnp.int32(_BIGI)
+            pool = c["want"][:, :4].reshape(nBx, _BLK * 4)
+            cached = (pool[:, :, None] == c["sc_ids"][:, None, :]).any(axis=2)
+            pool = jnp.where((pool >= 0) & ~cached, pool, bigi)
+            seg = pool.reshape(nBx, _S_INS, (_BLK * 4) // _S_INS)
+            picks = jnp.min(seg, axis=2)                           # [B,_S_INS]
+            # cross-segment duplicates waste a slot; keep only the first
+            dup = picks[:, :, None] == picks[:, None, :]
+            first = jnp.argmax(dup, axis=2)                        # [B,_S_INS]
+            j_i = jnp.arange(_S_INS, dtype=i32)[None, :]
+            picks = jnp.where(first == j_i, picks, bigi)
+            # fill unused slots (empty segments — e.g. padded tiny frames) with
+            # global mins of the leftover pool so capacity never shrinks
+            taken = (pool[:, :, None] == picks[:, None, :]).any(axis=2)
+            pool = jnp.where(taken, bigi, pool)
+            fills = []
+            for j in range(_S_INS):
                 g = jnp.min(pool, axis=1)
-                outs.append(g)
+                fills.append(g)
                 pool = jnp.where(pool == g[:, None], bigi, pool)
-            return jnp.stack(outs, axis=1)                     # [B,_S_INS]
+            fills = jnp.stack(fills, axis=1)                       # [B,_S_INS]
 
-        # history replay: the ids served at this round in the PREVIOUS
-        # frame (temporal coherence: rays will want the same rows at the
-        # same point of the schedule — serve them before they ask)
-        hrow = jax.lax.dynamic_slice_in_dim(
-            hist_in, jnp.clip(r, 0, _H_REC - 1), 1, axis=0
-        )[0]                                                   # [B,_S_INS]
-        hfills = _pool_fills(hrow, picks, fills)
-        # lookahead prefetch hints (want cols 5-7): lowest priority
-        prepool = c["want"][:, 5:8].reshape(nB, _BLK * 3)
-        pfills = _pool_fills(prepool, picks, fills, hfills)
-        # merged fill sequence by priority: immediate-stall leftovers,
-        # then history replay, then prefetch — each a valid prefix of a
-        # monotone min-sequence, so prefix arithmetic composes them
-        n_imm = jnp.sum((fills < bigi).astype(i32), axis=1, keepdims=True)
-        n_h = jnp.sum((hfills < bigi).astype(i32), axis=1, keepdims=True)
-        mid = jnp.take_along_axis(
-            hfills, jnp.clip(j_i - n_imm, 0, _S_INS - 1), axis=1
-        )
-        low = jnp.take_along_axis(
-            pfills, jnp.clip(j_i - n_imm - n_h, 0, _S_INS - 1), axis=1
-        )
-        fill_seq = jnp.where(
-            j_i < n_imm, fills, jnp.where(j_i < n_imm + n_h, mid, low)
-        )
-        need_fill = picks >= bigi
-        order = jnp.cumsum(need_fill.astype(i32), axis=1) - 1  # fill index
-        fill_v = jnp.take_along_axis(
-            fill_seq, jnp.clip(order, 0, _S_INS - 1), axis=1
-        )
-        picks = jnp.where(need_fill, fill_v, picks)
-        ok = picks < bigi
-        safe = jnp.clip(picks, 0, sw_solid.shape[0] - 1)
-        new_ids = jnp.where(ok, picks, -1)
-        new_sol = sw_solid[safe]                               # [B,8,128]
-        new_liq = sw_liq[safe]
-        new_meta = sw_meta[safe]                               # [B,8,8]
-        new_pid = sw_pid[safe]                                 # [B,8,4,128]
+            def _pool_fills(pool, *exclude):
+                """Monotone min-sequence of a candidate pool, skipping ids
+                already cached or claimed by a higher-priority source."""
+                cachedx = (
+                    pool[:, :, None] == c["sc_ids"][:, None, :]
+                ).any(axis=2)
+                keep = (pool >= 0) & ~cachedx
+                for e in exclude:
+                    keep = keep & ~(
+                        pool[:, :, None] == e[:, None, :]
+                    ).any(axis=2)
+                pool = jnp.where(keep, pool, bigi)
+                outs = []
+                for _ in range(_S_INS):
+                    g = jnp.min(pool, axis=1)
+                    outs.append(g)
+                    pool = jnp.where(pool == g[:, None], bigi, pool)
+                return jnp.stack(outs, axis=1)                     # [B,_S_INS]
 
-        # rotating half-cache replacement: even rounds -> slots 0..7,
-        # odd rounds -> slots 8..15. A slot whose pick is invalid KEEPS
-        # its old row (clearing it silently evicted still-wanted rows in
-        # low-traffic tail rounds) — elementwise merges only, no gathers.
-        # (A dynamic-slice in-place variant on the packed metacache
-        # carry measured ~3 ms/frame WORSE: XLA copies the carry.)
-        lo = (r % 2) == 0
+            # history replay: the ids served at this round in the PREVIOUS
+            # frame (temporal coherence: rays will want the same rows at the
+            # same point of the schedule — serve them before they ask)
+            hrow = jax.lax.dynamic_slice_in_dim(
+                hist_x, jnp.clip(r, 0, _H_REC - 1), 1, axis=0
+            )[0]                                                   # [B,_S_INS]
+            hfills = _pool_fills(hrow, picks, fills)
+            # lookahead prefetch hints (want cols 5-7): lowest priority
+            prepool = c["want"][:, 5:8].reshape(nBx, _BLK * 3)
+            pfills = _pool_fills(prepool, picks, fills, hfills)
+            # merged fill sequence by priority: immediate-stall leftovers,
+            # then history replay, then prefetch — each a valid prefix of a
+            # monotone min-sequence, so prefix arithmetic composes them
+            n_imm = jnp.sum((fills < bigi).astype(i32), axis=1, keepdims=True)
+            n_h = jnp.sum((hfills < bigi).astype(i32), axis=1, keepdims=True)
+            mid = jnp.take_along_axis(
+                hfills, jnp.clip(j_i - n_imm, 0, _S_INS - 1), axis=1
+            )
+            low = jnp.take_along_axis(
+                pfills, jnp.clip(j_i - n_imm - n_h, 0, _S_INS - 1), axis=1
+            )
+            fill_seq = jnp.where(
+                j_i < n_imm, fills, jnp.where(j_i < n_imm + n_h, mid, low)
+            )
+            need_fill = picks >= bigi
+            order = jnp.cumsum(need_fill.astype(i32), axis=1) - 1  # fill index
+            fill_v = jnp.take_along_axis(
+                fill_seq, jnp.clip(order, 0, _S_INS - 1), axis=1
+            )
+            picks = jnp.where(need_fill, fill_v, picks)
+            ok = picks < bigi
+            safe = jnp.clip(picks, 0, sw_solid.shape[0] - 1)
+            new_ids = jnp.where(ok, picks, -1)
+            new_sol = sw_solid[safe]                               # [B,8,128]
+            new_liq = sw_liq[safe]
+            new_meta = sw_meta[safe]                               # [B,8,8]
+            new_pid = sw_pid[safe]                                 # [B,8,4,128]
 
-        def half(old, new, okx):
-            lo_m = jnp.where(okx, new, old[:, :_S_INS])
-            hi_m = jnp.where(okx, new, old[:, _S_INS:])
-            return jnp.where(
-                lo,
-                jnp.concatenate([lo_m, old[:, _S_INS:]], axis=1),
-                jnp.concatenate([old[:, :_S_INS], hi_m], axis=1),
+            # rotating half-cache replacement: even rounds -> slots 0..7,
+            # odd rounds -> slots 8..15. A slot whose pick is invalid KEEPS
+            # its old row (clearing it silently evicted still-wanted rows in
+            # low-traffic tail rounds) — elementwise merges only, no gathers.
+            # (A dynamic-slice in-place variant on the packed metacache
+            # carry measured ~3 ms/frame WORSE: XLA copies the carry.)
+            lo = (r % 2) == 0
+
+            def half(old, new, okx):
+                lo_m = jnp.where(okx, new, old[:, :_S_INS])
+                hi_m = jnp.where(okx, new, old[:, _S_INS:])
+                return jnp.where(
+                    lo,
+                    jnp.concatenate([lo_m, old[:, _S_INS:]], axis=1),
+                    jnp.concatenate([old[:, :_S_INS], hi_m], axis=1),
+                )
+
+            okc = ok[..., None]
+            sc_ids = half(c["sc_ids"], new_ids, ok)
+            sc_solid = half(c["sc_solid"], new_sol, okc)
+            sc_liq = half(c["sc_liq"], new_liq, okc)
+            sc_pid = half(c["sc_pid"], new_pid, ok[..., None, None])
+            meta64 = new_meta.reshape(nBx, _S_INS * 8)
+            spread = jnp.take_along_axis(
+                meta64, jnp.clip(lane128 & (_S_INS * 8 - 1), 0,
+                                 _S_INS * 8 - 1), axis=1
+            )
+            ok_ln = jnp.take_along_axis(
+                ok.astype(i32),
+                jnp.clip((lane128 >> 3) & (_S_INS - 1), 0, _S_INS - 1),
+                axis=1,
+            ) != 0
+            sc_meta = jnp.where(
+                (lo == (lane128 < _S_INS * 8)) & ok_ln, spread, c["sc_meta"]
+            )
+            return sc_ids, sc_meta, sc_solid, sc_liq, sc_pid, new_ids
+
+        def round_body(c, r):
+            wc_ids, wc_meta = insert_windows(c, c["wc_meta"], r)
+            (sc_ids, sc_meta, sc_solid, sc_liq, sc_pid,
+             served) = insert_subwindows(c, r)
+            hist = jax.lax.dynamic_update_slice_in_dim(
+                c["hist"], served[None], jnp.clip(r, 0, _H_REC - 1), axis=0
             )
 
-        okc = ok[..., None]
-        sc_ids = half(c["sc_ids"], new_ids, ok)
-        sc_solid = half(c["sc_solid"], new_sol, okc)
-        sc_liq = half(c["sc_liq"], new_liq, okc)
-        sc_pid = half(c["sc_pid"], new_pid, ok[..., None, None])
-        meta64 = new_meta.reshape(nB, _S_INS * 8)
-        spread = jnp.take_along_axis(
-            meta64, jnp.clip(lane128 & (_S_INS * 8 - 1), 0,
-                             _S_INS * 8 - 1), axis=1
-        )
-        ok_ln = jnp.take_along_axis(
-            ok.astype(i32),
-            jnp.clip((lane128 >> 3) & (_S_INS - 1), 0, _S_INS - 1),
-            axis=1,
-        ) != 0
-        sc_meta = jnp.where(
-            (lo == (lane128 < _S_INS * 8)) & ok_ln, spread, c["sc_meta"]
-        )
-        return sc_ids, sc_meta, sc_solid, sc_liq, sc_pid, new_ids
-
-    def round_body(c, r):
-        wc_ids, wc_meta = insert_windows(c, c["wc_meta"], r)
-        (sc_ids, sc_meta, sc_solid, sc_liq, sc_pid,
-         served) = insert_subwindows(c, r)
-        hist = jax.lax.dynamic_update_slice_in_dim(
-            c["hist"], served[None], jnp.clip(r, 0, _H_REC - 1), axis=0
-        )
-
-        ids_u = jnp.concatenate(
-            [wc_ids, sc_ids, jnp.full((nB, 128 - N_WC - N_SC), -1, i32)],
-            axis=1,
-        ).astype(jnp.uint32)
-        mc = jnp.concatenate(
-            [
-                jnp.stack(
-                    [gj_bcast, gl_bcast, wc_meta, sc_meta, ids_u], axis=1
-                ),                                         # [B,5,128]
-                sc_solid, sc_liq, sc_pid.reshape(nB, N_SC * 4, 128),
-            ],
-            axis=1,
-        )                                                  # [B,101,128]
-        # adaptive step budget: bulk rounds use sub_rounds; once the bulk
-        # has converged (tail_start) the survivors are deep step-bound
-        # rays — give them a much larger budget per sweep so they finish
-        # in 2-3 rounds instead of 10 (each idle sweep costs ~2.5 ms at
-        # 1080p in grid-program launch overhead alone)
-        srd = jnp.where(
-            r < tail_start,
-            jnp.float32(sub_rounds),
-            jnp.float32(max(tail_sub_rounds, sub_rounds)),
-        )
-        # Total step budget: an explicit step_cap (the reference's
-        # 500-iteration bound, decoupled from the service-round budget so
-        # converged frames exit early), else the nominal rounds x
-        # steps-per-round cap. The kernel kills rays at the cap so the
-        # early-exit loop can fire even for step-bound deep rays.
-        if step_cap is None:
-            cap = jnp.minimum(
-                jnp.asarray(rounds, jnp.float32)
-                * (sub_rounds * sub_steps),
-                4000.0,
+            ids_u = jnp.concatenate(
+                [wc_ids, sc_ids, jnp.full((nBx, 128 - N_WC - N_SC), -1, i32)],
+                axis=1,
+            ).astype(jnp.uint32)
+            mc = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [gj_bcast, gl_bcast, wc_meta, sc_meta, ids_u], axis=1
+                    ),                                         # [B,5,128]
+                    sc_solid, sc_liq, sc_pid.reshape(nBx, N_SC * 4, 128),
+                ],
+                axis=1,
+            )                                                  # [B,101,128]
+            # adaptive step budget: bulk rounds use sub_rounds; once the bulk
+            # has converged (tail_start) the survivors are deep step-bound
+            # rays — give them a much larger budget per sweep so they finish
+            # in 2-3 rounds instead of 10 (each idle sweep costs ~2.5 ms at
+            # 1080p in grid-program launch overhead alone)
+            srd = jnp.where(
+                r < tail_start,
+                jnp.float32(sub_rounds),
+                jnp.float32(max(tail_sub_rounds, sub_rounds)),
             )
-        else:
-            cap = jnp.minimum(jnp.asarray(step_cap, jnp.float32), 4000.0)
-        scal_r = scal.at[22].set(srd).at[23].set(cap)
-        if rays is None:
-            # primary path: the kernel initializes ray state itself on
-            # round 0 (the state planes arrive as plain zeros)
-            scal_r = (
-                scal_r.at[24].set(jnp.where(r == 0, 1.0, 0.0))
-                .at[25].set(jnp.float32(tx))
-                .at[26].set(jnp.float32(ty))
+            # Total step budget: an explicit step_cap (the reference's
+            # 500-iteration bound, decoupled from the service-round budget so
+            # converged frames exit early), else the nominal rounds x
+            # steps-per-round cap. The kernel kills rays at the cap so the
+            # early-exit loop can fire even for step-bound deep rays.
+            if step_cap is None:
+                cap = jnp.minimum(
+                    jnp.asarray(rounds, jnp.float32)
+                    * (sub_rounds * sub_steps),
+                    4000.0,
+                )
+            else:
+                cap = jnp.minimum(jnp.asarray(step_cap, jnp.float32), 4000.0)
+            scal_r = scal.at[22].set(srd).at[23].set(cap)
+            if rays_x is None:
+                # primary path: the kernel initializes ray state itself on
+                # round 0 (the state planes arrive as plain zeros)
+                scal_r = (
+                    scal_r.at[24].set(jnp.where(r == 0, 1.0, 0.0))
+                    .at[25].set(jnp.float32(tx))
+                    .at[26].set(jnp.float32(ty))
+                )
+            state, want = _march(
+                scal_r, mc, c["state"],
+                sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
+                nsx=nsx, interpret=interpret, rays=rays_x, lookahead=lookahead,
+                tile_map=tmap_x,
             )
-        state, want = _march(
-            scal_r, mc, c["state"],
-            sub_rounds=sub_rounds, sub_steps=sub_steps, nw=nw, ns=ns,
-            nsx=nsx, interpret=interpret, rays=rays, lookahead=lookahead,
-        )
-        return dict(state=state, want=want, hist=hist,
-                    wc_ids=wc_ids, wc_meta=wc_meta, sc_ids=sc_ids,
-                    sc_meta=sc_meta, sc_solid=sc_solid, sc_liq=sc_liq,
-                    sc_pid=sc_pid), ()
+            return dict(state=state, want=want, hist=hist,
+                        wc_ids=wc_ids, wc_meta=wc_meta, sc_ids=sc_ids,
+                        sc_meta=sc_meta, sc_solid=sc_solid, sc_liq=sc_liq,
+                        sc_pid=sc_pid), ()
+
+        return round_body
+
+    round_body = make_round_body(nB, hist_in, rays, None)
 
     # early-exit round loop: a frame stops paying for service rounds the
     # moment every ray has hit or left the world (an idle round still costs
@@ -1467,9 +1497,86 @@ def _trace_frame(
         c2, _ = round_body(c, r)
         return r + 1, c2
 
-    _, carry = jax.lax.while_loop(
-        _round_cond, _round_body, (jnp.int32(0), carry)
-    )
+    # Tail compaction: once the survivors fit a quarter-size grid, gather
+    # their tiles into it and finish there. Tail rounds then launch ~nB/4
+    # Pallas programs instead of nB (an idle program still costs ~6 µs of
+    # launch+DMA) and march lane-dense blocks. The gathers/scatters run
+    # OUTSIDE the while_loops — at top level they move at HBM speed; the
+    # same gather inside a loop body lowers to the ~126 M lookups/s
+    # scoped-staging emulation (docs/TPU_NOTES.md).
+    T2 = max(_BLK, -(-(T // 4) // _BLK) * _BLK)
+    if T2 >= T or not compact:
+        # small frames: single-phase loop, nothing to compact
+        _, carry = jax.lax.while_loop(
+            _round_cond, _round_body, (jnp.int32(0), carry)
+        )
+    else:
+        def _condA(state):
+            r, c = state
+            act_t = jnp.any((_fl_of(c) & 1) != 0, axis=1)  # [T]
+            n_act = jnp.sum(act_t.astype(i32))
+            return (r < rounds) & ((r == 0) | (n_act > T2))
+
+        rA, carry = jax.lax.while_loop(
+            _condA, _round_body, (jnp.int32(0), carry)
+        )
+
+        act_t = jnp.any((_fl_of(carry) & 1) != 0, axis=1)
+        any_b = jnp.any(act_t)
+        # stable partition: active tiles first, original order preserved
+        perm = jnp.argsort(jnp.logical_not(act_t), stable=True)
+        selt = perm[:T2]                                   # [T2] distinct
+        nB2 = T2 // _BLK
+        src_b = selt.reshape(nB2, _BLK)[:, 0] // _BLK      # seed block
+
+        def _run_tail(cy):
+            hist_b = cy["hist"][:, src_b]
+            rays_b = rays[:, selt, :] if per_ray else None
+            tmap_b = jnp.broadcast_to(
+                selt[:, None], (T2, 8)
+            ).astype(i32)
+            c_b = dict(
+                state=cy["state"][:, selt, :],
+                want=cy["want"][selt],
+                hist=hist_b,
+                wc_ids=cy["wc_ids"][src_b],
+                wc_meta=cy["wc_meta"][src_b],
+                sc_ids=cy["sc_ids"][src_b],
+                sc_meta=cy["sc_meta"][src_b],
+                sc_solid=cy["sc_solid"][src_b],
+                sc_liq=cy["sc_liq"][src_b],
+                sc_pid=cy["sc_pid"][src_b],
+            )
+            body_b = make_round_body(nB2, hist_b, rays_b, tmap_b)
+
+            def _cond_b(state):
+                r, c = state
+                fl_b = jax.lax.bitcast_convert_type(
+                    c["state"][1], i32
+                ) - _FL_BIAS
+                # the tail grid re-requests rows its seeded caches lost
+                # at the hand-off, so it gets a doubled service-round
+                # budget — tail rounds cost ~1/4 of a full-grid round,
+                # and the per-ray step_cap (the reference's semantic
+                # bound) is unchanged
+                return (r < 2 * rounds) & jnp.any((fl_b & 1) != 0)
+
+            def _body_b(state):
+                r, c = state
+                c2, _ = body_b(c, r)
+                return r + 1, c2
+
+            _, c_b = jax.lax.while_loop(_cond_b, _body_b, (rA, c_b))
+            out = dict(cy)
+            out["state"] = cy["state"].at[:, selt, :].set(c_b["state"])
+            # learned cache ids/schedule flow back to the seed blocks so
+            # the next frame's warm token sees the tail's service too
+            out["wc_ids"] = cy["wc_ids"].at[src_b].set(c_b["wc_ids"])
+            out["sc_ids"] = cy["sc_ids"].at[src_b].set(c_b["sc_ids"])
+            out["hist"] = cy["hist"].at[:, src_b].set(c_b["hist"])
+            return out
+
+        carry = jax.lax.cond(any_b, _run_tail, lambda cy: cy, carry)
 
     st = carry["state"]
     carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
