@@ -87,6 +87,7 @@ _W_INS = 2    # window cache inserts per round
 _S_INS = 8    # subwindow cache inserts per round
 _H_REC = 16   # service-schedule rounds recorded in the frame cache token
 _BIGI = 0x3FFFFFFF
+_CLS = 1 << 28  # backfill priority-class stride (ids must stay below it)
 _FL_BIAS = 0x30000000  # flags-in-f32 bias: keeps the bit pattern a normal f32
 
 
@@ -1114,6 +1115,9 @@ def _trace_frame(
     ty = height // TILE_H
     nsx, nsy, T = _sb_dims(tx, ty)
     nB = T // _BLK
+    # subwindow ids must fit under the backfill class stride (bits 28+
+    # carry the service-priority class in insert_subwindows)
+    assert sw_solid.shape[0] < _CLS
     ns = int(round(sw_solid.shape[0] ** (1 / 3)))
     while ns * ns * ns < sw_solid.shape[0]:
         ns += 1
@@ -1306,60 +1310,46 @@ def _trace_frame(
             first = jnp.argmax(dup, axis=2)                        # [B,_S_INS]
             j_i = jnp.arange(_S_INS, dtype=i32)[None, :]
             picks = jnp.where(first == j_i, picks, bigi)
-            # fill unused slots (empty segments — e.g. padded tiny frames) with
-            # global mins of the leftover pool so capacity never shrinks
+            # fill unused slots with the combined class-biased backfill
+            # chain: leftover immediate wants, then history-replay ids (the
+            # ids served at this round in the PREVIOUS frame — temporal
+            # coherence: rays want the same rows at the same point of the
+            # schedule), then lookahead prefetch hints (want cols 5-7).
+            # These used to run three separate monotone min-chains merged
+            # with prefix arithmetic (~70 launch-bound ops per round); one
+            # chain over a single pool whose keys carry a priority bias in
+            # bits 28+ yields the identical service order — every immediate
+            # key sorts below every history key, which sorts below every
+            # prefetch key, ascending by id within a class.
             taken = (pool[:, :, None] == picks[:, None, :]).any(axis=2)
             pool = jnp.where(taken, bigi, pool)
-            fills = []
-            for j in range(_S_INS):
-                g = jnp.min(pool, axis=1)
-                fills.append(g)
-                pool = jnp.where(pool == g[:, None], bigi, pool)
-            fills = jnp.stack(fills, axis=1)                       # [B,_S_INS]
-
-            def _pool_fills(pool, *exclude):
-                """Monotone min-sequence of a candidate pool, skipping ids
-                already cached or claimed by a higher-priority source."""
-                cachedx = (
-                    pool[:, :, None] == c["sc_ids"][:, None, :]
-                ).any(axis=2)
-                keep = (pool >= 0) & ~cachedx
-                for e in exclude:
-                    keep = keep & ~(
-                        pool[:, :, None] == e[:, None, :]
-                    ).any(axis=2)
-                pool = jnp.where(keep, pool, bigi)
-                outs = []
-                for _ in range(_S_INS):
-                    g = jnp.min(pool, axis=1)
-                    outs.append(g)
-                    pool = jnp.where(pool == g[:, None], bigi, pool)
-                return jnp.stack(outs, axis=1)                     # [B,_S_INS]
-
-            # history replay: the ids served at this round in the PREVIOUS
-            # frame (temporal coherence: rays will want the same rows at the
-            # same point of the schedule — serve them before they ask)
             hrow = jax.lax.dynamic_slice_in_dim(
                 hist_x, jnp.clip(r, 0, _H_REC - 1), 1, axis=0
             )[0]                                                   # [B,_S_INS]
-            hfills = _pool_fills(hrow, picks, fills)
-            # lookahead prefetch hints (want cols 5-7): lowest priority
             prepool = c["want"][:, 5:8].reshape(nBx, _BLK * 3)
-            pfills = _pool_fills(prepool, picks, fills, hfills)
-            # merged fill sequence by priority: immediate-stall leftovers,
-            # then history replay, then prefetch — each a valid prefix of a
-            # monotone min-sequence, so prefix arithmetic composes them
-            n_imm = jnp.sum((fills < bigi).astype(i32), axis=1, keepdims=True)
-            n_h = jnp.sum((hfills < bigi).astype(i32), axis=1, keepdims=True)
-            mid = jnp.take_along_axis(
-                hfills, jnp.clip(j_i - n_imm, 0, _S_INS - 1), axis=1
+
+            def _mask(p, bias):
+                cachedx = (
+                    p[:, :, None] == c["sc_ids"][:, None, :]
+                ).any(axis=2)
+                pickedx = (p[:, :, None] == picks[:, None, :]).any(axis=2)
+                return jnp.where(
+                    (p >= 0) & ~cachedx & ~pickedx, p + bias, bigi
+                )
+
+            cpool = jnp.concatenate(
+                [pool, _mask(hrow, _CLS), _mask(prepool, 2 * _CLS)], axis=1
             )
-            low = jnp.take_along_axis(
-                pfills, jnp.clip(j_i - n_imm - n_h, 0, _S_INS - 1), axis=1
-            )
-            fill_seq = jnp.where(
-                j_i < n_imm, fills, jnp.where(j_i < n_imm + n_h, mid, low)
-            )
+            idm = _CLS - 1
+            fill_seq = []
+            for _ in range(_S_INS):
+                g = jnp.min(cpool, axis=1)
+                fill_seq.append(jnp.where(g < bigi, g & idm, bigi))
+                # clear every copy of the picked id across all classes
+                cpool = jnp.where(
+                    (cpool & idm) == (g[:, None] & idm), bigi, cpool
+                )
+            fill_seq = jnp.stack(fill_seq, axis=1)                 # [B,_S_INS]
             need_fill = picks >= bigi
             order = jnp.cumsum(need_fill.astype(i32), axis=1) - 1  # fill index
             fill_v = jnp.take_along_axis(
