@@ -281,9 +281,16 @@ def test_v3_tail_compaction_matches_uncompacted(scene):
                      compact=False, **kw)
     b = _trace_frame(*args, origin, iv, ip, z, z, z, zi, zi, zi, 48, 500,
                      compact=True, **kw)
-    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
-    np.testing.assert_array_equal(np.asarray(a.voxel), np.asarray(b.voxel))
-    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
-    np.testing.assert_array_equal(
-        np.asarray(a.steps), np.asarray(b.steps)
-    )
+    # a two-level cascade (T/2, then T/8 -> clamped to one block) must
+    # also be bit-exact: each hand-off only re-partitions tiles
+    c = _trace_frame(*args, origin, iv, ip, z, z, z, zi, zi, zi, 48, 500,
+                     compact=(2, 8), **kw)
+    for o in (b, c):
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(o.hit))
+        np.testing.assert_array_equal(
+            np.asarray(a.voxel), np.asarray(o.voxel)
+        )
+        np.testing.assert_array_equal(np.asarray(a.t), np.asarray(o.t))
+        np.testing.assert_array_equal(
+            np.asarray(a.steps), np.asarray(o.steps)
+        )

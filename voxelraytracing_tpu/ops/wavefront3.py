@@ -1469,61 +1469,76 @@ def _trace_frame(
 
     round_body = make_round_body(nB, hist_in, rays, None)
 
-    # early-exit round loop: a frame stops paying for service rounds the
-    # moment every ray has hit or left the world (an idle round still costs
-    # ~2 ms of program/DMA overhead at 1080p), so the budget can be generous
-    def _fl_of(c):
-        return jax.lax.bitcast_convert_type(c["state"][1], i32) - _FL_BIAS
+    # Tail-compaction cascade: each time the survivor count fits the next
+    # smaller grid, gather the surviving tiles into it and continue there.
+    # Compacted rounds launch proportionally fewer Pallas programs (an idle
+    # program still costs ~6 µs of launch+DMA) and march lane-dense blocks.
+    # The gathers/scatters run OUTSIDE the while_loops — at top level they
+    # move at HBM speed; the same gather inside a loop body lowers to the
+    # ~126 M lookups/s scoped-staging emulation (docs/TPU_NOTES.md).
+    # ``compact`` is True (one quarter-size level), False (no compaction),
+    # or a tuple of grid divisors, e.g. (2, 8): compact to T/2, then T/8.
+    divisors = (4,) if compact is True else (tuple(compact) if compact else ())
+    sizes = []
+    for d in divisors:
+        Tk = max(_BLK, -(-(T // int(d)) // _BLK) * _BLK)
+        if Tk < (sizes[-1] if sizes else T):
+            sizes.append(Tk)
 
-    def _round_cond(state):
-        r, c = state
-        # round 0 must always run: on the primary path the ray state is
-        # initialized inside the kernel, so the carried flags are still
-        # all-zero when this cond is first evaluated
-        return (r < rounds) & ((r == 0) | jnp.any((_fl_of(c) & 1) != 0))
+    def _act_tiles(c):
+        fl_c = jax.lax.bitcast_convert_type(c["state"][1], i32) - _FL_BIAS
+        return jnp.any((fl_c & 1) != 0, axis=1)            # [T_cur]
 
-    def _round_body(state):
-        r, c = state
-        c2, _ = round_body(c, r)
-        return r + 1, c2
+    def run_level(body_fn, cy, r0, orig_ids, level):
+        """Early-exit round loop for one grid, then hand off to the next
+        cascade level (if any) once the survivors fit it. A frame stops
+        paying for service rounds the moment every ray has hit or left the
+        world, so the round budget can be generous. ``orig_ids`` maps this
+        grid's rows to original frame tiles (None = identity/full grid)."""
+        nxt = sizes[level] if level < len(sizes) else None
+        # compacted grids re-request rows their seeded caches lost at the
+        # hand-off, so they get a doubled service-round budget — their
+        # rounds cost a fraction of a full-grid round, and the per-ray
+        # step_cap (the reference's semantic bound) is unchanged
+        r_cap = rounds if level == 0 else 2 * rounds
 
-    # Tail compaction: once the survivors fit a quarter-size grid, gather
-    # their tiles into it and finish there. Tail rounds then launch ~nB/4
-    # Pallas programs instead of nB (an idle program still costs ~6 µs of
-    # launch+DMA) and march lane-dense blocks. The gathers/scatters run
-    # OUTSIDE the while_loops — at top level they move at HBM speed; the
-    # same gather inside a loop body lowers to the ~126 M lookups/s
-    # scoped-staging emulation (docs/TPU_NOTES.md).
-    T2 = max(_BLK, -(-(T // 4) // _BLK) * _BLK)
-    if T2 >= T or not compact:
-        # small frames: single-phase loop, nothing to compact
-        _, carry = jax.lax.while_loop(
-            _round_cond, _round_body, (jnp.int32(0), carry)
-        )
-    else:
-        def _condA(state):
+        def cond(state):
             r, c = state
-            act_t = jnp.any((_fl_of(c) & 1) != 0, axis=1)  # [T]
-            n_act = jnp.sum(act_t.astype(i32))
-            return (r < rounds) & ((r == 0) | (n_act > T2))
+            act_t = _act_tiles(c)
+            more = (
+                jnp.any(act_t) if nxt is None
+                else jnp.sum(act_t.astype(i32)) > nxt
+            )
+            if level == 0:
+                # round 0 must always run: on the primary path the ray
+                # state is initialized inside the kernel, so the carried
+                # flags are still all-zero when this is first evaluated
+                more = (r == 0) | more
+            return (r < r_cap) & more
 
-        rA, carry = jax.lax.while_loop(
-            _condA, _round_body, (jnp.int32(0), carry)
-        )
+        def body(state):
+            r, c = state
+            c2, _ = body_fn(c, r)
+            return r + 1, c2
 
-        act_t = jnp.any((_fl_of(carry) & 1) != 0, axis=1)
-        any_b = jnp.any(act_t)
+        rX, cy = jax.lax.while_loop(cond, body, (r0, cy))
+        if nxt is None:
+            return cy
+
+        Tn = nxt
+        nBn = Tn // _BLK
+        act_t = _act_tiles(cy)
         # stable partition: active tiles first, original order preserved
         perm = jnp.argsort(jnp.logical_not(act_t), stable=True)
-        selt = perm[:T2]                                   # [T2] distinct
-        nB2 = T2 // _BLK
-        src_b = selt.reshape(nB2, _BLK)[:, 0] // _BLK      # seed block
+        selt = perm[:Tn]                                   # [Tn] distinct
+        src_b = selt.reshape(nBn, _BLK)[:, 0] // _BLK      # seed block
 
-        def _run_tail(cy):
+        def _run(cy):
+            orig_n = selt if orig_ids is None else orig_ids[selt]
             hist_b = cy["hist"][:, src_b]
-            rays_b = rays[:, selt, :] if per_ray else None
+            rays_b = rays[:, orig_n, :] if per_ray else None
             tmap_b = jnp.broadcast_to(
-                selt[:, None], (T2, 8)
+                orig_n[:, None], (Tn, 8)
             ).astype(i32)
             c_b = dict(
                 state=cy["state"][:, selt, :],
@@ -1537,36 +1552,20 @@ def _trace_frame(
                 sc_liq=cy["sc_liq"][src_b],
                 sc_pid=cy["sc_pid"][src_b],
             )
-            body_b = make_round_body(nB2, hist_b, rays_b, tmap_b)
-
-            def _cond_b(state):
-                r, c = state
-                fl_b = jax.lax.bitcast_convert_type(
-                    c["state"][1], i32
-                ) - _FL_BIAS
-                # the tail grid re-requests rows its seeded caches lost
-                # at the hand-off, so it gets a doubled service-round
-                # budget — tail rounds cost ~1/4 of a full-grid round,
-                # and the per-ray step_cap (the reference's semantic
-                # bound) is unchanged
-                return (r < 2 * rounds) & jnp.any((fl_b & 1) != 0)
-
-            def _body_b(state):
-                r, c = state
-                c2, _ = body_b(c, r)
-                return r + 1, c2
-
-            _, c_b = jax.lax.while_loop(_cond_b, _body_b, (rA, c_b))
+            body_b = make_round_body(nBn, hist_b, rays_b, tmap_b)
+            c_b = run_level(body_b, c_b, rX, orig_n, level + 1)
             out = dict(cy)
             out["state"] = cy["state"].at[:, selt, :].set(c_b["state"])
             # learned cache ids/schedule flow back to the seed blocks so
-            # the next frame's warm token sees the tail's service too
+            # the next frame's warm token sees the compacted service too
             out["wc_ids"] = cy["wc_ids"].at[src_b].set(c_b["wc_ids"])
             out["sc_ids"] = cy["sc_ids"].at[src_b].set(c_b["sc_ids"])
             out["hist"] = cy["hist"].at[:, src_b].set(c_b["hist"])
             return out
 
-        carry = jax.lax.cond(any_b, _run_tail, lambda cy: cy, carry)
+        return jax.lax.cond(jnp.any(act_t), _run, lambda cy: cy, cy)
+
+    carry = run_level(round_body, carry, jnp.int32(0), None, 0)
 
     st = carry["state"]
     carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
@@ -1681,6 +1680,7 @@ def trace_wavefront3(
     return_cache=False,
     lookahead=1,
     step_cap=None,
+    compact=True,
 ):
     """March one frame through a RenderGrid3 as a single fused program.
 
@@ -1728,6 +1728,7 @@ def trace_wavefront3(
         interpret=bool(interpret), resolve_ids=str(resolve_ids),
         per_ray=False, warm=warm, return_cache=bool(return_cache),
         lookahead=int(lookahead),
+        compact=compact if isinstance(compact, bool) else tuple(compact),
     )
 
 
@@ -1781,6 +1782,7 @@ def trace_wavefront3_rays(
     resolve_ids=None,
     cache=None,
     return_cache=False,
+    compact=True,
 ):
     """March arbitrary per-ray (origin, direction) bundles — the secondary
     -ray path for hard shadows and path-trace bounces.
@@ -1810,6 +1812,7 @@ def trace_wavefront3_rays(
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), resolve_ids=str(resolve_ids),
         per_ray=True, warm=warm, return_cache=bool(return_cache),
+        compact=compact if isinstance(compact, bool) else tuple(compact),
     )
 
 
