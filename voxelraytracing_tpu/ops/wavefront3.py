@@ -1993,7 +1993,7 @@ def color_lut_rows(colors):
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "full_height",
-        "warm", "return_cache", "step_cap",
+        "warm", "return_cache", "step_cap", "compact",
     ),
 )
 def _render_frame(
@@ -2004,7 +2004,7 @@ def _render_frame(
     wc_p=None, sc_p=None, h_p=None, wc_s=None, sc_s=None, h_s=None,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, full_height=None, y0=0.0,
-    warm=False, return_cache=False, step_cap=None,
+    warm=False, return_cache=False, step_cap=None, compact=True,
 ):
     """Primary trace (+ optional hard-shadow trace) + shade, fully tiled.
 
@@ -2031,7 +2031,7 @@ def _render_frame(
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
         interpret=interpret, per_ray=False, raw_out=True,
         full_height=full_height, y0=y0,
-        warm=warm, return_cache=return_cache,
+        warm=warm, return_cache=return_cache, compact=compact,
     )
     if return_cache:
         ts, fl, wa, we, cache_p = tr
@@ -2073,7 +2073,7 @@ def _render_frame(
             step_cap=step_cap,
             sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
             interpret=interpret, per_ray=True, raw_out=True,
-            warm=warm, return_cache=return_cache,
+            warm=warm, return_cache=return_cache, compact=compact,
         )
         if return_cache:
             _, fls, _, _, cache_s = trs
@@ -2131,6 +2131,7 @@ def render_frame3(
     with_flags=False,
     cache=None,
     return_cache=False,
+    compact=True,
 ):
     """One shaded frame through the v3 fast path -> ``uint32[H,W]`` RGBA8.
 
@@ -2190,6 +2191,7 @@ def render_frame3(
         interpret=bool(interpret), shadows=bool(shadows),
         show_steps=bool(show_steps), warm=warm,
         return_cache=bool(return_cache),
+        compact=compact if isinstance(compact, bool) else tuple(compact),
     )
     if return_cache:
         img, fl, cache_out = out
