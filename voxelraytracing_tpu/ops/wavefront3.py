@@ -1173,6 +1173,23 @@ def _trace_frame(
     lane16 = jax.lax.broadcasted_iota(i32, (nB, N_WC), 1)
     lane128 = jax.lax.broadcasted_iota(i32, (nB, 128), 1)
 
+    # Combined service-content table: solid row, liquid row, 4 palette
+    # bit-plane rows, then the 8 meta words padded to a lane row —
+    # [nsw, 7, 128]. Serving a subwindow is then ONE gather per round
+    # instead of four (each gather fusion costs ~0.25 ms of launch
+    # overhead at 1080p); built once per frame, loop-invariant.
+    sw_cont = jnp.concatenate(
+        [
+            sw_solid[:, None, :],
+            sw_liq[:, None, :],
+            sw_pid,
+            jnp.pad(sw_meta, ((0, 0), (0, 128 - sw_meta.shape[1])))[
+                :, None, :
+            ],
+        ],
+        axis=1,
+    )
+
     if per_ray:
         fl0 = (jnp.broadcast_to(inside, shape) & valid).astype(i32)
         state0 = jnp.stack([
@@ -1242,16 +1259,13 @@ def _trace_frame(
         oks = sc0 >= 0
         safe = jnp.clip(sc0, 0, sw_solid.shape[0] - 1)
         carry["sc_ids"] = jnp.where(oks, sc0, -1)
-        sc_meta0 = jnp.where(
-            oks[..., None], sw_meta[safe], jnp.uint32(0)
-        ).reshape(nB, 128)
-        sc_solid0 = jnp.where(
-            oks[..., None], sw_solid[safe], jnp.uint32(0)
-        )
-        sc_liq0 = jnp.where(oks[..., None], sw_liq[safe], jnp.uint32(0))
-        sc_pid0 = jnp.where(
-            oks[..., None, None], sw_pid[safe], jnp.uint32(0)
-        )
+        conts = jnp.where(
+            oks[..., None, None], sw_cont[safe], jnp.uint32(0)
+        )                                            # [nB, N_SC, 7, 128]
+        sc_meta0 = conts[:, :, 6, : sw_meta.shape[1]].reshape(nB, 128)
+        sc_solid0 = conts[:, :, 0]
+        sc_liq0 = conts[:, :, 1]
+        sc_pid0 = conts[:, :, 2:6]
 
     carry.update(wc_meta=wc_meta0, sc_meta=sc_meta0, sc_solid=sc_solid0,
                  sc_liq=sc_liq0, sc_pid=sc_pid0)
@@ -1359,10 +1373,11 @@ def _trace_frame(
             ok = picks < bigi
             safe = jnp.clip(picks, 0, sw_solid.shape[0] - 1)
             new_ids = jnp.where(ok, picks, -1)
-            new_sol = sw_solid[safe]                               # [B,8,128]
-            new_liq = sw_liq[safe]
-            new_meta = sw_meta[safe]                               # [B,8,8]
-            new_pid = sw_pid[safe]                                 # [B,8,4,128]
+            cont = sw_cont[safe]                                # [B,8,7,128]
+            new_sol = cont[:, :, 0]                             # [B,8,128]
+            new_liq = cont[:, :, 1]
+            new_pid = cont[:, :, 2:6]                           # [B,8,4,128]
+            new_meta = cont[:, :, 6, : sw_meta.shape[1]]        # [B,8,8]
 
             # rotating half-cache replacement: even rounds -> slots 0..7,
             # odd rounds -> slots 8..15. A slot whose pick is invalid KEEPS
