@@ -256,6 +256,25 @@ def test_v3_step_cap_semantics(scene):
     np.testing.assert_array_equal(vl[hl], vf[hl])
 
 
+def test_v3_warm_cache_with_compaction(scene):
+    """Warm chaining across frames whose round loop actually compacts
+    (T2 < T): the cascade scatters learned cache ids/schedule back into
+    seed blocks at hand-off — a warm frame built from such a token must
+    still equal the cold trace exactly."""
+    rg3, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (256, 128))
+    origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+    _, cache = trace_wavefront3(
+        rg3, origin, cam=cam, rounds=48, step_cap=500, return_cache=True)
+    warm = trace_wavefront3(
+        rg3, origin, cam=cam, rounds=48, step_cap=500, cache=cache)
+    cold = trace_wavefront3(rg3, origin, cam=cam, rounds=48, step_cap=500)
+    for f in ("hit", "voxel", "t", "water_dist"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(warm, f)), np.asarray(getattr(cold, f)), f)
+
+
 def test_v3_tail_compaction_matches_uncompacted(scene):
     """A frame large enough to trigger the two-phase tail compaction
     (T2 < T) produces exactly the same trace as the single-phase loop —
