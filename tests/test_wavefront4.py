@@ -1,0 +1,148 @@
+"""Self-serving march kernel (v4) tests: agreement with the SVO reference.
+
+v4 (ops/wavefront4.py) serves subwindow content to itself via in-kernel
+DMA instead of v3's per-round XLA service pass; converged frames must
+agree exactly with the SVO reference tracer (the executable spec of
+ray_tracer.wgsl:182-291) and with v3.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from voxelraytracing_tpu.ops import noise
+from voxelraytracing_tpu.ops.camera import CamData, generate_rays
+from voxelraytracing_tpu.ops.svo_build import build_chunk_svo_batch
+from voxelraytracing_tpu.ops.traverse import trace_rays
+from voxelraytracing_tpu.ops.wavefront3 import build_render_grid3_host
+from voxelraytracing_tpu.ops.wavefront4 import (
+    trace_wavefront4,
+    trace_wavefront4_rays,
+)
+from voxelraytracing_tpu.world.assemble import assemble_world_slice
+from voxelraytracing_tpu.world.demo import demo_chunk_grids, demo_materials
+
+
+@pytest.fixture(scope="module")
+def scene():
+    w = 4
+    perm = jnp.asarray(noise.make_permutation(7))
+    grids, cells = demo_chunk_grids(
+        perm, jnp.zeros(3, jnp.int32), w,
+        jnp.float32(w * 32 * 0.45), jnp.int32(int(w * 32 * 0.28)),
+    )
+    mats = demo_materials()
+    rg3 = build_render_grid3_host(
+        np.asarray(grids), np.asarray(cells), np.zeros(3, np.int32), w, mats
+    )
+    nodes, _ = build_chunk_svo_batch(grids)
+    world = assemble_world_slice(nodes, cells, jnp.zeros(3, jnp.int32), w)
+    return rg3, world, mats
+
+
+CAMS = [
+    ((30.0, 45.0, 0.0), (64.0, 75.0, 64.0)),
+    ((5.0, 120.0, 0.0), (20.0, 40.0, 100.0)),
+    ((60.0, 200.0, 0.0), (100.0, 110.0, 30.0)),
+    ((-20.0, 300.0, 0.0), (64.0, 20.0, 64.0)),  # underwater, looking up
+]
+
+
+@pytest.mark.parametrize("cam_cfg", CAMS)
+def test_v4_agrees_with_svo_reference(scene, cam_cfg):
+    rg3, world, mats = scene
+    cam = CamData.create(cam_cfg[0], cam_cfg[1], 70.0, (64, 32))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    ref = trace_rays(world, mats.is_liquid, origin, dirs, 500)
+    wf = trace_wavefront4(rg3, origin, cam=cam, rounds=64)
+
+    rh, wh = np.asarray(ref.hit), np.asarray(wf.hit)
+    np.testing.assert_array_equal(rh, wh)
+
+    m = rh & wh
+    rv, wv = np.asarray(ref.voxel), np.asarray(wf.voxel)
+    np.testing.assert_array_equal(rv[m], wv[m])
+
+    wd = np.abs(np.asarray(ref.water_dist) - np.asarray(wf.water_dist))
+    assert np.median(wd) < 0.05
+
+
+def test_v4_camera_outside_world_sees_nothing(scene):
+    rg3, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (-50.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    wf = trace_wavefront4(rg3, origin, cam=cam, rounds=4)
+    assert not np.asarray(wf.hit).any()
+
+
+def test_v4_per_ray_bundle_matches_primary(scene):
+    """trace_wavefront4_rays with camera rays == the primary tracer."""
+    rg3, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    p = trace_wavefront4(rg3, origin, cam=cam, rounds=64)
+    r = trace_wavefront4_rays(
+        rg3, jnp.broadcast_to(jnp.asarray(origin), (32, 64, 3)), dirs,
+        jnp.ones((32, 64), bool), width=64, height=32, rounds=64,
+    )
+    np.testing.assert_array_equal(np.asarray(p.hit), np.asarray(r.hit))
+    np.testing.assert_array_equal(np.asarray(p.voxel), np.asarray(r.voxel))
+    np.testing.assert_allclose(np.asarray(p.t), np.asarray(r.t), atol=1e-4)
+
+
+def test_v4_shadow_rays(scene):
+    """Secondary rays from hit points behave like v3's shadow pass."""
+    rg3, world, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, dirs = generate_rays(cam, np.zeros(3, np.int32))
+    p = trace_wavefront4(rg3, origin, cam=cam, rounds=64)
+    hit = np.asarray(p.hit)
+    hitp = (np.asarray(origin)[None, None]
+            + np.asarray(dirs) * np.asarray(p.t)[..., None])
+    sun = np.array([1000.0, 2500.0, 500.0], np.float32)
+    sd = sun[None, None] - hitp
+    sd /= np.linalg.norm(sd, axis=-1, keepdims=True)
+    so = (hitp + np.asarray(p.norm) * 1e-3).astype(np.float32)
+    sh = trace_wavefront4_rays(
+        rg3, so, sd.astype(np.float32), hit, width=64, height=32, rounds=64
+    )
+    shadowed = np.asarray(sh.hit)
+    assert shadowed[~hit].sum() == 0  # inactive rays stay misses
+    frac = shadowed[hit].mean()
+    assert 0.0 < frac < 0.5
+
+
+def test_v4_matches_v3(scene):
+    """v4 and v3 are the same march — frames must be bit-identical."""
+    from voxelraytracing_tpu.ops.wavefront3 import trace_wavefront3
+
+    rg3, _, _ = scene
+    for cfg in CAMS[:2]:
+        cam = CamData.create(cfg[0], cfg[1], 70.0, (64, 32))
+        origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+        a = trace_wavefront3(rg3, origin, cam=cam, rounds=32)
+        b = trace_wavefront4(rg3, origin, cam=cam, rounds=64)
+        for f in ("hit", "voxel", "t", "water_dist", "norm"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), f)
+
+
+def test_v4_step_cap(scene):
+    """step_cap kills rays at the cap exactly like v3 (reference cap
+    semantics: survivors report as hits, ray_tracer.wgsl:220)."""
+    rg3, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+    full = trace_wavefront4(rg3, origin, cam=cam, rounds=64)
+    capped = trace_wavefront4(rg3, origin, cam=cam, rounds=64, step_cap=4)
+    s = np.asarray(capped.steps)
+    assert s.max() <= 4
+    # with a generous cap the capped trace equals the full trace
+    wide = trace_wavefront4(rg3, origin, cam=cam, rounds=64, step_cap=500)
+    np.testing.assert_array_equal(np.asarray(full.hit), np.asarray(wide.hit))
+    np.testing.assert_array_equal(np.asarray(full.t), np.asarray(wide.t))

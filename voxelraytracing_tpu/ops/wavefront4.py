@@ -1,0 +1,804 @@
+"""Self-serving march kernel (v4) — in-kernel service over HBM tables.
+
+v3 (ops/wavefront3.py) alternates a Pallas march sweep with an XLA service
+pass per round: the host round loop relaunches ~T/64 grid programs (~6 µs
+each, idle or not) and stages cache inserts as ~40 small launch-bound XLA
+ops — together the large majority of frame time on this runtime (the march
+compute itself is cheap). v4 moves the service *into* the kernel:
+
+  * the combined subwindow content table (``sw_cont`` [Ns³,7,128]: solid |
+    liquid | 4 palette planes | meta) and the padded window-meta table
+    (``wmeta_pad`` [Nw³,1,128]) stay in HBM (``pl.ANY``);
+  * each block program runs the whole frame's round loop itself: march
+    until every lane stalls, pick up to ``S_INS`` distinct stalled
+    subwindow ids + ``W_INS`` window ids (scalar min-chains), fetch them
+    with batched ``make_async_copy`` DMAs into VMEM cache slots, merge,
+    and keep marching until the block's rays are all done;
+  * ONE kernel launch per block per frame — no idle-round relaunches, no
+    XLA staging, no warm-start service tokens, no tail compaction: a
+    converged block's program simply exits.
+
+March semantics (classification, DDA exit + EPS nudge, water interval,
+step cap) are identical to v3 — the executable spec of the reference
+kernel (ray_tracer.wgsl:182-291). Agreement with the v3/SVO tracers is
+pinned by tests/test_wavefront4.py.
+
+CAUTION (axon runtime): a long in-kernel DMA loop is the pattern that once
+wedged the device tunnel (experiments/v35_virt_probe.py; see
+docs/TPU_NOTES.md). v4 avoids that probe's grid=(1,) virtualization and
+input_output_aliases, but on real hardware: compile first, then run a tiny
+frame under a timeout before trusting it with a session.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wavefront import (
+    BRICK,
+    EPS_T,
+    TILE_H,
+    TILE_W,
+    WavefrontResult,
+    _BIG,
+    _BIG_IV,
+)
+from .wavefront3 import (
+    _BIGI,
+    _BLK,
+    _FL_AX,
+    _FL_HIT,
+    _FL_SGN,
+    _FL_STP,
+    _FL_VOX,
+    _FL_BIAS,
+    N_SC,
+    N_WC,
+    SW,
+    WIN,
+    RenderGrid3,
+    _cam_scal,
+    _interpret_default,
+    _ray_dirs,
+    _sb_dims,
+    _tile_hw,
+    _tile_valid,
+    _untile_hw,
+)
+
+S_INS = 8   # subwindow fetches per in-kernel service round
+W_INS = 2   # window-meta fetches per in-kernel service round
+
+
+def _march_kernel4(
+    *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
+):
+    """One self-serving block program. Ref order:
+
+    scal_ref  SMEM f32[27] (as v3: origin, v, proj, cam affine, y0,
+              srd | step-cap | init | tx | ty)
+    gw_ref    VMEM u32[2,128]: global window jump | liquid bit rows
+    sw_cont   ANY  u32[Ns³,7,128]: per-subwindow content (DMA source)
+    wmeta_pad ANY  u32[Nw³,1,128]: per-window meta words 0-7 (DMA source)
+    (per_ray) rays_ref VMEM f32[6,BLK,128]
+    st_ref    VMEM f32[4,BLK,128]: ts | flags | wa | we
+    st_o      same 4 planes out
+    scratch:  stage u32[S_INS,7,128], wstage u32[W_INS,1,128],
+              ssem DMA[S_INS], wsem DMA[W_INS],
+              csol u32[N_SC,128], cliq u32[N_SC,128], cpid u32[4*N_SC,128]
+    """
+    refs = list(refs)
+    scal_ref = refs.pop(0)
+    gw_ref = refs.pop(0)
+    swc_ref = refs.pop(0)
+    wmp_ref = refs.pop(0)
+    rays_ref = refs.pop(0) if per_ray else None
+    st_ref, st_o, stage, wstage, ssem, wsem, csol, cliq, cpid = refs
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    v = scal_ref[3]
+    bigi = jnp.int32(_BIGI)
+
+    ts_ref = st_ref[0]
+    fl_in = jax.lax.bitcast_convert_type(st_ref[1], i32) - _FL_BIAS
+    wa_ref = st_ref[2]
+    we_ref = st_ref[3]
+
+    blk = ts_ref.shape[0]
+    lanes = jax.lax.broadcasted_iota(i32, (blk, 128), 1)
+    lane_row = jax.lax.broadcasted_iota(i32, (1, 128), 1)
+
+    if per_ray:
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+        tg = None
+    else:
+        ox = scal_ref[0]
+        oy = scal_ref[1]
+        oz = scal_ref[2]
+        rows = jax.lax.broadcasted_iota(i32, (blk, 128), 0)
+        tg = pl.program_id(0) * blk + rows
+        scal_v = [scal_ref[i] for i in range(24)]
+        dx, dy, dz = _ray_dirs(scal_v, tg, lanes, nsx)
+
+    def inv(c):
+        c2 = jnp.where(c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
+        return 1.0 / c2
+
+    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+    sx = (dx > 0.0).astype(f32)
+    sy = (dy > 0.0).astype(f32)
+    sz = (dz > 0.0).astype(f32)
+
+    def slab(oc, ivc):
+        return jnp.maximum((0.0 - oc) * ivc, (v - oc) * ivc)
+
+    t_cap = 4.0 * v + 16.0
+    t_exit = jnp.minimum(
+        jnp.minimum(slab(ox, ivx), jnp.minimum(slab(oy, ivy), slab(oz, ivz))),
+        t_cap,
+    )
+
+    gj_row = jnp.broadcast_to(gw_ref[0:1, :], (blk, 128))
+    gl_row = jnp.broadcast_to(gw_ref[1:2, :], (blk, 128))
+
+    def bit_of(row, word_i, sh):
+        wd = jnp.take_along_axis(row, jnp.clip(word_i, 0, 127), axis=1)
+        return ((wd >> sh.astype(u32)) & 1).astype(i32)
+
+    # ---- cache state carried through the round loop -------------------
+    # wid_all/sid_all: [N,128] i32, row k = slot k's id broadcast across
+    # lanes (update = one 2D where; classify reads row k statically — no
+    # in-loop lane gathers at all). wm_row/sm_row: packed meta rows
+    # exactly as v3's mc rows 2-3 (slot k words at lanes k*8..k*8+8).
+    wid0 = jnp.full((N_WC, 128), -1, i32)
+    sid0 = jnp.full((N_SC, 128), -1, i32)
+    wm0 = jnp.zeros((1, 128), u32)
+    sm0 = jnp.zeros((1, 128), u32)
+    wrow_iota = jax.lax.broadcasted_iota(i32, (N_WC, 128), 0)
+    srow_iota = jax.lax.broadcasted_iota(i32, (N_SC, 128), 0)
+
+    def classify(t, wid_all, sid_all, wm_row, need_sslot=True):
+        px = ox + dx * t
+        py = oy + dy * t
+        pz = oz + dz * t
+        vx = jnp.floor(px).astype(i32)
+        vy = jnp.floor(py).astype(i32)
+        vz = jnp.floor(pz).astype(i32)
+
+        w = (vx >> 6) + (vy >> 6) * nw + (vz >> 6) * nw * nw
+        g_jump = bit_of(gj_row, w >> 5, w & 31) != 0
+        g_liq = bit_of(gl_row, w >> 5, w & 31) != 0
+
+        wslot = jnp.full((blk, 128), -1, i32)
+        for k in range(N_WC):
+            wid_k = wid_all[k:k + 1, :]
+            wslot = jnp.where((w == wid_k) & (wid_k >= 0), i32(k), wslot)
+
+        s_loc = (
+            ((vx >> 4) & 3) + ((vy >> 4) & 3) * 4 + ((vz >> 4) & 3) * 16
+        )
+        mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 5)
+        wm_b = jnp.broadcast_to(wm_row, (blk, 128))
+        sw_jump = bit_of(wm_b, mbase, s_loc & 31) != 0
+        sw_liq = bit_of(wm_b, mbase + 2, s_loc & 31) != 0
+
+        s = (vx >> 4) + (vy >> 4) * ns + (vz >> 4) * ns * ns
+        sslot = jnp.full((blk, 128), -1, i32)
+        if need_sslot:
+            for k in range(N_SC):
+                sid_k = sid_all[k:k + 1, :]
+                sslot = jnp.where((s == sid_k) & (sid_k >= 0), i32(k), sslot)
+
+        return (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
+                sw_jump, sw_liq, s, sslot)
+
+    def boundary(t, active_i, wid_all, sid_all, wm_row):
+        """Pick each tile's subwindow (min cached id) and compose its rows
+        from the VMEM cache planes."""
+        active = active_i != 0
+        (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
+            classify(t, wid_all, sid_all, wm_row)
+        need = active & ~g_jump & (wslot >= 0) & ~sw_jump
+        skey = jnp.where(need & (sslot >= 0), s, bigi)
+        smin = jnp.min(skey, axis=1, keepdims=True)      # [BLK,1]
+        tsid = jnp.where(smin < bigi, smin, -1)
+        tslot = jnp.zeros((blk, 1), i32)
+        solid_row = jnp.zeros((blk, 128), u32)
+        liq_row = jnp.zeros((blk, 128), u32)
+        pid_rows = [jnp.zeros((blk, 128), u32) for _ in range(4)]
+        for k in range(N_SC):
+            sid_k = sid_all[k:k + 1, :1]                 # [1,1]
+            eq = (tsid == sid_k) & (sid_k >= 0)          # [BLK,1]
+            tslot = jnp.where(eq, i32(k), tslot)
+            solid_row = jnp.where(
+                eq, jnp.broadcast_to(csol[k:k + 1, :], (blk, 128)), solid_row
+            )
+            liq_row = jnp.where(
+                eq, jnp.broadcast_to(cliq[k:k + 1, :], (blk, 128)), liq_row
+            )
+            for b in range(4):
+                pid_rows[b] = jnp.where(
+                    eq,
+                    jnp.broadcast_to(
+                        cpid[k * 4 + b:k * 4 + b + 1, :], (blk, 128)
+                    ),
+                    pid_rows[b],
+                )
+        can = active & (
+            g_jump
+            | ((wslot >= 0) & sw_jump)
+            | (need & (s == tsid))
+        )
+        go = jnp.any(can).astype(i32)
+        return tsid, tslot, solid_row, liq_row, tuple(pid_rows), go
+
+    cap_f = scal_ref[23]
+    step_cap = jnp.where(cap_f > 0.5, cap_f, jnp.float32(1e9)).astype(i32)
+
+    def step(c, rows_c, cch):
+        wid_all, sid_all, wm_row, sm_row = cch
+        tsid, tslot, solid_row, liq_row, pid_rows = rows_c
+        t, active_i, hit_i, axmask, vox, water, wenter, stp = c
+        active = (active_i != 0) & (t < t_exit)
+        hit = hit_i != 0
+
+        (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
+         sw_jump, sw_liq, s, _) = classify(
+            t, wid_all, sid_all, wm_row, need_sslot=False)
+
+        inw = (
+            (px >= 0.0) & (py >= 0.0) & (pz >= 0.0)
+            & (px < v) & (py < v) & (pz < v)
+        )
+        active = active & inw & (stp < step_cap)
+
+        at_ts = s == tsid
+        b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
+        bbase = tslot * 8 + (b_loc >> 5)
+        sm_b = jnp.broadcast_to(sm_row, (blk, 128))
+        br_jump = bit_of(sm_b, bbase, b_loc & 31) != 0
+        br_liq = bit_of(sm_b, bbase + 2, b_loc & 31) != 0
+
+        l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
+        vsolid = bit_of(solid_row, l >> 5, l & 31) != 0
+        vliq = bit_of(liq_row, l >> 5, l & 31) != 0
+
+        case1 = active & g_jump
+        case2 = active & ~g_jump & (wslot >= 0) & sw_jump
+        case3 = active & ~g_jump & (wslot >= 0) & ~sw_jump & at_ts
+        in_br = case3 & br_jump
+        in_vox = case3 & ~br_jump
+        hit_now = in_vox & vsolid
+        march = case1 | case2 | in_br | (in_vox & ~vsolid)
+
+        liq_i = jnp.where(
+            case1, g_liq.astype(i32),
+            jnp.where(
+                case2, sw_liq.astype(i32),
+                jnp.where(in_br, br_liq.astype(i32), vliq.astype(i32)),
+            ),
+        )
+        liquid = liq_i != 0
+
+        in_w = wenter >= 0.0
+        consider = march | hit_now
+        leave = consider & in_w & ~liquid
+        water = water + jnp.where(leave, t - wenter, 0.0)
+        wenter = jnp.where(leave, -1.0, wenter)
+        wenter = jnp.where(march & liquid & (wenter < 0.0), t, wenter)
+
+        cell = jnp.where(
+            case1, f32(WIN),
+            jnp.where(case2, f32(SW), jnp.where(in_br, f32(BRICK), f32(1.0))),
+        )
+        icell = 1.0 / cell
+
+        def axis(pc, ivc, sgn):
+            q = pc * icell
+            b = jnp.where(sgn > 0.5, jnp.floor(q) + 1.0, jnp.ceil(q) - 1.0)
+            dt = (b * cell - pc) * ivc
+            return jnp.where(jnp.abs(ivc) >= 0.99 * _BIG_IV, f32(_BIG), dt)
+
+        dtx = axis(px, ivx, sx)
+        dty = axis(py, ivy, sy)
+        dtz = axis(pz, ivz, sz)
+        dt = jnp.minimum(dtx, jnp.minimum(dty, dtz))
+        axm = (
+            (dtx <= dt).astype(i32)
+            | ((dty <= dt).astype(i32) << 1)
+            | ((dtz <= dt).astype(i32) << 2)
+        )
+
+        t = jnp.where(march, t + dt + EPS_T, t)
+        axmask = jnp.where(march, axm, axmask)
+        hit = hit | hit_now
+        active = active & ~hit_now
+        stp = stp + (march | hit_now).astype(i32)
+
+        return (t, active.astype(i32), hit.astype(i32), axmask, vox, water,
+                wenter, stp)
+
+    def decode_hits(c, tslot, pid_rows, sm_row):
+        t, active_i, hit_i, axmask, vox, water, wenter, stp = c
+        undec = (hit_i != 0) & (vox == 0)
+        vx = jnp.floor(ox + dx * t).astype(i32)
+        vy = jnp.floor(oy + dy * t).astype(i32)
+        vz = jnp.floor(oz + dz * t).astype(i32)
+        l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
+        pidx = bit_of(pid_rows[0], l >> 5, l & 31)
+        pidx = pidx | (bit_of(pid_rows[1], l >> 5, l & 31) << 1)
+        pidx = pidx | (bit_of(pid_rows[2], l >> 5, l & 31) << 2)
+        pidx = pidx | (bit_of(pid_rows[3], l >> 5, l & 31) << 3)
+        sm_b = jnp.broadcast_to(sm_row, (blk, 128))
+        pal_w = jnp.take_along_axis(
+            sm_b, jnp.clip(tslot * 8 + 4 + (pidx >> 2), 0, 127), axis=1
+        )
+        pid = ((pal_w >> ((pidx & 3).astype(u32) * 8)) & 0xFF).astype(i32)
+        vox = jnp.where(undec, pid, vox)
+        return (t, active_i, hit_i, axmask, vox, water, wenter, stp)
+
+    # ---- in-kernel service --------------------------------------------
+    def serve(t, active_i, cch, wctr, sctr):
+        """Fetch up to W_INS window metas + S_INS subwindow rows for the
+        block's stalled rays. Batched: start every DMA, then wait+merge."""
+        wid_all, sid_all, wm_row, sm_row = cch
+        (_, _, _, _, _, _, w, g_jump, _, wslot, sw_jump, _, s, sslot) = \
+            classify(t, wid_all, sid_all, wm_row)
+        alive = (active_i != 0) & (t < t_exit)
+        wstall = alive & ~g_jump & (wslot < 0)
+        sstall = alive & ~g_jump & ~wstall & ~sw_jump & (sslot < 0)
+        wkey = jnp.where(wstall, w, bigi)
+        skey = jnp.where(sstall, s, bigi)
+
+        # distinct-min picks (scalar chains) + batched DMA starts
+        wpicks = []
+        for j in range(W_INS):
+            wj = jnp.min(wkey)
+            ok = wj < bigi
+            wpicks.append((wj, ok))
+            wkey = jnp.where(wkey == wj, bigi, wkey)
+
+            @pl.when(ok)
+            def _(wj=wj, j=j):
+                cp = pltpu.make_async_copy(
+                    wmp_ref.at[wj], wstage.at[j], wsem.at[j]
+                )
+                cp.start()
+
+        spicks = []
+        for j in range(S_INS):
+            sj = jnp.min(skey)
+            ok = sj < bigi
+            spicks.append((sj, ok))
+            skey = jnp.where(skey == sj, bigi, skey)
+
+            @pl.when(ok)
+            def _(sj=sj, j=j):
+                cp = pltpu.make_async_copy(
+                    swc_ref.at[sj], stage.at[j], ssem.at[j]
+                )
+                cp.start()
+
+        # waits + merges (FIFO slot rotation; invalid picks leave the
+        # slot's previous content in place)
+        for j, (wj, ok) in enumerate(wpicks):
+            slot = (wctr + j) % N_WC
+
+            @pl.when(ok)
+            def _(wj=wj, j=j, slot=slot):
+                pltpu.make_async_copy(
+                    wmp_ref.at[wj], wstage.at[j], wsem.at[j]
+                ).wait()
+
+            mrow = wstage[j]                             # [1,128] u32
+            slot8 = slot * 8
+            src = jnp.take_along_axis(
+                mrow, jnp.clip(lane_row - slot8, 0, 127), axis=1
+            )
+            sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & ok
+            wm_row = jnp.where(sel, src, wm_row)
+            wid_all = jnp.where(
+                (wrow_iota == slot) & ok, wj, wid_all
+            )
+
+        for j, (sj, ok) in enumerate(spicks):
+            slot = (sctr + j) % N_SC
+
+            @pl.when(ok)
+            def _(sj=sj, j=j):
+                pltpu.make_async_copy(
+                    swc_ref.at[sj], stage.at[j], ssem.at[j]
+                ).wait()
+
+            @pl.when(ok)
+            def _(j=j, slot=slot):
+                csol[pl.ds(slot, 1)] = stage[j, 0:1]
+                cliq[pl.ds(slot, 1)] = stage[j, 1:2]
+                cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
+
+            mrow = stage[j, 6:7]                         # [1,128] u32
+            slot8 = slot * 8
+            src = jnp.take_along_axis(
+                mrow, jnp.clip(lane_row - slot8, 0, 127), axis=1
+            )
+            sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & ok
+            sm_row = jnp.where(sel, src, sm_row)
+            sid_all = jnp.where((srow_iota == slot) & ok, sj, sid_all)
+
+        return (
+            (wid_all, sid_all, wm_row, sm_row),
+            wctr + W_INS, sctr + S_INS,
+        )
+
+    # ---- state init (primary: synthesized in-kernel, as v3) -----------
+    if not per_ray:
+        sbi = tg // _BLK
+        li = tg - sbi * _BLK
+        from .wavefront3 import SB_H, SB_W
+        txi = (sbi % nsx) * SB_W + li % SB_W
+        tyi = (sbi // nsx) * SB_H + li // SB_W
+        val_t = (
+            (txi.astype(f32) < scal_ref[25])
+            & (tyi.astype(f32) < scal_ref[26])
+        )
+        in_w0 = (
+            (ox > 0.0) & (ox < v)
+            & (oy > 0.0) & (oy < v)
+            & (oz > 0.0) & (oz < v)
+        )
+        act0 = (val_t & in_w0).astype(i32)
+        ts0 = jnp.full((blk, 128), EPS_T, f32)
+        wa0 = jnp.zeros((blk, 128), f32)
+        we0 = jnp.full((blk, 128), -1.0, f32)
+        hit0 = jnp.zeros((blk, 128), i32)
+        ax0 = jnp.zeros((blk, 128), i32)
+        stp0 = jnp.zeros((blk, 128), i32)
+        vox0 = jnp.zeros((blk, 128), i32)
+    else:
+        ts0, wa0, we0 = ts_ref[...], wa_ref[...], we_ref[...]
+        act0 = (fl_in >> 0) & 1
+        hit0 = (fl_in >> _FL_HIT) & 1
+        ax0 = (fl_in >> _FL_AX) & 7
+        stp0 = (fl_in >> _FL_STP) & 0xFFF
+        vox0 = (fl_in >> _FL_VOX) & 0xFF
+    act0 = jnp.where(stp0 < step_cap, act0, 0)
+    px0 = ox + dx * ts0
+    py0 = oy + dy * ts0
+    pz0 = oz + dz * ts0
+    inw0 = (
+        (px0 >= 0.0) & (py0 >= 0.0) & (pz0 >= 0.0)
+        & (px0 < v) & (py0 < v) & (pz0 < v)
+    )
+    act0 = jnp.where(inw0 & (ts0 < t_exit), act0, 0)
+    any_active = jnp.any(act0 != 0)
+
+    @pl.when(jnp.logical_not(any_active))
+    def _():
+        st_o[:] = st_ref[:]
+
+    @pl.when(any_active)
+    def _():
+        c0 = (ts0, act0, hit0, ax0, vox0, wa0, we0, stp0)
+
+        def sub_round(state):
+            sr, _, c, rows_c, cch = state
+
+            def sbody(_, cc):
+                return step(cc, rows_c, cch)
+
+            c = jax.lax.fori_loop(0, sub_steps, sbody, c)
+            c = decode_hits(c, rows_c[1], rows_c[4], cch[3])
+            t, a, h, axm, vox, wat, wen, stp = c
+            t = jnp.minimum(t, t_exit)
+            c = (t, jnp.where(stp < step_cap, a, 0), h, axm, vox, wat,
+                 wen, stp)
+            tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(
+                c[0], c[1], cch[0], cch[1], cch[2]
+            )
+            return sr + 1, go, c, (tsid, tslot, solid_row, liq_row,
+                                   pid_rows), cch
+
+        def inner_cond(state):
+            sr, go, _, _, _ = state
+            return (sr < sub_rounds) & (go != 0)
+
+        def round_body(carry):
+            r, c, cch, wctr, sctr = carry
+            # serve this round's stalls, then march until every lane
+            # stalls again (or the block converges)
+            cch, wctr, sctr = serve(c[0], c[1], cch, wctr, sctr)
+            rows_c = boundary(c[0], c[1], cch[0], cch[1], cch[2])
+            _, _, c, _, _ = jax.lax.while_loop(
+                inner_cond, sub_round,
+                (jnp.int32(0), rows_c[5], c, rows_c[:5], cch),
+            )
+            return r + 1, c, cch, wctr, sctr
+
+        def round_cond(carry):
+            r, c, _, _, _ = carry
+            return (r < rounds_cap) & jnp.any(c[1] != 0)
+
+        cch0 = (wid0, sid0, wm0, sm0)
+        _, c, _, _, _ = jax.lax.while_loop(
+            round_cond, round_body,
+            (jnp.int32(0), c0, cch0, jnp.int32(0), jnp.int32(0)),
+        )
+
+        sgn_bits = (
+            sx.astype(i32)
+            | (sy.astype(i32) << 1)
+            | (sz.astype(i32) << 2)
+        )
+        fl_out = (
+            c[1]
+            | (c[2] << _FL_HIT)
+            | (c[3] << _FL_AX)
+            | (jnp.minimum(c[7], 0xFFF) << _FL_STP)
+            | (c[4] << _FL_VOX)
+            | (sgn_bits << _FL_SGN)
+        )
+        st_o[0, :, :] = c[0]
+        st_o[1, :, :] = jax.lax.bitcast_convert_type(fl_out + _FL_BIAS, f32)
+        st_o[2, :, :] = c[5]
+        st_o[3, :, :] = c[6]
+
+
+def _march4(
+    scal, gw2, sw_cont, wmeta_pad, state,
+    *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
+):
+    """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
+    wmeta_pad: u32[Nw³,1,128]. Returns state'."""
+    T = state.shape[1]
+    blk = _BLK
+    f32 = jnp.float32
+    per_ray = rays is not None
+
+    def pspec(p):
+        return pl.BlockSpec((p, blk, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # scal
+        pl.BlockSpec((2, 128), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),            # gw rows
+        pl.BlockSpec(memory_space=pl.ANY),             # sw_cont (HBM)
+        pl.BlockSpec(memory_space=pl.ANY),             # wmeta_pad (HBM)
+    ]
+    args = [scal, gw2, sw_cont, wmeta_pad]
+    if per_ray:
+        in_specs.append(pspec(6))
+        args.append(rays)
+    in_specs.append(pspec(4))
+    args.append(state)
+    kern = partial(
+        _march_kernel4, sub_rounds=sub_rounds, sub_steps=sub_steps,
+        rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
+    )
+    u32 = jnp.uint32
+    return pl.pallas_call(
+        kern,
+        grid=(T // blk,),
+        in_specs=in_specs,
+        out_specs=pspec(4),
+        out_shape=jax.ShapeDtypeStruct((4, T, 128), f32),
+        scratch_shapes=[
+            pltpu.VMEM((S_INS, 7, 128), u32),             # stage
+            pltpu.VMEM((W_INS, 1, 128), u32),             # wstage
+            pltpu.SemaphoreType.DMA((S_INS,)),
+            pltpu.SemaphoreType.DMA((W_INS,)),
+            pltpu.VMEM((N_SC, 128), u32),                 # csol
+            pltpu.VMEM((N_SC, 128), u32),                 # cliq
+            pltpu.VMEM((4 * N_SC, 128), u32),             # cpid
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*args)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
+        "interpret", "per_ray", "raw_out", "full_height",
+    ),
+)
+def _trace_frame4(
+    gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
+    origin, inv_view, inv_proj, origins3, dirs3, active0,
+    rounds=64, step_cap=None,
+    *, width, height, sub_rounds, sub_steps, v, interpret,
+    per_ray=False, raw_out=False, full_height=None, y0=0.0,
+):
+    """One v4 frame: a single self-serving kernel launch, then the same
+    finish as v3 (palette ids are decoded in-kernel)."""
+    full_height = height if full_height is None else full_height
+    f32, i32 = jnp.float32, jnp.int32
+    tx = width // TILE_W
+    ty = height // TILE_H
+    nsx, nsy, T = _sb_dims(tx, ty)
+    ns = int(round(sw_solid.shape[0] ** (1 / 3)))
+    while ns * ns * ns < sw_solid.shape[0]:
+        ns += 1
+    nw = ns // 4
+
+    origin = jnp.asarray(origin, f32)
+    scal = _cam_scal(
+        origin, jnp.asarray(inv_view, f32), jnp.asarray(inv_proj, f32),
+        v, width, full_height, y0,
+    )
+    cap = jnp.asarray(step_cap, f32)  # 0.0 = uncapped (wrappers map None)
+    scal = (
+        scal.at[22].set(jnp.float32(sub_rounds))
+        .at[23].set(cap)
+        .at[24].set(1.0)
+        .at[25].set(jnp.float32(tx))
+        .at[26].set(jnp.float32(ty))
+    )
+
+    gw2 = jnp.concatenate([gw_jump, gw_liq], axis=0)       # [2,128]
+    sw_cont = jnp.concatenate(
+        [
+            sw_solid[:, None, :],
+            sw_liq[:, None, :],
+            sw_pid,
+            jnp.pad(sw_meta, ((0, 0), (0, 128 - sw_meta.shape[1])))[
+                :, None, :
+            ],
+        ],
+        axis=1,
+    )
+    wmeta_pad = jnp.pad(
+        wmeta, ((0, 0), (0, 128 - wmeta.shape[1]))
+    )[:, None, :]
+
+    shape = (T, 128)
+    if per_ray:
+        pre_tiled = (
+            origins3.ndim == 3 and origins3.shape[0] == T
+            and origins3.shape[1] == 128
+        )
+        if pre_tiled:
+            ot = jnp.asarray(origins3, f32)
+            dt3 = jnp.asarray(dirs3, f32)
+            act0 = jnp.asarray(active0, bool)
+        else:
+            ot = _tile_hw(jnp.asarray(origins3, f32), tx, ty, T)
+            dt3 = _tile_hw(jnp.asarray(dirs3, f32), tx, ty, T)
+            act0 = _tile_hw(jnp.asarray(active0, bool), tx, ty, T)
+        oxr, oyr, ozr = ot[..., 0], ot[..., 1], ot[..., 2]
+        dx, dy, dz = dt3[..., 0], dt3[..., 1], dt3[..., 2]
+        rays = jnp.stack([oxr, oyr, ozr, dx, dy, dz])
+        valid = _tile_valid(tx, ty, T)
+        inside = (
+            (oxr > 0.0) & (oxr < v)
+            & (oyr > 0.0) & (oyr < v)
+            & (ozr > 0.0) & (ozr < v)
+        )
+        fl0 = (jnp.broadcast_to(inside & act0, shape) & valid).astype(i32)
+        state0 = jnp.stack([
+            jnp.full(shape, EPS_T, f32),
+            jax.lax.bitcast_convert_type(fl0 + _FL_BIAS, f32),
+            jnp.zeros(shape, f32),
+            jnp.full(shape, -1.0, f32),
+        ])
+    else:
+        rays = None
+        state0 = jnp.zeros((4,) + shape, f32)
+
+    st = _march4(
+        scal, gw2, sw_cont, wmeta_pad, state0,
+        sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
+        nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
+    )
+
+    carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
+    fl = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
+    if raw_out:
+        return carry_ts, fl, carry_wa, carry_we
+
+    real_hit = ((fl >> _FL_HIT) & 1) != 0
+    axmask = (fl >> _FL_AX) & 7
+    steps = (fl >> _FL_STP) & 0xFFF
+    voxk = (fl >> _FL_VOX) & 0xFF
+    sgnb = (fl >> _FL_SGN) & 7
+
+    t_stop = carry_ts
+    water = carry_wa + jnp.where(carry_we >= 0.0, t_stop - carry_we, 0.0)
+    voxel = jnp.where(real_hit, voxk, 0)
+
+    nx = -jnp.where((sgnb & 1) != 0, 1.0, -1.0) * ((axmask >> 0) & 1)
+    ny = -jnp.where((sgnb & 2) != 0, 1.0, -1.0) * ((axmask >> 1) & 1)
+    nz = -jnp.where((sgnb & 4) != 0, 1.0, -1.0) * ((axmask >> 2) & 1)
+    norm = jnp.stack([nx, ny, nz], axis=-1)
+
+    def ut(x):
+        return _untile_hw(x, tx, ty, width, height)
+
+    return WavefrontResult(
+        hit=ut(real_hit),
+        t=ut(t_stop),
+        voxel=ut(voxel),
+        norm=ut(norm),
+        water_dist=ut(water),
+        steps=ut(steps.astype(i32)),
+    )
+
+
+def trace_wavefront4(
+    rg: RenderGrid3,
+    origin,
+    *,
+    cam=None,
+    width=None,
+    height=None,
+    rounds=64,
+    steps_per_round=48,
+    step_cap=None,
+    interpret=None,
+):
+    """March one frame through the self-serving v4 kernel.
+
+    Service happens inside the kernel (batched async DMA from the HBM
+    content tables), so ``rounds`` is only a safety bound — every stall
+    is served the round it occurs and converged blocks exit immediately.
+    """
+    assert cam is not None, "trace_wavefront4 needs cam=CamData"
+    if width is None or height is None:
+        width, height = cam.proj_size
+    assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
+    if interpret is None:
+        interpret = _interpret_default()
+    sub_steps = 8
+    sub_rounds = max(steps_per_round // sub_steps, 1)
+    z = jnp.zeros((), jnp.float32)
+    return _trace_frame4(
+        rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
+        rg.sw_pid,
+        jnp.asarray(origin, jnp.float32),
+        jnp.asarray(cam.inv_view, jnp.float32),
+        jnp.asarray(cam.inv_proj, jnp.float32),
+        z, z, z, rounds, 0.0 if step_cap is None else step_cap,
+        width=width, height=height,
+        sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
+        interpret=bool(interpret),
+    )
+
+
+def trace_wavefront4_rays(
+    rg: RenderGrid3,
+    origins,
+    dirs,
+    active,
+    *,
+    width,
+    height,
+    rounds=64,
+    steps_per_round=48,
+    step_cap=None,
+    interpret=None,
+):
+    """Per-ray (origin, direction) bundles through the v4 kernel — the
+    secondary-ray path (shadows, bounces)."""
+    assert width % TILE_W == 0 and height % TILE_H == 0, (width, height)
+    if interpret is None:
+        interpret = _interpret_default()
+    sub_steps = 8
+    sub_rounds = max(steps_per_round // sub_steps, 1)
+    eye = jnp.eye(4, dtype=jnp.float32)
+    return _trace_frame4(
+        rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
+        rg.sw_pid,
+        jnp.zeros(3, jnp.float32), eye, eye,
+        jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32),
+        jnp.asarray(active, bool), rounds,
+        0.0 if step_cap is None else step_cap,
+        width=width, height=height,
+        sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
+        interpret=bool(interpret), per_ray=True,
+    )
