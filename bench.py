@@ -68,11 +68,23 @@ def main():
     )
     lut = color_lut_rows(mats.color)
 
-    def frame(tok):
-        return render_frame3(
-            rgrid, cam, lut, rounds=ROUNDS, step_cap=STEP_CAP,
-            cache=tok, return_cache=True,
-        )
+    import os
+
+    if os.environ.get("VOXELTPU_TRACER", "v3") == "v4":
+        from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+        def frame(tok):
+            # v4 serves itself in-kernel: no cache token, rounds is only
+            # a safety bound (converged blocks exit immediately)
+            return render_frame4(
+                rgrid, cam, lut, rounds=64, step_cap=STEP_CAP
+            ), tok
+    else:
+        def frame(tok):
+            return render_frame3(
+                rgrid, cam, lut, rounds=ROUNDS, step_cap=STEP_CAP,
+                cache=tok, return_cache=True,
+            )
 
     # Warm-up / compile (cold- and warm-cache program variants).
     print("# compiling...", file=sys.stderr, flush=True)

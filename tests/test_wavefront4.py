@@ -131,6 +131,32 @@ def test_v4_matches_v3(scene):
                 np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), f)
 
 
+def test_v4_render_frame_matches_v3(scene):
+    """The fused v4 frame (march + shade, shadows on) is pixel-identical
+    to the v3 fused frame."""
+    from voxelraytracing_tpu.ops.wavefront3 import render_frame3
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+    rg3, _, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), shadows=True, step_cap=500)
+    a = np.asarray(render_frame3(rg3, cam, mats.color, rounds=32, **kw))
+    b = np.asarray(render_frame4(rg3, cam, mats.color, rounds=64, **kw))
+    np.testing.assert_array_equal(a, b)
+
+    r = WavefrontRendererV4()
+    pk = np.asarray(r.render_packed(rg3, cam))
+    assert pk.shape == a.shape
+
+
+def WavefrontRendererV4():
+    from voxelraytracing_tpu.models.raytracer import WavefrontRenderer
+    from voxelraytracing_tpu.world.demo import demo_materials
+
+    return WavefrontRenderer(demo_materials(), tracer="v4")
+
+
 def test_v4_step_cap(scene):
     """step_cap kills rays at the cap exactly like v3 (reference cap
     semantics: survivors report as hits, ray_tracer.wgsl:220)."""

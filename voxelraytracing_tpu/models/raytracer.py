@@ -226,7 +226,10 @@ class WavefrontRenderer:
         # (ray_tracer.wgsl:220); decoupled from the service-round budget
         # so converged frames early-exit their remaining rounds
         self.v3_step_cap = None if v3_step_cap is None else int(v3_step_cap)
-        if tracer not in ("v1", "v2"):
+        # "v1"/"v2" select the RenderGrid (v1) tracer used by render();
+        # "v4" switches render_packed's RenderGrid3 path to the
+        # self-serving kernel (ops/wavefront4.py) instead of v3.
+        if tracer not in ("v1", "v2", "v4"):
             raise ValueError(f"unknown tracer {tracer!r}")
         self.tracer = tracer
         self._shade = jax.jit(self._shade_impl)
@@ -248,6 +251,18 @@ class WavefrontRenderer:
         from ..ops.wavefront3 import render_frame3
 
         s = settings or RenderSettings()
+        if self.tracer == "v4":
+            from ..ops.wavefront4 import render_frame4
+
+            return render_frame4(
+                rgrid3, cam, self.materials.color,
+                sky_color=s.sky_color, sun_pos=s.sun_pos,
+                sun_intensity=s.sun_intensity, shadows=s.shadows,
+                shadow_ambient=s.shadow_ambient,
+                show_steps=self.show_step_count,
+                steps_per_round=self.v3_steps_per_round,
+                step_cap=self.v3_step_cap,
+            )
         cache = (
             self._v3_cache
             if self._v3_cache_size == tuple(cam.proj_size)

@@ -730,6 +730,150 @@ def _trace_frame4(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
+        "interpret", "shadows", "show_steps", "step_cap",
+    ),
+)
+def _render_frame4(
+    gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
+    origin, inv_view, inv_proj, lut,
+    sky_color, sun_pos_local, sun_intensity, shadow_ambient,
+    *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
+    shadows, show_steps, step_cap=None,
+):
+    """v4 frame: self-serving primary march (+ optional self-serving
+    shadow march) + the v3 shade kernel. One Pallas launch per pass —
+    no host round loop at all."""
+    from .wavefront3 import _shade, _FL_HIT, _FL_AX
+
+    f32, i32 = jnp.float32, jnp.int32
+    tx = width // TILE_W
+    ty = height // TILE_H
+    nsx, nsy, T = _sb_dims(tx, ty)
+
+    args = (gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid)
+    z = jnp.zeros((), f32)
+    cap = 0.0 if step_cap is None else float(step_cap)
+    ts, fl, wa, we = _trace_frame4(
+        *args, origin, inv_view, inv_proj, z, z, z,
+        rounds, cap,
+        width=width, height=height, sub_rounds=sub_rounds,
+        sub_steps=sub_steps, v=v, interpret=interpret, raw_out=True,
+    )
+
+    origin = jnp.asarray(origin, f32)
+    scal = _cam_scal(origin, inv_view, inv_proj, v, width, height, 0.0)
+
+    sh = jnp.zeros((T, 128), i32)
+    if shadows:
+        shape = (T, 128)
+        tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
+        lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
+        dx, dy, dz = _ray_dirs(
+            [scal[i] for i in range(24)], tile_i, lane_i, nsx
+        )
+        hitm = ((fl >> _FL_HIT) & 1) != 0
+        ax = (fl >> _FL_AX) & 7
+        nx = -jnp.sign(dx) * ((ax >> 0) & 1).astype(f32)
+        ny = -jnp.sign(dy) * ((ax >> 1) & 1).astype(f32)
+        nz = -jnp.sign(dz) * ((ax >> 2) & 1).astype(f32)
+        hx = origin[0] + dx * ts + nx * 1e-3
+        hy = origin[1] + dy * ts + ny * 1e-3
+        hz = origin[2] + dz * ts + nz * 1e-3
+        svx = sun_pos_local[0] - hx
+        svy = sun_pos_local[1] - hy
+        svz = sun_pos_local[2] - hz
+        sn = jnp.sqrt(svx * svx + svy * svy + svz * svz)
+        ot = jnp.stack([hx, hy, hz], axis=-1)
+        dt3 = jnp.stack([svx / sn, svy / sn, svz / sn], axis=-1)
+        _, fls, _, _ = _trace_frame4(
+            *args, jnp.zeros(3, f32), inv_view, inv_proj, ot, dt3, hitm,
+            rounds, cap,
+            width=width, height=height, sub_rounds=sub_rounds,
+            sub_steps=sub_steps, v=v, interpret=interpret,
+            per_ray=True, raw_out=True,
+        )
+        sh = (fls >> _FL_HIT) & 1
+
+    sv = sun_pos_local - origin
+    sun_dir = sv / jnp.linalg.norm(sv)
+    scal2 = jnp.concatenate([
+        scal,
+        sun_dir,
+        jnp.asarray([sun_intensity], f32),
+        jnp.asarray(sky_color, f32),
+        jnp.asarray([shadow_ambient], f32),
+        jnp.zeros(8, f32),
+    ])
+    packed = _shade(
+        scal2, lut[None], ts, fl, wa, we, sh,
+        nsx=nsx, show_steps=show_steps, shadows=shadows,
+        max_steps=rounds * sub_rounds * sub_steps, interpret=interpret,
+    )
+    return (
+        _untile_hw(packed, tx, ty, width, height),
+        _untile_hw(fl, tx, ty, width, height),
+    )
+
+
+def render_frame4(
+    rg: RenderGrid3,
+    cam,
+    materials_color,
+    *,
+    world_min=None,
+    sky_color=(0.81, 0.93, 1.0),
+    sun_pos=(0.0, 10_000.0, 0.0),
+    sun_intensity=4.0,
+    shadows=False,
+    shadow_ambient=0.4,
+    show_steps=False,
+    rounds=64,
+    steps_per_round=48,
+    step_cap=None,
+    interpret=None,
+    with_flags=False,
+):
+    """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
+
+    Same products and shading as :func:`~.wavefront3.render_frame3`, but
+    march service happens inside the kernel, so there is no service-cache
+    token and ``rounds`` is only a safety bound."""
+    from .wavefront3 import color_lut_rows
+
+    width, height = cam.proj_size
+    if interpret is None:
+        interpret = _interpret_default()
+    wm = rg.world_min if world_min is None else world_min
+    wm = jnp.asarray(wm, jnp.float32)
+    origin = jnp.asarray(cam.pos, jnp.float32) - wm
+    sun_local = jnp.asarray(sun_pos, jnp.float32) - wm
+    lut = (jnp.asarray(materials_color)
+           if getattr(materials_color, "shape", None) == (6, 128)
+           else color_lut_rows(materials_color))
+    sub_steps = 8
+    sub_rounds = max(steps_per_round // sub_steps, 1)
+    img, fl = _render_frame4(
+        rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
+        rg.sw_liq, rg.sw_pid,
+        origin,
+        jnp.asarray(cam.inv_view, jnp.float32),
+        jnp.asarray(cam.inv_proj, jnp.float32),
+        lut,
+        jnp.asarray(sky_color, jnp.float32), sun_local,
+        jnp.float32(sun_intensity), jnp.float32(shadow_ambient),
+        width=width, height=height, rounds=rounds,
+        sub_rounds=sub_rounds, sub_steps=sub_steps,
+        v=int(rg.size_voxels), interpret=bool(interpret),
+        shadows=bool(shadows), show_steps=bool(show_steps),
+        step_cap=None if step_cap is None else int(step_cap),
+    )
+    return (img, fl) if with_flags else img
+
+
 def trace_wavefront4(
     rg: RenderGrid3,
     origin,
