@@ -157,6 +157,26 @@ def WavefrontRendererV4():
     return WavefrontRenderer(demo_materials(), tracer="v4")
 
 
+def test_v4_path_trace_matches_v3(scene):
+    """path_trace4 (every bounce on the self-serving kernel) matches the
+    v3 path tracer bit-for-bit given the same RNG key."""
+    import jax
+
+    from voxelraytracing_tpu.ops.wavefront3 import path_trace3
+    from voxelraytracing_tpu.ops.wavefront4 import path_trace4
+
+    rg3, _, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    key = jax.random.PRNGKey(3)
+    for bounces in (0, 1):
+        a = np.asarray(path_trace3(rg3, cam, mats, bounces=bounces,
+                                   samples=1, key=key, rounds=32))
+        b = np.asarray(path_trace4(rg3, cam, mats, bounces=bounces,
+                                   samples=1, key=key, rounds=64))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_v4_step_cap(scene):
     """step_cap kills rays at the cap exactly like v3 (reference cap
     semantics: survivors report as hits, ray_tracer.wgsl:220)."""

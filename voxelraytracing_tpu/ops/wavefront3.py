@@ -2312,6 +2312,7 @@ def material_lut_rows(color, emission, scatter):
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "bounces", "samples", "full_height", "step_cap",
+        "v4",
     ),
 )
 def _path_frame(
@@ -2320,7 +2321,7 @@ def _path_frame(
     origin, inv_view, inv_proj, mlut,
     sky_color, sun_pos_local, sun_intensity, key,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
-    bounces, samples, full_height=None, y0=0.0, step_cap=None,
+    bounces, samples, full_height=None, y0=0.0, step_cap=None, v4=False,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average)."""
     full_height = height if full_height is None else full_height
@@ -2378,7 +2379,32 @@ def _path_frame(
 
         for bounce in range(bounces + 1):
             z = jnp.zeros((), f32)
-            if bounce == 0:
+            if v4:
+                # self-serving kernel: drop the brick/pool args, cap is
+                # positional-traced (0.0 = uncapped), rounds is a bound
+                from .wavefront4 import _trace_frame4
+
+                cap4 = 0.0 if step_cap is None else float(step_cap)
+                a4 = args[:7]
+                if bounce == 0:
+                    ts, fl, wa, we = _trace_frame4(
+                        *a4, origin, inv_view, inv_proj, z, z, z,
+                        rounds, cap4,
+                        width=width, height=height,
+                        sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
+                        interpret=interpret, raw_out=True,
+                    )
+                else:
+                    ot = jnp.stack([oX, oY, oZ], axis=-1)
+                    dt3 = jnp.stack([dX, dY, dZ], axis=-1)
+                    ts, fl, wa, we = _trace_frame4(
+                        *a4, jnp.zeros(3, f32), inv_view, inv_proj,
+                        ot, dt3, alive, rounds, cap4,
+                        width=width, height=height,
+                        sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
+                        interpret=interpret, per_ray=True, raw_out=True,
+                    )
+            elif bounce == 0:
                 ts, fl, wa, we = _trace_frame(
                     *args, origin, inv_view, inv_proj, z, z, z,
                     width=width, height=height, rounds=rounds,
@@ -2531,8 +2557,11 @@ def path_trace3(
     steps_per_round=48,
     step_cap=None,
     interpret=None,
+    v4=False,
 ):
     """Path-traced frame through the v3 fast path -> f32[H,W,3] radiance.
+    ``v4=True`` swaps every bounce's march to the self-serving v4 kernel
+    (ops/wavefront4.py) — same semantics, no host round loop.
 
     ``materials``: a MaterialTable (color/emission/scatter used). The
     reference's path tracer was never dispatched (path_tracer.wgsl, stale
@@ -2566,4 +2595,5 @@ def path_trace3(
         interpret=bool(interpret), bounces=int(bounces),
         samples=int(samples),
         step_cap=None if step_cap is None else int(step_cap),
+        v4=bool(v4),
     )

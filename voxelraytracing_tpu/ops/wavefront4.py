@@ -874,6 +874,15 @@ def render_frame4(
     return (img, fl) if with_flags else img
 
 
+def path_trace4(rg: RenderGrid3, cam, materials, **kw):
+    """Path-traced frame with every bounce marched by the self-serving v4
+    kernel -> f32[H,W,3] radiance. Same semantics as
+    :func:`~.wavefront3.path_trace3` (path_tracer.wgsl:149-194 completed)."""
+    from .wavefront3 import path_trace3
+
+    return path_trace3(rg, cam, materials, v4=True, **kw)
+
+
 def trace_wavefront4(
     rg: RenderGrid3,
     origin,
