@@ -46,6 +46,14 @@ def _report(metric, value, unit, **extra):
     print(json.dumps({"metric": metric, "value": round(value, 3), "unit": unit, **extra}))
 
 
+def _use_v4():
+    """VOXELTPU_TRACER=v4 routes the wavefront configs through the
+    self-serving kernel (ops/wavefront4.py) instead of v3."""
+    import os
+
+    return os.environ.get("VOXELTPU_TRACER", "v3") == "v4"
+
+
 def config1():
     import jax
 
@@ -167,13 +175,22 @@ def config2():
     # an interactive loop (WavefrontRenderer carries the same token)
     tok = {"t": None}
 
-    def frame():
-        img, tok2 = render_frame3(
-            rg3, cam, mats.color, sun_pos=sun, shadows=True, rounds=14,
-            step_cap=500, cache=tok["t"], return_cache=True,
-        )
-        tok["t"] = tok2
-        return img
+    if _use_v4():
+        from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+        def frame():
+            return render_frame4(
+                rg3, cam, mats.color, sun_pos=sun, shadows=True,
+                rounds=64, step_cap=500,
+            )
+    else:
+        def frame():
+            img, tok2 = render_frame3(
+                rg3, cam, mats.color, sun_pos=sun, shadows=True, rounds=14,
+                step_cap=500, cache=tok["t"], return_cache=True,
+            )
+            tok["t"] = tok2
+            return img
 
     dt = _time(frame)
     # primary + one shadow ray per pixel, shaded frame end to end
@@ -193,7 +210,7 @@ def config3():
     dt = _time(
         lambda: path_trace3(
             rg3, cam, mats, sun_pos=sun, bounces=1, samples=1, key=key,
-            step_cap=500,
+            step_cap=500, v4=_use_v4(),
         )
     )
     _report("config3_1080p_1bounce_pt", 2 * 1920 * 1080 / dt / 1e6, "Mrays/s")
@@ -328,7 +345,7 @@ def config5():
     dt = _time(
         lambda: path_trace3(
             rg3, cam, mats, sun_pos=sun, bounces=4, samples=1, key=key,
-            step_cap=500,
+            step_cap=500, v4=_use_v4(),
         ),
         min_iters=2,
         budget_s=20.0,
