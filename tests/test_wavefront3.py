@@ -313,3 +313,26 @@ def test_v3_tail_compaction_matches_uncompacted(scene):
         np.testing.assert_array_equal(
             np.asarray(a.steps), np.asarray(o.steps)
         )
+
+
+def test_v3_low_round_budget_is_safe(scene):
+    """A starved round budget must degrade to MISSES (sky), exactly like
+    the reference kernel falling out of its 500-iteration loop
+    (ray_tracer.wgsl:220) — never to fabricated hits, and the budgeted
+    frame's hits must be a subset of the converged frame's hits with
+    identical records where both hit."""
+    rg3, _, _ = scene
+    for cfg in CAMS:
+        cam = CamData.create(cfg[0], cfg[1], 70.0, (64, 32))
+        origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+        full = trace_wavefront3(rg3, origin, cam=cam, rounds=32)
+        for rounds in (1, 2, 4):
+            poor = trace_wavefront3(rg3, origin, cam=cam, rounds=rounds)
+            ph = np.asarray(poor.hit)
+            fh = np.asarray(full.hit)
+            assert not (ph & ~fh).any(), (cfg, rounds)  # no false hits
+            m = ph & fh
+            np.testing.assert_array_equal(
+                np.asarray(poor.voxel)[m], np.asarray(full.voxel)[m])
+            np.testing.assert_allclose(
+                np.asarray(poor.t)[m], np.asarray(full.t)[m], atol=1e-4)

@@ -179,7 +179,7 @@ def test_v4_path_trace_matches_v3(scene):
 
 def test_v4_step_cap(scene):
     """step_cap kills rays at the cap exactly like v3 (reference cap
-    semantics: survivors report as hits, ray_tracer.wgsl:220)."""
+    semantics: exhausted rays render as misses, ray_tracer.wgsl:220)."""
     rg3, _, _ = scene
     cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
                          (64, 32))
@@ -192,3 +192,23 @@ def test_v4_step_cap(scene):
     wide = trace_wavefront4(rg3, origin, cam=cam, rounds=64, step_cap=500)
     np.testing.assert_array_equal(np.asarray(full.hit), np.asarray(wide.hit))
     np.testing.assert_array_equal(np.asarray(full.t), np.asarray(wide.t))
+
+
+def test_v4_low_round_budget_is_safe(scene):
+    """Same starvation semantics as v3: budget exhaustion degrades to
+    misses, never fabricated hits (ray_tracer.wgsl:220 fall-out)."""
+    rg3, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+    full = trace_wavefront4(rg3, origin, cam=cam, rounds=64)
+    for rounds in (1, 2, 4):
+        poor = trace_wavefront4(rg3, origin, cam=cam, rounds=rounds)
+        ph = np.asarray(poor.hit)
+        fh = np.asarray(full.hit)
+        assert not (ph & ~fh).any(), rounds
+        m = ph & fh
+        np.testing.assert_array_equal(
+            np.asarray(poor.voxel)[m], np.asarray(full.voxel)[m])
+        np.testing.assert_allclose(
+            np.asarray(poor.t)[m], np.asarray(full.t)[m], atol=1e-4)
