@@ -69,12 +69,13 @@ from .wavefront3 import (
     _untile_hw,
 )
 
-S_INS = 8   # subwindow fetches per in-kernel service round
-W_INS = 2   # window-meta fetches per in-kernel service round
+S_INS = 8   # default subwindow fetches per in-kernel service round
+W_INS = 2   # default window-meta fetches per in-kernel service round
 
 
 def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
+    s_ins, w_ins,
 ):
     """One self-serving block program. Ref order:
 
@@ -355,7 +356,7 @@ def _march_kernel4(
 
         # distinct-min picks (scalar chains) + batched DMA starts
         wpicks = []
-        for j in range(W_INS):
+        for j in range(w_ins):
             wj = jnp.min(wkey)
             ok = wj < bigi
             wpicks.append((wj, ok))
@@ -369,7 +370,7 @@ def _march_kernel4(
                 cp.start()
 
         spicks = []
-        for j in range(S_INS):
+        for j in range(s_ins):
             sj = jnp.min(skey)
             ok = sj < bigi
             spicks.append((sj, ok))
@@ -430,7 +431,7 @@ def _march_kernel4(
 
         return (
             (wid_all, sid_all, wm_row, sm_row),
-            wctr + W_INS, sctr + S_INS,
+            wctr + w_ins, sctr + s_ins,
         )
 
     # ---- state init (primary: synthesized in-kernel, as v3) -----------
@@ -549,6 +550,7 @@ def _march_kernel4(
 def _march4(
     scal, gw2, sw_cont, wmeta_pad, state,
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
+    s_ins=S_INS, w_ins=W_INS,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state'."""
@@ -577,6 +579,7 @@ def _march4(
     kern = partial(
         _march_kernel4, sub_rounds=sub_rounds, sub_steps=sub_steps,
         rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
+        s_ins=s_ins, w_ins=w_ins,
     )
     u32 = jnp.uint32
     return pl.pallas_call(
@@ -586,10 +589,10 @@ def _march4(
         out_specs=pspec(4),
         out_shape=jax.ShapeDtypeStruct((4, T, 128), f32),
         scratch_shapes=[
-            pltpu.VMEM((S_INS, 7, 128), u32),             # stage
-            pltpu.VMEM((W_INS, 1, 128), u32),             # wstage
-            pltpu.SemaphoreType.DMA((S_INS,)),
-            pltpu.SemaphoreType.DMA((W_INS,)),
+            pltpu.VMEM((s_ins, 7, 128), u32),             # stage
+            pltpu.VMEM((w_ins, 1, 128), u32),             # wstage
+            pltpu.SemaphoreType.DMA((s_ins,)),
+            pltpu.SemaphoreType.DMA((w_ins,)),
             pltpu.VMEM((N_SC, 128), u32),                 # csol
             pltpu.VMEM((N_SC, 128), u32),                 # cliq
             pltpu.VMEM((4 * N_SC, 128), u32),             # cpid
@@ -606,6 +609,7 @@ def _march4(
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
+        "s_ins", "w_ins",
     ),
 )
 def _trace_frame4(
@@ -614,6 +618,7 @@ def _trace_frame4(
     rounds=64, step_cap=None,
     *, width, height, sub_rounds, sub_steps, v, interpret,
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
+    s_ins=S_INS, w_ins=W_INS,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel)."""
@@ -695,6 +700,7 @@ def _trace_frame4(
         scal, gw2, sw_cont, wmeta_pad, state0,
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
+        s_ins=s_ins, w_ins=w_ins,
     )
 
     carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
