@@ -31,7 +31,10 @@ from ..ops.materials import MaterialTable
 from ..ops.sky import ray_sky
 from ..ops.traverse import WorldSlice, trace_rays
 
-WATER_ABSORB = jnp.asarray([0.35, 0.08, 0.04], jnp.float32)  # per-voxel-length
+# per-voxel-length; a plain tuple — a module-level jnp array would
+# initialize the default backend at import time (hangs when the device
+# tunnel is broken) and bake a device constant into every jit
+WATER_ABSORB = (0.35, 0.08, 0.04)
 
 
 def _diffuse_dir(key, norm):
@@ -98,7 +101,10 @@ class PathTracer:
                 rs = trace_rays(world, mats.is_liquid, origin, dirs, self.max_steps)
 
                 # liquid absorption along this segment
-                absorb = jnp.exp(-rs.water_dist[..., None] * WATER_ABSORB)
+                absorb = jnp.exp(
+                    -rs.water_dist[..., None]
+                    * jnp.asarray(WATER_ABSORB, jnp.float32)
+                )
                 color = color * jnp.where(alive[..., None], absorb, 1.0)
 
                 # miss -> sky light, retire
