@@ -197,3 +197,29 @@ def test_engine_fast_path_session(flat_root):
             assert not np.isnan(np.asarray(img2)).any()
     finally:
         app.close()
+
+
+def test_engine_fast_path_v4(flat_root):
+    """The engine's fast path on the self-serving v4 kernel renders the
+    same world (tracer choice is a constructor knob)."""
+    import time
+
+    from voxelraytracing_tpu.engine import EngineApp
+
+    app = EngineApp.host_singleplayer(
+        flat_root, "Flat", port=61731, resolution=(128, 64),
+        world_size_chunks=4, fast_path=True, fast_tracer="v4",
+    )
+    try:
+        for _ in range(600):
+            app.update(net_budget_s=0.05)
+            app.update_game()
+            if app.game.world.populated_count() >= 64:
+                break
+            time.sleep(0.1)
+        img = app.draw_frame()
+        assert img.shape == (64, 128, 3)
+        hits = np.asarray(app._last_trace.hit)
+        assert hits.mean() > 0.1
+    finally:
+        app.close()

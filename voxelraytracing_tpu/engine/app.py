@@ -112,6 +112,7 @@ class EngineApp:
         world_size_chunks=30,
         server_program=None,
         fast_path=None,
+        fast_tracer="v3",
     ):
         import jax
         import jax.numpy as jnp
@@ -133,6 +134,10 @@ class EngineApp:
         if fast_path is None:
             fast_path = jax.default_backend() == "tpu"
         self.fast_path = bool(fast_path)
+        # "v3" = round-serviced fused pipeline; "v4" = the self-serving
+        # kernel (ops/wavefront4.py) — one launch per pass
+        assert fast_tracer in ("v3", "v4"), fast_tracer
+        self.fast_tracer = fast_tracer
         self._rg_builder = None
         self._rg_min = None
         from .ui import CrosshairStyle
@@ -363,11 +368,14 @@ class EngineApp:
         import jax.numpy as jnp
         from types import SimpleNamespace
 
-        from ..ops.wavefront3 import render_frame3
+        if self.fast_tracer == "v4":
+            from ..ops.wavefront4 import render_frame4 as _render
+        else:
+            from ..ops.wavefront3 import render_frame3 as _render
 
         rg = self._fast_builder().grid()
         s = self.settings
-        packed, fl = render_frame3(
+        packed, fl = _render(
             rg, self.camera(), self.materials.color,
             sky_color=s.sky_color, sun_pos=s.sun_pos,
             sun_intensity=s.sun_intensity, shadows=s.shadows,
