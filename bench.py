@@ -28,7 +28,47 @@ STEP_CAP = 500  # per-ray step budget = the reference kernel's iteration cap
 #                 subwindow/brick skips), so 500 covers MORE distance
 
 
+def _backend_alive(timeout_s=300):
+    """Probe the default backend in a SUBPROCESS: a wedged device tunnel
+    makes jax.devices() hang (not raise), and a hang here would stall the
+    whole bench run. See docs/TPU_NOTES.md."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp\n"
+                "(jax.device_put(jnp.zeros(8), jax.devices()[0]) + 1.0)"
+                ".block_until_ready()\n"
+                "print('ok')\n",
+            ],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    if not _backend_alive():
+        # fail fast with a diagnostic line rather than hanging the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "primary_rays_1080p_unavailable",
+                    "value": 0.0,
+                    "unit": "Mrays/s",
+                    "vs_baseline": 0.0,
+                    "error": "default backend hung or failed the dispatch probe",
+                }
+            )
+        )
+        return 0
+
     import jax
     import jax.numpy as jnp
 
