@@ -148,3 +148,40 @@ def test_sharded_render_frame3_matches_single_device():
     )
     assert got.shape == ref.shape
     np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_render_frame4_matches_single_device():
+    """Band-sharded self-serving v4 frame == the single-device v4 frame."""
+    import numpy as np
+
+    from voxelraytracing_tpu.ops import noise
+    from voxelraytracing_tpu.ops.camera import CamData
+    from voxelraytracing_tpu.ops.wavefront3 import build_render_grid3_host
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+    from voxelraytracing_tpu.parallel.render import (
+        make_mesh,
+        sharded_render_frame4,
+    )
+    from voxelraytracing_tpu.world.demo import (
+        demo_chunk_grids_host,
+        demo_materials,
+    )
+
+    w = 2
+    perm = noise.make_permutation(7)
+    grids, cells = demo_chunk_grids_host(
+        perm, np.zeros(3, np.int64), w, w * 32 * 0.45, int(w * 32 * 0.28)
+    )
+    mats = demo_materials()
+    rg3 = build_render_grid3_host(
+        grids, cells, np.zeros(3, np.int32), w, mats
+    )
+    cam = CamData.create((30.0, 45.0, 0.0), (32.0, 40.0, 32.0), 70.0,
+                         (64, 64))
+    ref = np.asarray(render_frame4(rg3, cam, mats.color, rounds=64))
+    mesh = make_mesh(n_samples=1, n_rays=8)
+    got = np.asarray(
+        sharded_render_frame4(mesh, rg3, cam, mats.color, rounds=64)
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)

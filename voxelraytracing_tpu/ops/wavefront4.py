@@ -740,7 +740,7 @@ def _trace_frame4(
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
-        "interpret", "shadows", "show_steps", "step_cap",
+        "interpret", "shadows", "show_steps", "step_cap", "full_height",
     ),
 )
 def _render_frame4(
@@ -748,13 +748,14 @@ def _render_frame4(
     origin, inv_view, inv_proj, lut,
     sky_color, sun_pos_local, sun_intensity, shadow_ambient,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
-    shadows, show_steps, step_cap=None,
+    shadows, show_steps, step_cap=None, full_height=None, y0=0.0,
 ):
     """v4 frame: self-serving primary march (+ optional self-serving
     shadow march) + the v3 shade kernel. One Pallas launch per pass —
     no host round loop at all."""
     from .wavefront3 import _shade, _FL_HIT, _FL_AX
 
+    full_height = height if full_height is None else full_height
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
     ty = height // TILE_H
@@ -768,10 +769,11 @@ def _render_frame4(
         rounds, cap,
         width=width, height=height, sub_rounds=sub_rounds,
         sub_steps=sub_steps, v=v, interpret=interpret, raw_out=True,
+        full_height=full_height, y0=y0,
     )
 
     origin = jnp.asarray(origin, f32)
-    scal = _cam_scal(origin, inv_view, inv_proj, v, width, height, 0.0)
+    scal = _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0)
 
     sh = jnp.zeros((T, 128), i32)
     if shadows:

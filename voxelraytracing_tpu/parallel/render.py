@@ -217,3 +217,60 @@ def sharded_render_frame3(mesh, rg3, cam, materials_color, settings=None,
         **check_kw,
     )
     return jax.jit(fn)(*tables)
+
+
+def sharded_render_frame4(mesh, rg3, cam, materials_color, settings=None,
+                          rounds=64):
+    """Band-sharded fused v4 frame: like :func:`sharded_render_frame3`,
+    but each device's band marches through the self-serving kernel
+    (ops/wavefront4.py) — one launch per band per pass, in-kernel DMA
+    service, world tables replicated. Returns ``uint32[H, W]`` packed
+    RGBA8 sharded over rows."""
+    try:
+        from jax import shard_map
+        check_kw = {"check_vma": False}
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+        check_kw = {"check_rep": False}
+
+    from ..models.raytracer import RenderSettings
+    from ..ops.wavefront3 import color_lut_rows
+    from ..ops.wavefront4 import _render_frame4
+
+    s = settings or RenderSettings()
+    width, height = cam.proj_size
+    n_rays = mesh.shape["rays"]
+    assert height % (n_rays * 8) == 0, (height, n_rays)
+    band_h = height // n_rays
+    lut = color_lut_rows(materials_color)
+    wm = jnp.asarray(rg3.world_min, jnp.float32)
+    origin = jnp.asarray(cam.pos, jnp.float32) - wm
+    sun_local = jnp.asarray(s.sun_pos, jnp.float32) - wm
+    interpret = mesh.devices.reshape(-1)[0].platform != "tpu"
+    v = int(rg3.size_voxels)
+
+    tables = (rg3.gw_jump, rg3.gw_liq, rg3.wmeta, rg3.sw_meta, rg3.sw_solid,
+              rg3.sw_liq, rg3.sw_pid)
+
+    def band(*tabs):
+        y0 = jax.lax.axis_index("rays").astype(jnp.float32) * band_h
+        img, _ = _render_frame4(
+            *tabs, origin,
+            jnp.asarray(cam.inv_view, jnp.float32),
+            jnp.asarray(cam.inv_proj, jnp.float32), lut,
+            jnp.asarray(s.sky_color, jnp.float32), sun_local,
+            jnp.float32(s.sun_intensity), jnp.float32(s.shadow_ambient),
+            width=width, height=band_h, rounds=rounds,
+            sub_rounds=6, sub_steps=8, v=v, interpret=interpret,
+            shadows=bool(s.shadows), show_steps=False,
+            full_height=height, y0=y0,
+        )
+        return img
+
+    fn = shard_map(
+        band, mesh=mesh,
+        in_specs=tuple(P() for _ in tables),
+        out_specs=P("rays", None),
+        **check_kw,
+    )
+    return jax.jit(fn)(*tables)
