@@ -344,15 +344,16 @@ def _march_kernel4(
     # ---- in-kernel service --------------------------------------------
     def serve(t, active_i, cch, wctr, sctr):
         """Fetch up to W_INS window metas + S_INS subwindow rows for the
-        block's stalled rays. Batched: start every DMA, then wait+merge."""
+        block's stalled rays, window metas FIRST: subwindow stalls are
+        re-derived against the freshly merged window metas, so a ray cold
+        on both levels is fully served in ONE round (the meta row is 512 B
+        — its DMA wait costs ~nothing next to saving a whole round)."""
         wid_all, sid_all, wm_row, sm_row = cch
-        (_, _, _, _, _, _, w, g_jump, _, wslot, sw_jump, _, s, sslot) = \
-            classify(t, wid_all, sid_all, wm_row)
+        (_, _, _, _, _, _, w, g_jump, _, wslot, _, _, _, _) = \
+            classify(t, wid_all, sid_all, wm_row, need_sslot=False)
         alive = (active_i != 0) & (t < t_exit)
         wstall = alive & ~g_jump & (wslot < 0)
-        sstall = alive & ~g_jump & ~wstall & ~sw_jump & (sslot < 0)
         wkey = jnp.where(wstall, w, bigi)
-        skey = jnp.where(sstall, s, bigi)
 
         # distinct-min picks (scalar chains) + batched DMA starts
         wpicks = []
@@ -369,22 +370,8 @@ def _march_kernel4(
                 )
                 cp.start()
 
-        spicks = []
-        for j in range(s_ins):
-            sj = jnp.min(skey)
-            ok = sj < bigi
-            spicks.append((sj, ok))
-            skey = jnp.where(skey == sj, bigi, skey)
-
-            @pl.when(ok)
-            def _(sj=sj, j=j):
-                cp = pltpu.make_async_copy(
-                    swc_ref.at[sj], stage.at[j], ssem.at[j]
-                )
-                cp.start()
-
-        # waits + merges (FIFO slot rotation; invalid picks leave the
-        # slot's previous content in place)
+        # wait + merge window metas (FIFO slot rotation; invalid picks
+        # leave the slot's previous content in place)
         for j, (wj, ok) in enumerate(wpicks):
             slot = (wctr + j) % N_WC
 
@@ -404,6 +391,28 @@ def _march_kernel4(
             wid_all = jnp.where(
                 (wrow_iota == slot) & ok, wj, wid_all
             )
+
+        # re-classify against the merged window metas, then fetch
+        # subwindow content for every remaining stall
+        (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
+            classify(t, wid_all, sid_all, wm_row)
+        sstall = (
+            alive & ~g_jump & (wslot >= 0) & ~sw_jump & (sslot < 0)
+        )
+        skey = jnp.where(sstall, s, bigi)
+        spicks = []
+        for j in range(s_ins):
+            sj = jnp.min(skey)
+            ok = sj < bigi
+            spicks.append((sj, ok))
+            skey = jnp.where(skey == sj, bigi, skey)
+
+            @pl.when(ok)
+            def _(sj=sj, j=j):
+                cp = pltpu.make_async_copy(
+                    swc_ref.at[sj], stage.at[j], ssem.at[j]
+                )
+                cp.start()
 
         for j, (sj, ok) in enumerate(spicks):
             slot = (sctr + j) % N_SC
