@@ -69,7 +69,10 @@ from .wavefront3 import (
     _untile_hw,
 )
 
-S_INS = 8   # default subwindow fetches per in-kernel service round
+S_INS = 16  # default subwindow fetches per in-kernel service round
+#             (= N_SC: serve() only runs when NO ray can march, so a
+#             full-cache replacement evicts only rows nothing can use
+#             right now; measured 64->24 rounds to converge)
 W_INS = 2   # default window-meta fetches per in-kernel service round
 
 
@@ -567,6 +570,7 @@ def _march4(
     blk = _BLK
     f32 = jnp.float32
     per_ray = rays is not None
+    assert 1 <= s_ins <= N_SC and 1 <= w_ins <= N_WC, (s_ins, w_ins)
 
     def pspec(p):
         return pl.BlockSpec((p, blk, 128), lambda i: (0, i, 0),
@@ -849,7 +853,7 @@ def render_frame4(
     shadow_ambient=0.4,
     show_steps=False,
     rounds=64,
-    steps_per_round=48,
+    steps_per_round=128,
     step_cap=None,
     interpret=None,
     with_flags=False,
@@ -908,9 +912,11 @@ def trace_wavefront4(
     width=None,
     height=None,
     rounds=64,
-    steps_per_round=48,
+    steps_per_round=128,
     step_cap=None,
     interpret=None,
+    s_ins=S_INS,
+    w_ins=W_INS,
 ):
     """March one frame through the self-serving v4 kernel.
 
@@ -936,7 +942,7 @@ def trace_wavefront4(
         z, z, z, rounds, 0.0 if step_cap is None else step_cap,
         width=width, height=height,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
-        interpret=bool(interpret),
+        interpret=bool(interpret), s_ins=int(s_ins), w_ins=int(w_ins),
     )
 
 
@@ -949,9 +955,11 @@ def trace_wavefront4_rays(
     width,
     height,
     rounds=64,
-    steps_per_round=48,
+    steps_per_round=128,
     step_cap=None,
     interpret=None,
+    s_ins=S_INS,
+    w_ins=W_INS,
 ):
     """Per-ray (origin, direction) bundles through the v4 kernel — the
     secondary-ray path (shadows, bounces)."""
@@ -971,4 +979,5 @@ def trace_wavefront4_rays(
         width=width, height=height,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), per_ray=True,
+        s_ins=int(s_ins), w_ins=int(w_ins),
     )
