@@ -335,4 +335,112 @@ void dense_to_svo_batch(const uint16_t* grids, int64_t count, int32_t* out,
   }
 }
 
+// Per-row 256-bin histogram of uint8 ids: out[r*256 + id] = count.
+// The streaming render-grid builder's palette pass spends most of its
+// time in the equivalent np.bincount (ops/wavefront3.py
+// build_sw_palettes); this is the same computation at memory speed.
+void hist256_u8(const uint8_t* ids, int64_t rows, int64_t row_len,
+                int32_t* out) {
+  for (int64_t r = 0; r < rows; r++) {
+    int32_t* o = out + r * 256;
+    for (int i = 0; i < 256; i++) o[i] = 0;
+    const uint8_t* p = ids + r * row_len;
+    for (int64_t i = 0; i < row_len; i++) o[p[i]]++;
+  }
+}
+
+// Full per-subwindow render data for a batch of 16³ rows of render ids
+// (the streaming builder's hot path — world/render_grid.py
+// chunk_batch_sw_data). Semantics are pinned to the NumPy implementation
+// by tests/test_native.py: solid/liquid bit rows, brick-skip metas,
+// ≤16-entry solid-id palettes (count-desc id-asc eviction on overflow)
+// and the 4 palette-index bit planes.
+//
+// Layouts (all little-endian bit packing, voxel l = x + y*16 + z*256):
+//   sw_solid/sw_liq u32[rows,128], sw_meta u32[rows,8]
+//   (words 0-1 brick jump bits, 2-3 brick all-liquid bits, 4-7 palette
+//   pack-ids 4×u8/word), sw_pid u32[rows,4,128].
+void sw_rows_build(const uint8_t* rg, int64_t rows, int32_t n_liquid,
+                   const int32_t* to_pack, uint32_t* sw_solid,
+                   uint32_t* sw_liq, uint32_t* sw_meta, uint32_t* sw_pid,
+                   uint8_t* any_solid, uint8_t* all_liq, uint8_t* any_liq,
+                   int32_t* palettes_ok) {
+  *palettes_ok = 1;
+  for (int64_t r = 0; r < rows; r++) {
+    const uint8_t* p = rg + r * 4096;
+    uint32_t* sol = sw_solid + r * 128;
+    uint32_t* liq = sw_liq + r * 128;
+    uint32_t* meta = sw_meta + r * 8;
+    uint32_t* pid = sw_pid + r * 4 * 128;
+    for (int w = 0; w < 128; w++) { sol[w] = 0; liq[w] = 0; }
+    for (int j = 0; j < 4 * 128; j++) pid[j] = 0;
+    int32_t cnt[256] = {0};
+    bool anyS = false, anyL = false, allL = true;
+    uint64_t bAnyS = 0, bAnyL = 0, bAllL = ~0ull;
+    for (int l = 0; l < 4096; l++) {
+      uint8_t id = p[l];
+      bool s = id > n_liquid;
+      bool q = id >= 1 && id <= n_liquid;
+      int bidx = ((l >> 2) & 3) + (((l >> 6) & 3) << 2) + (((l >> 10) & 3) << 4);
+      if (s) {
+        sol[l >> 5] |= 1u << (l & 31);
+        cnt[id]++;
+        anyS = true;
+        bAnyS |= 1ull << bidx;
+      }
+      if (q) {
+        liq[l >> 5] |= 1u << (l & 31);
+        anyL = true;
+        bAnyL |= 1ull << bidx;
+      } else {
+        allL = false;
+        bAllL &= ~(1ull << bidx);
+      }
+    }
+    cnt[0] = 0;
+    int n_ids = 0;
+    for (int i = 1; i < 256; i++) n_ids += cnt[i] > 0;
+    uint8_t lut[256] = {0};
+    int32_t pal[16] = {0};
+    if (n_ids <= 16) {
+      int k = 0;
+      for (int i = 1; i < 256 && k < 16; i++)
+        if (cnt[i]) { lut[i] = (uint8_t)k; pal[k] = to_pack[i]; k++; }
+    } else {
+      *palettes_ok = 0;
+      bool taken[256] = {false};
+      for (int k = 0; k < 16; k++) {
+        int best = -1;
+        for (int i = 1; i < 256; i++)
+          if (cnt[i] && !taken[i] && (best < 0 || cnt[i] > cnt[best]))
+            best = i;
+        taken[best] = true;
+        lut[best] = (uint8_t)k;
+        pal[k] = to_pack[best];
+      }
+    }
+    for (int l = 0; l < 4096; l++) {
+      uint8_t k = lut[p[l]];
+      if (!k) continue;
+      uint32_t bit = 1u << (l & 31);
+      if (k & 1) pid[0 * 128 + (l >> 5)] |= bit;
+      if (k & 2) pid[1 * 128 + (l >> 5)] |= bit;
+      if (k & 4) pid[2 * 128 + (l >> 5)] |= bit;
+      if (k & 8) pid[3 * 128 + (l >> 5)] |= bit;
+    }
+    uint64_t bJump = ~bAnyS & (bAllL | ~bAnyL);
+    meta[0] = (uint32_t)bJump;
+    meta[1] = (uint32_t)(bJump >> 32);
+    meta[2] = (uint32_t)bAllL;
+    meta[3] = (uint32_t)(bAllL >> 32);
+    for (int j = 0; j < 4; j++)
+      meta[4 + j] = (uint32_t)pal[j * 4] | ((uint32_t)pal[j * 4 + 1] << 8) |
+                    ((uint32_t)pal[j * 4 + 2] << 16) |
+                    ((uint32_t)pal[j * 4 + 3] << 24);
+    any_solid[r] = anyS;
+    all_liq[r] = allL;
+    any_liq[r] = anyL;
+  }
+}
+
 }  // extern "C"

@@ -101,3 +101,48 @@ def test_uniform_chunk_is_single_node():
     grid = np.full((32, 32, 32), 7, dtype=np.uint16)
     nodes, n = native.dense_to_svo(grid)
     assert n == 1 and nodes[0] == nodefmt.leaf(7)
+
+
+def test_sw_rows_build_matches_numpy():
+    """The native streaming-builder pass equals the NumPy implementation
+    bit for bit — including the >16-solid-id palette-overflow policy."""
+    import numpy as np
+
+    from voxelraytracing_tpu.core import native
+    from voxelraytracing_tpu.world import render_grid as rgmod
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(11)
+    n_liquid = 3
+    # batch 1: moderate id diversity (≤16 solid ids per subwindow)
+    g1 = rng.integers(0, 12, (4, 32, 32, 32)).astype(np.uint8)
+    # batch 2: pathological diversity to force palette overflow
+    g2 = rng.integers(0, 200, (2, 32, 32, 32)).astype(np.uint8)
+    to_pack = np.arange(256, dtype=np.int32) % 251
+
+    for g in (g1, g2):
+        got = rgmod.chunk_batch_sw_data(g, n_liquid, to_pack)
+        # force the NumPy path by bypassing the native branch
+        b = g.shape[0]
+        solid = g > n_liquid
+        liq = (g >= 1) & (g <= n_liquid)
+
+        def sw_rows(m):
+            t = m.reshape(b, 2, 16, 2, 16, 2, 16)
+            t = t.transpose(0, 5, 3, 1, 6, 4, 2)
+            return t.reshape(b * 8, 4096)
+
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "available", lambda: False):
+            ref = rgmod.chunk_batch_sw_data(g, n_liquid, to_pack)
+
+        assert got["palettes_ok"] == ref["palettes_ok"]
+        for k in ("sw_solid", "sw_liq", "sw_meta", "sw_pid",
+                  "any_solid", "all_liq", "any_liq"):
+            np.testing.assert_array_equal(
+                np.asarray(got[k]), np.asarray(ref[k]), k)

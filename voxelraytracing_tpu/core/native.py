@@ -80,6 +80,15 @@ def _load():
         lib.dense_to_svo_batch.argtypes = [
             u16p, ctypes.c_int64, i32p, ctypes.c_int64, i64p,
         ]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.hist256_u8.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i32p,
+        ]
+        lib.sw_rows_build.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int32, i32p,
+            u32p, u32p, u32p, u32p, u8p, u8p, u8p, i32p,
+        ]
         _lib = lib
         return _lib
 
@@ -157,3 +166,45 @@ def dense_to_svo_batch(grids, cap=NODES_PER_CHUNK):
     if (counts < 0).any():
         raise MemoryError("chunk exceeds node capacity")
     return out, counts
+
+
+def hist256_u8(ids):
+    """``uint8[R, L] -> int32[R, 256]`` per-row histogram (the palette
+    pass's count step, ~50x np.bincount for 4096-voxel subwindow rows)."""
+    lib = _load()
+    ids = np.ascontiguousarray(ids, dtype=np.uint8)
+    r, length = ids.shape
+    out = np.empty((r, 256), dtype=np.int32)
+    lib.hist256_u8(ids.reshape(-1), r, length, out.reshape(-1))
+    return out
+
+
+def sw_rows_build(rg_rows, n_liquid, to_pack):
+    """Per-subwindow render data for ``uint8[R, 4096]`` rows of render ids
+    — the streaming builder's hot path at memory speed. Returns the same
+    dict as the NumPy path in world/render_grid.chunk_batch_sw_data
+    (pinned equal by tests/test_native.py)."""
+    lib = _load()
+    rg_rows = np.ascontiguousarray(rg_rows, dtype=np.uint8)
+    r = rg_rows.shape[0]
+    tp = np.zeros(256, np.int32)
+    tpa = np.asarray(to_pack, np.int32)
+    tp[: len(tpa)] = tpa[:256]
+    sw_solid = np.empty((r, 128), np.uint32)
+    sw_liq = np.empty((r, 128), np.uint32)
+    sw_meta = np.empty((r, 8), np.uint32)
+    sw_pid = np.empty((r, 4, 128), np.uint32)
+    any_solid = np.empty(r, np.uint8)
+    all_liq = np.empty(r, np.uint8)
+    any_liq = np.empty(r, np.uint8)
+    ok = np.zeros(1, np.int32)
+    lib.sw_rows_build(
+        rg_rows.reshape(-1), r, int(n_liquid), tp,
+        sw_solid.reshape(-1), sw_liq.reshape(-1), sw_meta.reshape(-1),
+        sw_pid.reshape(-1), any_solid, all_liq, any_liq, ok,
+    )
+    return dict(
+        sw_solid=sw_solid, sw_liq=sw_liq, sw_meta=sw_meta, sw_pid=sw_pid,
+        any_solid=any_solid.astype(bool), all_liq=all_liq.astype(bool),
+        any_liq=any_liq.astype(bool), palettes_ok=bool(ok[0]),
+    )

@@ -166,17 +166,22 @@ def build_sw_palettes(vol_rows, solid_rows, to_pack):
     """
     n_sw = vol_rows.shape[0]
     vr = vol_rows.astype(np.int64)
-    # per-(row, id) solid counts in one bincount (render ids are < 256);
-    # fully vectorized — the per-row np.unique loop cost ~0.4 s per
-    # 128-chunk batch and dominated config4's streaming update step.
-    # Non-solid voxels land in each row's id-0 column, which is dropped
-    # (id 0 = air is never solid); int64 keys — np.bincount's int32 path
-    # is ~28x slower. A boolean-mask fancy-index here costs ~0.5 s.
+    # per-(row, id) solid counts (render ids are < 256). Non-solid voxels
+    # land in each row's id-0 column, which is dropped (id 0 = air is
+    # never solid). Native row histogram when available (~60x the
+    # vectorized np.bincount, which dominated config4's streaming step);
+    # fallback: one flat bincount with int64 keys (np.bincount's int32
+    # path is ~28x slower; a boolean-mask fancy-index costs ~0.5 s).
     ids = np.where(solid_rows, vr, 0)
-    flat = (
-        np.arange(n_sw, dtype=np.int64)[:, None] * 256 + ids
-    ).ravel()
-    cnt = np.bincount(flat, minlength=n_sw * 256).reshape(n_sw, 256)
+    from ..core import native as _native
+
+    if _native.available():
+        cnt = _native.hist256_u8(ids.astype(np.uint8))
+    else:
+        flat = (
+            np.arange(n_sw, dtype=np.int64)[:, None] * 256 + ids
+        ).ravel()
+        cnt = np.bincount(flat, minlength=n_sw * 256).reshape(n_sw, 256)
     cnt[:, 0] = 0
     present = cnt > 0
     n_ids = present.sum(axis=1)

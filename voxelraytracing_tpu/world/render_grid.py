@@ -54,13 +54,22 @@ def chunk_batch_sw_data(rgrids, n_liquid, to_pack):
     """
     rg = np.asarray(rgrids)
     b = rg.shape[0]
-    solid = rg > n_liquid
-    liq = (rg >= 1) & (rg <= n_liquid)
 
     def sw_rows(m):
         t = m.reshape(b, 2, SW, 2, SW, 2, SW)        # (B, X,xl, Y,yl, Z,zl)
         t = t.transpose(0, 5, 3, 1, 6, 4, 2)         # (B, Z,Y,X, zl,yl,xl)
         return t.reshape(b * 8, SW * SW * SW)
+
+    from ..core import native
+
+    if native.available():
+        # one native pass over the rows: bit packing, brick metas,
+        # palettes and pid planes at memory speed (~15x the NumPy path;
+        # equality pinned by tests/test_native.py)
+        return native.sw_rows_build(sw_rows(rg), n_liquid, to_pack)
+
+    solid = rg > n_liquid
+    liq = (rg >= 1) & (rg <= n_liquid)
 
     solid_rows = sw_rows(solid)
     sw_solid = _pack_bits_np(solid_rows)
@@ -163,19 +172,18 @@ class RenderGrid3Builder:
                 "use the one-shot host builder, whose gather fallback has "
                 "real brick tables)"
             )
-        for bi, cell in enumerate(cells):
-            sids = self._sw_ids_for_cell(cell)
-            for k, sid in enumerate(sids):
-                r = bi * 8 + k
-                self.sw_solid[sid] = data["sw_solid"][r]
-                self.sw_liq[sid] = data["sw_liq"][r]
-                self.sw_meta[sid] = data["sw_meta"][r]
-                self.sw_pid[sid] = data["sw_pid"][r]
-                self.s_any_solid[sid] = data["any_solid"][r]
-                self.s_all_liq[sid] = data["all_liq"][r]
-                self.s_any_liq[sid] = data["any_liq"][r]
-                self._dirty_sw.add(sid)
-            cx, cy, cz = cell
+        sids = np.asarray(
+            [self._sw_ids_for_cell(c) for c in cells], np.int64
+        ).ravel()                                    # [B*8] row-aligned
+        self.sw_solid[sids] = data["sw_solid"]
+        self.sw_liq[sids] = data["sw_liq"]
+        self.sw_meta[sids] = data["sw_meta"]
+        self.sw_pid[sids] = data["sw_pid"]
+        self.s_any_solid[sids] = data["any_solid"]
+        self.s_all_liq[sids] = data["all_liq"]
+        self.s_any_liq[sids] = data["any_liq"]
+        self._dirty_sw.update(sids.tolist())
+        for cx, cy, cz in cells:
             self._dirty_w.add(
                 (cx // 2) + (cy // 2) * self.nw + (cz // 2) * self.nw ** 2
             )
