@@ -96,3 +96,69 @@ def test_logging_env_knob(monkeypatch):
     assert logger.level > logging.CRITICAL
     vlog._initialized = False
     vlog.init_logging("warning")
+
+
+def test_web_viewer_serves_frames_and_input(tmp_path_factory):
+    """The browser frontend streams engine frames and applies posted
+    input (the winit+egui shell analog, clientdesktop/src/main.rs)."""
+    import json
+    import os
+    import shutil
+    import time
+    import urllib.request
+
+    from voxelraytracing_tpu.engine import EngineApp
+    from voxelraytracing_tpu.resources.packs import builtin_respack_path
+    from voxelraytracing_tpu.tools import web_viewer
+
+    root = str(tmp_path_factory.mktemp("res"))
+    shutil.rmtree(root)
+    shutil.copytree(builtin_respack_path(), root)
+    with open(os.path.join(root, "worlds", "demo", "meta.ron"), "w") as f:
+        f.write('(name: "Flat", version: (0, 1), datapack: "terra", '
+                'stylepack: "terra", seed: 7,)')
+
+    app = EngineApp.host_singleplayer(
+        root, "Flat", port=61733, resolution=(128, 64), world_size_chunks=4,
+    )
+    httpd, state = web_viewer.serve(app, port=18765, max_fps=10.0)
+    base = "http://127.0.0.1:18765"
+    try:
+        html = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"/stream" in html
+
+        # wait for the pump to produce a frame
+        frame = None
+        for _ in range(100):
+            try:
+                r = urllib.request.urlopen(base + "/frame", timeout=10)
+                frame = r.read()
+                ctype = r.headers["Content-Type"]
+                break
+            except urllib.error.HTTPError:
+                time.sleep(0.2)
+        assert frame and ctype in ("image/jpeg", "image/bmp")
+
+        # input: hold forward + look; player position/rotation must change
+        s0 = json.loads(
+            urllib.request.urlopen(base + "/stats", timeout=10).read())
+        req = urllib.request.Request(
+            base + "/input",
+            data=json.dumps(
+                {"keys": {"forward": True}, "look": [120.0, 0.0]}
+            ).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=10)
+        urllib.request.urlopen(
+            urllib.request.Request(
+                base + "/act", data=json.dumps({"toggle_fly": True}).encode(),
+                method="POST"), timeout=10)
+        time.sleep(1.5)
+        s1 = json.loads(
+            urllib.request.urlopen(base + "/stats", timeout=10).read())
+        assert s1["pos"] != s0["pos"]
+    finally:
+        httpd.shutdown()
+        state.stop()
+        app.close()
