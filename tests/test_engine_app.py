@@ -223,3 +223,31 @@ def test_engine_fast_path_v4(flat_root):
         assert hits.mean() > 0.1
     finally:
         app.close()
+
+
+def test_engine_resize(flat_root):
+    """Live resolution change re-renders at the new size (the reference's
+    on_resize + result-texture recreation, main.rs:540-556)."""
+    import time
+
+    from voxelraytracing_tpu.engine import EngineApp
+
+    app = EngineApp.host_singleplayer(
+        flat_root, "Flat", port=61735, resolution=(128, 64),
+        world_size_chunks=4,
+    )
+    try:
+        for _ in range(600):
+            app.update(net_budget_s=0.05)
+            app.update_game()
+            if app.game.world.populated_count() >= 64:
+                break
+            time.sleep(0.1)
+        img = app.draw_frame()
+        assert img.shape == (64, 128, 3)
+        app.set_resolution(64, 32)
+        img2 = app.draw_frame()
+        assert img2.shape == (32, 64, 3)
+        assert not np.isnan(np.asarray(img2)).any()
+    finally:
+        app.close()

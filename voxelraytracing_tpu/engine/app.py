@@ -308,6 +308,16 @@ class EngineApp:
             proj_size=self.resolution,
         )
 
+    def set_resolution(self, width, height):
+        """Live render-resolution change (the reference's window-resize /
+        result-texture recreation, main.rs:540-556 + graphics/mod.rs
+        resize_result_texture). Render programs re-specialize on the new
+        shape at the next draw; the wavefront renderer's service cache is
+        size-keyed and resets itself."""
+        width, height = int(width), int(height)
+        assert width % 16 == 0 and height % 8 == 0, (width, height)
+        self.resolution = (width, height)
+
     def draw_frame(self):
         """Render one frame; returns ``f32[H, W, 3]`` (main.rs:398-609).
 
