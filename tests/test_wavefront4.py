@@ -212,3 +212,17 @@ def test_v4_low_round_budget_is_safe(scene):
             np.asarray(poor.voxel)[m], np.asarray(full.voxel)[m])
         np.testing.assert_allclose(
             np.asarray(poor.t)[m], np.asarray(full.t)[m], atol=1e-4)
+
+
+def test_v4_grouped_service_matches_chain(scene):
+    """The grouped (vectorized per-tile-group) service pick converges to
+    the exact same frame as the distinct-min chain."""
+    rg3, _, _ = scene
+    for cfg in CAMS[:2]:
+        cam = CamData.create(cfg[0], cfg[1], 70.0, (64, 32))
+        origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+        a = trace_wavefront4(rg3, origin, cam=cam, rounds=96)
+        b = trace_wavefront4(rg3, origin, cam=cam, rounds=96, grouped=True)
+        for f in ("hit", "voxel", "t", "water_dist", "norm"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), f)

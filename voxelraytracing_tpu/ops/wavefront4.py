@@ -78,7 +78,7 @@ W_INS = 2   # default window-meta fetches per in-kernel service round
 
 def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
-    s_ins, w_ins,
+    s_ins, w_ins, grouped=False,
 ):
     """One self-serving block program. Ref order:
 
@@ -404,18 +404,39 @@ def _march_kernel4(
         )
         skey = jnp.where(sstall, s, bigi)
         spicks = []
-        for j in range(s_ins):
-            sj = jnp.min(skey)
-            ok = sj < bigi
-            spicks.append((sj, ok))
-            skey = jnp.where(skey == sj, bigi, skey)
+        if grouped and blk % s_ins == 0:
+            # grouped pick: one vectorized per-tile-group min instead of
+            # s_ins sequential whole-array reductions — spatially fair
+            # (adjacent tiles share a group) and ~s_ins× cheaper to pick;
+            # duplicate ids across groups waste the odd slot, which the
+            # next round's re-pick absorbs.
+            gmin = jnp.min(
+                skey.reshape(s_ins, (blk // s_ins) * 128), axis=1
+            )                                             # [s_ins]
+            for j in range(s_ins):
+                sj = gmin[j]
+                ok = sj < bigi
+                spicks.append((sj, ok))
 
-            @pl.when(ok)
-            def _(sj=sj, j=j):
-                cp = pltpu.make_async_copy(
-                    swc_ref.at[sj], stage.at[j], ssem.at[j]
-                )
-                cp.start()
+                @pl.when(ok)
+                def _(sj=sj, j=j):
+                    cp = pltpu.make_async_copy(
+                        swc_ref.at[sj], stage.at[j], ssem.at[j]
+                    )
+                    cp.start()
+        else:
+            for j in range(s_ins):
+                sj = jnp.min(skey)
+                ok = sj < bigi
+                spicks.append((sj, ok))
+                skey = jnp.where(skey == sj, bigi, skey)
+
+                @pl.when(ok)
+                def _(sj=sj, j=j):
+                    cp = pltpu.make_async_copy(
+                        swc_ref.at[sj], stage.at[j], ssem.at[j]
+                    )
+                    cp.start()
 
         for j, (sj, ok) in enumerate(spicks):
             slot = (sctr + j) % N_SC
@@ -562,7 +583,7 @@ def _march_kernel4(
 def _march4(
     scal, gw2, sw_cont, wmeta_pad, state,
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
-    s_ins=S_INS, w_ins=W_INS,
+    s_ins=S_INS, w_ins=W_INS, grouped=False,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state'."""
@@ -592,7 +613,7 @@ def _march4(
     kern = partial(
         _march_kernel4, sub_rounds=sub_rounds, sub_steps=sub_steps,
         rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
-        s_ins=s_ins, w_ins=w_ins,
+        s_ins=s_ins, w_ins=w_ins, grouped=grouped,
     )
     u32 = jnp.uint32
     return pl.pallas_call(
@@ -622,7 +643,7 @@ def _march4(
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
-        "s_ins", "w_ins",
+        "s_ins", "w_ins", "grouped",
     ),
 )
 def _trace_frame4(
@@ -631,7 +652,7 @@ def _trace_frame4(
     rounds=64, step_cap=None,
     *, width, height, sub_rounds, sub_steps, v, interpret,
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
-    s_ins=S_INS, w_ins=W_INS,
+    s_ins=S_INS, w_ins=W_INS, grouped=False,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel)."""
@@ -713,7 +734,7 @@ def _trace_frame4(
         scal, gw2, sw_cont, wmeta_pad, state0,
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
-        s_ins=s_ins, w_ins=w_ins,
+        s_ins=s_ins, w_ins=w_ins, grouped=grouped,
     )
 
     carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
@@ -917,6 +938,7 @@ def trace_wavefront4(
     interpret=None,
     s_ins=S_INS,
     w_ins=W_INS,
+    grouped=False,
 ):
     """March one frame through the self-serving v4 kernel.
 
@@ -943,6 +965,7 @@ def trace_wavefront4(
         width=width, height=height,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), s_ins=int(s_ins), w_ins=int(w_ins),
+        grouped=bool(grouped),
     )
 
 
