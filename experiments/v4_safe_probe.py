@@ -102,6 +102,41 @@ def main():
         print(f"# distinct-from-corner frac: {nz:.3f}", flush=True)
         return 0
 
+    if stage == "sweep":
+        # knob sweep at 1080p: service width x sub-round budget x pick
+        # strategy. One process; ~6 compiles (budget the timeout).
+        from voxelraytracing_tpu.ops.wavefront3 import color_lut_rows
+        from voxelraytracing_tpu.ops.camera import generate_rays
+        from voxelraytracing_tpu.ops.wavefront4 import trace_wavefront4
+
+        rgrid, mats, lut = build(8)
+        cam = cam_for(rgrid, 1920, 1080)
+        origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+        for (si, spr, grp) in [
+            (16, 128, False), (16, 128, True),
+            (8, 128, False), (16, 48, False),
+            (16, 256, False), (8, 256, True),
+        ]:
+            def frame():
+                return trace_wavefront4(
+                    rgrid, origin, cam=cam, rounds=96, step_cap=500,
+                    steps_per_round=spr, s_ins=si, grouped=grp,
+                    interpret=False,
+                )
+            r = frame()
+            jax.block_until_ready(r.t)
+            t0 = time.time()
+            n = 0
+            while time.time() - t0 < 4.0:
+                r = frame()
+                jax.block_until_ready(r.t)
+                n += 1
+            dt = (time.time() - t0) / n
+            print(f"# s_ins={si} spr={spr} grouped={grp}: "
+                  f"{1920*1080/dt/1e6:.1f} Mrays/s ({dt*1e3:.1f} ms)",
+                  flush=True)
+        return 0
+
     if stage == "time":
         rgrid, mats, lut = build(8)
         cam = cam_for(rgrid, 1920, 1080)
