@@ -20,6 +20,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles the same CPU-interpret
+# kernels every run (~17 min cold); cached executables cut that several-
+# fold. CPU-only — bench.py deliberately avoids a persistent cache on the
+# device backend (a degraded session's executables must not be reused).
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache",
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 
