@@ -30,6 +30,7 @@ _cache_dir = os.path.join(
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+os.environ["VOXELTPU_COMPCACHE"] = _cache_dir  # subprocess servers too
 
 import numpy as np
 import pytest

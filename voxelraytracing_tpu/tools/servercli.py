@@ -34,6 +34,16 @@ def _apply_platform_env():
         import jax
 
         jax.config.update("jax_platforms", plat)
+    # CPU-only persistent compile cache (VOXELTPU_COMPCACHE=dir): a fresh
+    # server process recompiles the worldgen pipeline (~30-60 s) without
+    # it. Never applied to device backends — a degraded TPU session's
+    # executables must not be reused (docs/TPU_NOTES.md).
+    cache = os.environ.get("VOXELTPU_COMPCACHE")
+    if cache and plat == "cpu":
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 _apply_platform_env()
