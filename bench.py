@@ -67,7 +67,7 @@ def main():
                 }
             )
         )
-        return 0
+        return 1  # nonzero: callers keying on exit status must see failure
 
     import jax
     import jax.numpy as jnp

@@ -105,7 +105,6 @@ def main():
     if stage == "sweep":
         # knob sweep at 1080p: service width x sub-round budget x pick
         # strategy. One process; ~6 compiles (budget the timeout).
-        from voxelraytracing_tpu.ops.wavefront3 import color_lut_rows
         from voxelraytracing_tpu.ops.camera import generate_rays
         from voxelraytracing_tpu.ops.wavefront4 import trace_wavefront4
 

@@ -124,20 +124,11 @@ def test_sw_rows_build_matches_numpy():
     g2 = rng.integers(0, 200, (2, 32, 32, 32)).astype(np.uint8)
     to_pack = np.arange(256, dtype=np.int32) % 251
 
+    import unittest.mock as mock
+
     for g in (g1, g2):
         got = rgmod.chunk_batch_sw_data(g, n_liquid, to_pack)
-        # force the NumPy path by bypassing the native branch
-        b = g.shape[0]
-        solid = g > n_liquid
-        liq = (g >= 1) & (g <= n_liquid)
-
-        def sw_rows(m):
-            t = m.reshape(b, 2, 16, 2, 16, 2, 16)
-            t = t.transpose(0, 5, 3, 1, 6, 4, 2)
-            return t.reshape(b * 8, 4096)
-
-        import unittest.mock as mock
-
+        # reference: the NumPy path, reached by bypassing the native branch
         with mock.patch.object(native, "available", lambda: False):
             ref = rgmod.chunk_batch_sw_data(g, n_liquid, to_pack)
 

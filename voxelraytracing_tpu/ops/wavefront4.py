@@ -404,7 +404,7 @@ def _march_kernel4(
         )
         skey = jnp.where(sstall, s, bigi)
         spicks = []
-        if grouped and blk % s_ins == 0:
+        if grouped:
             # grouped pick: one vectorized per-tile-group min instead of
             # s_ins sequential whole-array reductions — spatially fair
             # (adjacent tiles share a group) and ~s_ins× cheaper to pick;
@@ -415,28 +415,20 @@ def _march_kernel4(
             )                                             # [s_ins]
             for j in range(s_ins):
                 sj = gmin[j]
-                ok = sj < bigi
-                spicks.append((sj, ok))
-
-                @pl.when(ok)
-                def _(sj=sj, j=j):
-                    cp = pltpu.make_async_copy(
-                        swc_ref.at[sj], stage.at[j], ssem.at[j]
-                    )
-                    cp.start()
+                spicks.append((sj, sj < bigi))
         else:
             for j in range(s_ins):
                 sj = jnp.min(skey)
-                ok = sj < bigi
-                spicks.append((sj, ok))
+                spicks.append((sj, sj < bigi))
                 skey = jnp.where(skey == sj, bigi, skey)
+        for j, (sj, ok) in enumerate(spicks):
 
-                @pl.when(ok)
-                def _(sj=sj, j=j):
-                    cp = pltpu.make_async_copy(
-                        swc_ref.at[sj], stage.at[j], ssem.at[j]
-                    )
-                    cp.start()
+            @pl.when(ok)
+            def _(sj=sj, j=j):
+                cp = pltpu.make_async_copy(
+                    swc_ref.at[sj], stage.at[j], ssem.at[j]
+                )
+                cp.start()
 
         for j, (sj, ok) in enumerate(spicks):
             slot = (sctr + j) % N_SC
@@ -592,6 +584,9 @@ def _march4(
     f32 = jnp.float32
     per_ray = rays is not None
     assert 1 <= s_ins <= N_SC and 1 <= w_ins <= N_WC, (s_ins, w_ins)
+    assert not grouped or blk % s_ins == 0, (
+        f"grouped picks need s_ins ({s_ins}) to divide the block's "
+        f"{blk} tiles")
 
     def pspec(p):
         return pl.BlockSpec((p, blk, 128), lambda i: (0, i, 0),

@@ -204,7 +204,7 @@ def sharded_render_frame3(mesh, rg3, cam, materials_color, settings=None,
             jnp.asarray(s.sky_color, jnp.float32), sun_local,
             jnp.float32(s.sun_intensity), jnp.float32(s.shadow_ambient),
             width=width, height=band_h, rounds=rounds,
-            sub_rounds=6, sub_steps=8, v=v, interpret=interpret,
+            sub_rounds=16, sub_steps=8, v=v, interpret=interpret,
             shadows=bool(s.shadows), show_steps=False,
             full_height=height, y0=y0,
         )
@@ -261,7 +261,7 @@ def sharded_render_frame4(mesh, rg3, cam, materials_color, settings=None,
             jnp.asarray(s.sky_color, jnp.float32), sun_local,
             jnp.float32(s.sun_intensity), jnp.float32(s.shadow_ambient),
             width=width, height=band_h, rounds=rounds,
-            sub_rounds=6, sub_steps=8, v=v, interpret=interpret,
+            sub_rounds=16, sub_steps=8, v=v, interpret=interpret,
             shadows=bool(s.shadows), show_steps=False,
             full_height=height, y0=y0,
         )

@@ -43,7 +43,7 @@ const keys = {};
 const map = {w:'forward', a:'left', s:'backward', d:'right',
              ' ':'jump', shift:'sprint'};
 let look = [0, 0];
-onkeydown = e => { const k = e.key.toLowerCase();
+onkeydown = e => { if (e.repeat) return; const k = e.key.toLowerCase();
   if (k === 'f') post('/act', {toggle_fly: true});
   else if (k === 'b') post('/act', {break_voxel: true});
   else if (k === 'p') post('/act', {place_voxel: true});
@@ -110,6 +110,7 @@ class ViewerState:
         self.ctype = "image/jpeg"
         self.stats = {}
         self.actions = []
+        self.last_input = 0.0   # staleness: keys expire without /input
         self.max_fps = max_fps
         self.running = True
         self.thread = threading.Thread(target=self._loop, daemon=True)
@@ -119,6 +120,10 @@ class ViewerState:
         while self.running:
             t0 = time.monotonic()
             with self.lock:
+                # a closed tab stops POSTing /input; expire held keys so
+                # the player doesn't walk forever on a dead connection
+                if t0 - self.last_input > 0.5:
+                    self.keys = {}
                 keys = dict(self.keys)
                 lx, ly = self.look
                 self.look = [0.0, 0.0]
@@ -169,6 +174,10 @@ class ViewerState:
 
     def stop(self):
         self.running = False
+        # join before the caller closes the app: a pump iteration may be
+        # mid draw_frame()/update() and must not race the teardown
+        if self.thread.is_alive():
+            self.thread.join(timeout=30.0)
 
 
 def make_handler(state: ViewerState):
@@ -239,6 +248,7 @@ def make_handler(state: ViewerState):
                 body = {}
             if self.path == "/input":
                 with state.lock:
+                    state.last_input = time.monotonic()
                     state.keys = {
                         k: bool(v)
                         for k, v in (body.get("keys") or {}).items()
@@ -282,12 +292,10 @@ def main(argv=None):
     a = ap.parse_args(argv)
     w, h = (int(x) for x in a.resolution.split("x"))
 
-    from ..engine.ui import UiState
     from ..resources.packs import Resources
 
     res = Resources.load_from(a.resource_root)
-    world = a.world or (next(iter(res.worlds), None) and
-                        list(res.worlds)[0])
+    world = a.world or (res.worlds[0].name if res.worlds else None)
     if world is None:
         print("no worlds found; create one with the terminal client first")
         return 1
