@@ -147,7 +147,9 @@ class ServerWorld:
                     from_disk.append(p)
                     missing.remove(p)
         if missing:
-            grids, feats = self.gen.generate_chunks(np.asarray(missing))
+            grids, feats = self.gen.generate_chunks(
+                np.asarray(missing), as_u8=True
+            )
             grids = np.asarray(grids)
             for i, p in enumerate(missing):
                 self.insert_chunk(p, ServerChunk(grids[i]))

@@ -48,21 +48,38 @@ class WorldGen:
     def find_land_near(self, x, z):
         return self.terrain.find_land_near(x, z)
 
-    def generate_chunks(self, chunk_positions):
+    def max_voxel_id(self):
+        """Largest voxel id the terrain pass can emit (layers + earth +
+        water; features are stamped host-side later)."""
+        ids = [self.preset.earth, self.preset.water, 0]
+        for b in self.preset.biomes:
+            ids.extend(b.layers)
+        return max(int(v) for v in ids)
+
+    def generate_chunks(self, chunk_positions, as_u8=False):
         """Generate a batch of chunks.
 
         Args:
           chunk_positions: int sequence/array ``[B, 3]`` of chunk coords.
+          as_u8: cast the grids to ``uint8`` ON DEVICE before returning —
+            4× less device→host traffic for callers that immediately
+            materialize them (the streaming chunk builder; D2H bandwidth
+            is the config4a bottleneck on the TPU runtime). Only honored
+            when every voxel id in the preset fits a byte.
 
         Returns:
           grids: device ``int32[B, 32, 32, 32]`` dense voxel grids
-            (pre-feature).
+            (pre-feature), or ``uint8`` under ``as_u8``.
           features: list over batch of lists of :class:`BuiltFeature` —
             features rooted in each chunk (they may extend into neighbors;
             deferred placement is the server world's job, SURVEY §2.2).
         """
         chunk_positions = np.asarray(chunk_positions, np.int64).reshape(-1, 3)
         grids, aux = self.terrain.generate_grids(chunk_positions)
+        if as_u8 and self.max_voxel_id() <= 0xFF:
+            import jax.numpy as jnp
+
+            grids = grids.astype(jnp.uint8)
         aux_np = {k: np.asarray(v) for k, v in aux.items()}
         feats = []
         for i, cpos in enumerate(chunk_positions):
