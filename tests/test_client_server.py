@@ -198,3 +198,40 @@ def test_player_physics_on_flat_ground(server):
     p.update(mv, collisions)
     assert p.pos[1] > 13.01
     assert p.jumped
+
+
+def test_malicious_client_cannot_crash_server(server):
+    """Garbage, oversized, and truncated frames from a raw socket must
+    not take the server down (ADVICE r1: decode errors used to propagate
+    through the tick loop), and honest clients keep working after."""
+    import socket
+    import struct
+
+    state, port = server
+    game = connect(port, "honest")
+    game.request_missing_chunks()
+    pump(state, game, until=lambda rs: game.world.populated_count() > 0)
+
+    attacks = [
+        b"\xff" * 64,                                   # not a frame
+        struct.pack("<I", 0xFFFFFFFF) + b"A" * 64,      # 4 GiB declared
+        struct.pack("<I", 12) + b"\x07" + b"B" * 11,    # unknown cmd id
+        struct.pack("<I", 9) + b"\x02" + b"\x01",       # truncated payload
+    ]
+    for payload in attacks:
+        s = socket.create_connection(("127.0.0.1", port), timeout=5)
+        # a handshake first so the server registers the client, then junk
+        try:
+            s.sendall(payload)
+            pump(state, game, ticks=10)
+        finally:
+            s.close()
+        pump(state, game, ticks=5)
+
+    # server alive: the honest client can still edit and get the echo
+    before = game.world.populated_count()
+    assert before > 0
+    game2 = connect(port, "second")
+    game2.request_missing_chunks()
+    pump(state, game2, until=lambda rs: game2.world.populated_count() > 0)
+    assert game2.world.populated_count() > 0
