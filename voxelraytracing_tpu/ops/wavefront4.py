@@ -152,6 +152,10 @@ def _march_kernel4(
         wd = jnp.take_along_axis(row, jnp.clip(word_i, 0, 127), axis=1)
         return ((wd >> sh.astype(u32)) & 1).astype(i32)
 
+    def pair_of(row, word_i, sh):
+        wd = jnp.take_along_axis(row, jnp.clip(word_i, 0, 127), axis=1)
+        return ((wd >> sh.astype(u32)) & 3).astype(i32)
+
     # ---- cache state carried through the round loop -------------------
     # wid_all/sid_all: [N,128] i32, row k = slot k's id broadcast across
     # lanes (update = one 2D where; classify reads row k statically — no
@@ -184,10 +188,13 @@ def _march_kernel4(
         s_loc = (
             ((vx >> 4) & 3) + ((vy >> 4) & 3) * 4 + ((vz >> 4) & 3) * 16
         )
-        mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 5)
+        # interleaved meta (see _interleave_meta): bit 2i jump, 2i+1 liq
+        # of subwindow i — one gather for both flags
+        mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 4)
         wm_b = jnp.broadcast_to(wm_row, (blk, 128))
-        sw_jump = bit_of(wm_b, mbase, s_loc & 31) != 0
-        sw_liq = bit_of(wm_b, mbase + 2, s_loc & 31) != 0
+        sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2)
+        sw_jump = (sw_pair & 1) != 0
+        sw_liq = (sw_pair & 2) != 0
 
         s = (vx >> 4) + (vy >> 4) * ns + (vz >> 4) * ns * ns
         sslot = jnp.full((blk, 128), -1, i32)
@@ -261,10 +268,11 @@ def _march_kernel4(
 
         at_ts = s == tsid
         b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
-        bbase = tslot * 8 + (b_loc >> 5)
+        bbase = tslot * 8 + (b_loc >> 4)
         sm_b = jnp.broadcast_to(sm_row, (blk, 128))
-        br_jump = bit_of(sm_b, bbase, b_loc & 31) != 0
-        br_liq = bit_of(sm_b, bbase + 2, b_loc & 31) != 0
+        br_pair = pair_of(sm_b, bbase, (b_loc & 15) * 2)
+        br_jump = (br_pair & 1) != 0
+        br_liq = (br_pair & 2) != 0
 
         l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
         vsolid = bit_of(solid_row, l >> 5, l & 31) != 0
@@ -676,19 +684,47 @@ def _trace_frame4(
     )
 
     gw2 = jnp.concatenate([gw_jump, gw_liq], axis=0)       # [2,128]
+
+    def _interleave_meta(m):
+        """Meta words 0-1 (jump bits) + 2-3 (liquid bits) -> words 0-3
+        with bit 2i = jump_i, 2i+1 = liq_i: ONE kernel gather yields both
+        flags (the v4-only wire layout; words 4+ pass through)."""
+        u32 = jnp.uint32
+
+        def spread16(v):
+            v = v.astype(u32) & u32(0xFFFF)
+            v = (v | (v << 8)) & u32(0x00FF00FF)
+            v = (v | (v << 4)) & u32(0x0F0F0F0F)
+            v = (v | (v << 2)) & u32(0x33333333)
+            return (v | (v << 1)) & u32(0x55555555)
+
+        j, l = m[:, 0:2], m[:, 2:4]
+        out = jnp.stack(
+            [
+                spread16(j[:, 0]) | (spread16(l[:, 0]) << 1),
+                spread16(j[:, 0] >> 16) | (spread16(l[:, 0] >> 16) << 1),
+                spread16(j[:, 1]) | (spread16(l[:, 1]) << 1),
+                spread16(j[:, 1] >> 16) | (spread16(l[:, 1] >> 16) << 1),
+            ],
+            axis=1,
+        )
+        return jnp.concatenate([out, m[:, 4:]], axis=1)
+
+    sw_meta_i = _interleave_meta(sw_meta)
     sw_cont = jnp.concatenate(
         [
             sw_solid[:, None, :],
             sw_liq[:, None, :],
             sw_pid,
-            jnp.pad(sw_meta, ((0, 0), (0, 128 - sw_meta.shape[1])))[
-                :, None, :
-            ],
+            jnp.pad(
+                sw_meta_i, ((0, 0), (0, 128 - sw_meta_i.shape[1]))
+            )[:, None, :],
         ],
         axis=1,
     )
+    wmeta_i = _interleave_meta(wmeta)
     wmeta_pad = jnp.pad(
-        wmeta, ((0, 0), (0, 128 - wmeta.shape[1]))
+        wmeta_i, ((0, 0), (0, 128 - wmeta_i.shape[1]))
     )[:, None, :]
 
     shape = (T, 128)
