@@ -251,3 +251,32 @@ def test_engine_resize(flat_root):
         assert not np.isnan(np.asarray(img2)).any()
     finally:
         app.close()
+
+
+def test_engine_oversized_window_falls_back(flat_root):
+    """Resizing past the fused path's 32-chunk global-plane limit must
+    degrade to the SVO tracer, not crash (reference slider max is 80,
+    ui.rs:163-168)."""
+    import time
+
+    from voxelraytracing_tpu.engine import EngineApp
+
+    app = EngineApp.host_singleplayer(
+        flat_root, "Flat", port=61737, resolution=(64, 32),
+        world_size_chunks=4, fast_path=True,
+    )
+    try:
+        for _ in range(600):
+            app.update(net_budget_s=0.05)
+            app.update_game()
+            if app.game.world.populated_count() >= 64:
+                break
+            time.sleep(0.1)
+        app.resize_world(34)
+        img = app.draw_frame()  # SVO fallback
+        assert img.shape == (32, 64, 3)
+        app.resize_world(4)
+        img2 = app.draw_frame()  # fast path again
+        assert img2.shape == (32, 64, 3)
+    finally:
+        app.close()

@@ -325,7 +325,8 @@ class EngineApp:
         shader does (screen_shader.wgsl:43-65); style comes from the UI's
         Visuals page state when attached (ui.rs crosshair editor).
         """
-        if self.fast_path:
+        if self.fast_path and not getattr(self, "_fast_path_suspended",
+                                          False):
             img, rs = self._draw_fast()
         else:
             img, rs = self.tracer.render(
@@ -430,9 +431,23 @@ class EngineApp:
         )
 
     def resize_world(self, size_in_chunks):
-        """Live window resize, 10..80 (ui.rs:163-168)."""
+        """Live window resize, 10..80 (ui.rs:163-168). Beyond the fast
+        path's 32³-chunk global-plane capacity (render_grid.py) frames
+        fall back to the SVO tracer; shrinking back re-enables it."""
         size_in_chunks = max(2, min(80, int(size_in_chunks)))
         self.game.world.resize(size_in_chunks)
+        if self.fast_path and size_in_chunks > 32:
+            from ..utils.log import get_logger
+
+            get_logger(__name__).warning(
+                "window %d > 32 chunks exceeds the fused path's global "
+                "plane; rendering falls back to the SVO tracer",
+                size_in_chunks,
+            )
+            self._fast_path_suspended = True
+        elif getattr(self, "_fast_path_suspended", False) \
+                and size_in_chunks <= 32:
+            self._fast_path_suspended = False
         self.game.request_missing_chunks()
 
     def debug_overlay(self):
