@@ -114,11 +114,13 @@ def main():
         from voxelraytracing_tpu.ops.wavefront4 import render_frame4
 
         def frame(tok):
-            # v4 serves itself in-kernel: no cache token, rounds is only
-            # a safety bound (converged blocks exit immediately)
+            # v4 warm-start token: last frame's per-block cache IDS;
+            # the kernel prefetches them in one DMA wave and skips most
+            # cold serve rounds (rounds stays a safety bound)
             return render_frame4(
-                rgrid, cam, lut, rounds=64, step_cap=STEP_CAP
-            ), tok
+                rgrid, cam, lut, rounds=64, step_cap=STEP_CAP,
+                cache=tok, return_cache=True,
+            )
     else:
         def frame(tok):
             return render_frame3(

@@ -226,3 +226,94 @@ def test_v4_grouped_service_matches_chain(scene):
         for f in ("hit", "voxel", "t", "water_dist", "norm"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), f)
+
+
+def test_v4_warm_cache_matches_cold(scene):
+    """A frame warm-started from another frame's cache-id token equals
+    the cold trace exactly (ids only; contents re-fetched in kernel)."""
+    from voxelraytracing_tpu.ops.wavefront4 import trace_wavefront4 as tw4
+
+    rg3, _, _ = scene
+    cam_a = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    cam_b = CamData.create((30.0, 52.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    origin, _ = generate_rays(cam_a, np.zeros(3, np.int32))
+    _, tok = tw4(rg3, origin, cam=cam_a, rounds=96, return_cache=True)
+    assert np.asarray(tok).shape[1:] == (2, 128)
+    warm, tok2 = tw4(rg3, origin, cam=cam_b, rounds=96, cache=tok,
+                     return_cache=True)
+    cold = tw4(rg3, origin, cam=cam_b, rounds=96)
+    for f in ("hit", "voxel", "t", "water_dist", "norm"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(warm, f)), np.asarray(getattr(cold, f)), f)
+    # an all-invalid token reproduces the cold trace too
+    empty = np.full_like(np.asarray(tok), -1)
+    e = tw4(rg3, origin, cam=cam_b, rounds=96, cache=empty)
+    np.testing.assert_array_equal(np.asarray(e.hit), np.asarray(cold.hit))
+    np.testing.assert_array_equal(np.asarray(e.t), np.asarray(cold.t))
+
+
+def test_v4_warm_cache_sees_world_edits(scene):
+    """Tokens carry only IDS: after a world rebuild a warm frame renders
+    the NEW world."""
+    from voxelraytracing_tpu.ops.wavefront4 import trace_wavefront4 as tw4
+
+    rg3, _, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+    _, tok = tw4(rg3, origin, cam=cam, rounds=96, return_cache=True)
+
+    w = 4
+    perm = jnp.asarray(noise.make_permutation(7))
+    grids, cells = demo_chunk_grids(
+        perm, jnp.zeros(3, jnp.int32), w,
+        jnp.float32(w * 32 * 0.30), jnp.int32(int(w * 32 * 0.18)),
+    )
+    rg_edit = build_render_grid3_host(
+        np.asarray(grids), np.asarray(cells), np.zeros(3, np.int32), w, mats
+    )
+    warm = tw4(rg_edit, origin, cam=cam, rounds=96, cache=tok)
+    cold = tw4(rg_edit, origin, cam=cam, rounds=96)
+    for f in ("hit", "voxel", "t"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(warm, f)), np.asarray(getattr(cold, f)), f)
+
+
+def test_v4_warm_cache_converges_faster(scene):
+    """The token's point: at a starved round budget, the warm frame is
+    strictly closer to converged than the cold frame."""
+    from voxelraytracing_tpu.ops.wavefront4 import trace_wavefront4 as tw4
+
+    rg3, _, _ = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+    full = tw4(rg3, origin, cam=cam, rounds=96)
+    _, tok = tw4(rg3, origin, cam=cam, rounds=96, return_cache=True)
+    fh = np.asarray(full.hit)
+    warm = tw4(rg3, origin, cam=cam, rounds=2, cache=tok)
+    cold = tw4(rg3, origin, cam=cam, rounds=2)
+    warm_m = (np.asarray(warm.hit) != fh).mean()
+    cold_m = (np.asarray(cold.hit) != fh).mean()
+    assert warm_m < cold_m or (warm_m == 0.0 and cold_m == 0.0)
+
+
+def test_v4_render_frame_warm_matches_cold(scene):
+    """Warm fused frames (shadows on, token carried) are pixel-identical
+    to cold fused frames."""
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+    rg3, _, mats = scene
+    cam_a = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    cam_b = CamData.create((30.0, 52.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), shadows=True, step_cap=500,
+              rounds=96)
+    _, tok = render_frame4(rg3, cam_a, mats.color, return_cache=True, **kw)
+    warm, tok2 = render_frame4(rg3, cam_b, mats.color, cache=tok,
+                               return_cache=True, **kw)
+    cold = render_frame4(rg3, cam_b, mats.color, **kw)
+    np.testing.assert_array_equal(np.asarray(warm), np.asarray(cold))

@@ -254,7 +254,12 @@ class WavefrontRenderer:
         if self.tracer == "v4":
             from ..ops.wavefront4 import render_frame4
 
-            return render_frame4(
+            cache = (
+                self._v3_cache
+                if self._v3_cache_size == ("v4",) + tuple(cam.proj_size)
+                else None
+            )
+            img, tok = render_frame4(
                 rgrid3, cam, self.materials.color,
                 sky_color=s.sky_color, sun_pos=s.sun_pos,
                 sun_intensity=s.sun_intensity, shadows=s.shadows,
@@ -262,7 +267,11 @@ class WavefrontRenderer:
                 show_steps=self.show_step_count,
                 steps_per_round=self.v3_steps_per_round,
                 step_cap=self.v3_step_cap,
+                cache=cache, return_cache=True,
             )
+            self._v3_cache = tok
+            self._v3_cache_size = ("v4",) + tuple(cam.proj_size)
+            return img
         cache = (
             self._v3_cache
             if self._v3_cache_size == tuple(cam.proj_size)

@@ -78,7 +78,7 @@ W_INS = 2   # default window-meta fetches per in-kernel service round
 
 def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
-    s_ins, w_ins, grouped=False,
+    s_ins, w_ins, grouped=False, warm=False,
 ):
     """One self-serving block program. Ref order:
 
@@ -100,7 +100,11 @@ def _march_kernel4(
     swc_ref = refs.pop(0)
     wmp_ref = refs.pop(0)
     rays_ref = refs.pop(0) if per_ray else None
-    st_ref, st_o, stage, wstage, ssem, wsem, csol, cliq, cpid = refs
+    warm_ref = refs.pop(0) if warm else None
+    st_ref = refs.pop(0)
+    st_o = refs.pop(0)
+    ids_o = refs.pop(0) if warm else None
+    stage, wstage, ssem, wsem, csol, cliq, cpid = refs
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     v = scal_ref[3]
     bigi = jnp.int32(_BIGI)
@@ -512,10 +516,81 @@ def _march_kernel4(
     @pl.when(jnp.logical_not(any_active))
     def _():
         st_o[:] = st_ref[:]
+        if warm:
+            ids_o[:] = warm_ref[:]   # keep the caller's token for the block
 
     @pl.when(any_active)
     def _():
         c0 = (ts0, act0, hit0, ax0, vox0, wa0, we0, stp0)
+
+        # ---- warm start: prefetch last frame's cache IDS (contents are
+        # always re-fetched, so world edits are safe — the token carries
+        # no geometry). One batched DMA wave replaces ~most cold serve
+        # rounds on temporally coherent frames.
+        if warm:
+            wm_w, sm_w = wm0, sm0
+            wid_w, sid_w = wid0, sid0
+            wpk = []
+            for k in range(N_WC):
+                widk = warm_ref[0, 1, k]
+                okk = widk >= 0
+                wpk.append((widk, okk))
+
+                @pl.when(okk)
+                def _(widk=widk, k=k):
+                    pltpu.make_async_copy(
+                        wmp_ref.at[widk], wstage.at[k], wsem.at[k]
+                    ).start()
+            spk = []
+            for k in range(N_SC):
+                sidk = warm_ref[0, 0, k]
+                okk = sidk >= 0
+                spk.append((sidk, okk))
+
+                @pl.when(okk)
+                def _(sidk=sidk, k=k):
+                    pltpu.make_async_copy(
+                        swc_ref.at[sidk], stage.at[k], ssem.at[k]
+                    ).start()
+            for k, (widk, okk) in enumerate(wpk):
+                @pl.when(okk)
+                def _(widk=widk, k=k):
+                    pltpu.make_async_copy(
+                        wmp_ref.at[widk], wstage.at[k], wsem.at[k]
+                    ).wait()
+
+                mrow = wstage[k]
+                slot8 = k * 8
+                src = jnp.take_along_axis(
+                    mrow, jnp.clip(lane_row - slot8, 0, 127), axis=1
+                )
+                sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
+                wm_w = jnp.where(sel, src, wm_w)
+                wid_w = jnp.where((wrow_iota == k) & okk, widk, wid_w)
+            for k, (sidk, okk) in enumerate(spk):
+                @pl.when(okk)
+                def _(sidk=sidk, k=k):
+                    pltpu.make_async_copy(
+                        swc_ref.at[sidk], stage.at[k], ssem.at[k]
+                    ).wait()
+
+                @pl.when(okk)
+                def _(k=k):
+                    csol[pl.ds(k, 1)] = stage[k, 0:1]
+                    cliq[pl.ds(k, 1)] = stage[k, 1:2]
+                    cpid[pl.ds(k * 4, 4)] = stage[k, 2:6]
+
+                mrow = stage[k, 6:7]
+                slot8 = k * 8
+                src = jnp.take_along_axis(
+                    mrow, jnp.clip(lane_row - slot8, 0, 127), axis=1
+                )
+                sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
+                sm_w = jnp.where(sel, src, sm_w)
+                sid_w = jnp.where((srow_iota == k) & okk, sidk, sid_w)
+            cch_init = (wid_w, sid_w, wm_w, sm_w)
+        else:
+            cch_init = (wid0, sid0, wm0, sm0)
 
         def sub_round(state):
             sr, _, c, rows_c, cch = state
@@ -555,11 +630,23 @@ def _march_kernel4(
             r, c, _, _, _ = carry
             return (r < rounds_cap) & jnp.any(c[1] != 0)
 
-        cch0 = (wid0, sid0, wm0, sm0)
-        _, c, _, _, _ = jax.lax.while_loop(
+        _, c, cch_f, _, _ = jax.lax.while_loop(
             round_cond, round_body,
-            (jnp.int32(0), c0, cch0, jnp.int32(0), jnp.int32(0)),
+            (jnp.int32(0), c0, cch_init, jnp.int32(0), jnp.int32(0)),
         )
+        if warm:
+            # pack the final cache ids into the token plane: row 0 lane k
+            # = sid slot k, row 1 lane k = wid slot k (k past the slot
+            # count stays -1)
+            wid_f, sid_f = cch_f[0], cch_f[1]
+            sid_row = jnp.full((1, 128), -1, i32)
+            for k in range(N_SC):
+                sid_row = jnp.where(lane_row == k, sid_f[k:k + 1, :], sid_row)
+            wid_row = jnp.full((1, 128), -1, i32)
+            for k in range(N_WC):
+                wid_row = jnp.where(lane_row == k, wid_f[k:k + 1, :], wid_row)
+            ids_o[0, 0, :] = sid_row[0]
+            ids_o[0, 1, :] = wid_row[0]
 
         sgn_bits = (
             sx.astype(i32)
@@ -583,14 +670,16 @@ def _march_kernel4(
 def _march4(
     scal, gw2, sw_cont, wmeta_pad, state,
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
-    s_ins=S_INS, w_ins=W_INS, grouped=False,
+    s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
-    wmeta_pad: u32[Nw³,1,128]. Returns state'."""
+    wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
+    ``warm_ids`` i32[T//64, 2, 128] cache-id token plane is passed."""
     T = state.shape[1]
     blk = _BLK
     f32 = jnp.float32
     per_ray = rays is not None
+    warm = warm_ids is not None
     assert 1 <= s_ins <= N_SC and 1 <= w_ins <= N_WC, (s_ins, w_ins)
     assert not grouped or blk % s_ins == 0, (
         f"grouped picks need s_ins ({s_ins}) to divide the block's "
@@ -600,6 +689,8 @@ def _march4(
         return pl.BlockSpec((p, blk, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
+    ispec = pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),            # scal
         pl.BlockSpec((2, 128), lambda i: (0, 0),
@@ -611,25 +702,38 @@ def _march4(
     if per_ray:
         in_specs.append(pspec(6))
         args.append(rays)
+    if warm:
+        in_specs.append(ispec)
+        args.append(warm_ids)
     in_specs.append(pspec(4))
     args.append(state)
     kern = partial(
         _march_kernel4, sub_rounds=sub_rounds, sub_steps=sub_steps,
         rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
-        s_ins=s_ins, w_ins=w_ins, grouped=grouped,
+        s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm,
     )
     u32 = jnp.uint32
+    i32 = jnp.int32
+    out_specs = pspec(4)
+    out_shape = jax.ShapeDtypeStruct((4, T, 128), f32)
+    if warm:
+        out_specs = (out_specs, ispec)
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((T // blk, 2, 128), i32))
+    # warm prefetch stages a full cache wave; size the staging for it
+    n_stage = max(s_ins, N_SC) if warm else s_ins
+    n_wstage = max(w_ins, N_WC) if warm else w_ins
     return pl.pallas_call(
         kern,
         grid=(T // blk,),
         in_specs=in_specs,
-        out_specs=pspec(4),
-        out_shape=jax.ShapeDtypeStruct((4, T, 128), f32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((s_ins, 7, 128), u32),             # stage
-            pltpu.VMEM((w_ins, 1, 128), u32),             # wstage
-            pltpu.SemaphoreType.DMA((s_ins,)),
-            pltpu.SemaphoreType.DMA((w_ins,)),
+            pltpu.VMEM((n_stage, 7, 128), u32),           # stage
+            pltpu.VMEM((n_wstage, 1, 128), u32),          # wstage
+            pltpu.SemaphoreType.DMA((n_stage,)),
+            pltpu.SemaphoreType.DMA((n_wstage,)),
             pltpu.VMEM((N_SC, 128), u32),                 # csol
             pltpu.VMEM((N_SC, 128), u32),                 # cliq
             pltpu.VMEM((4 * N_SC, 128), u32),             # cpid
@@ -646,16 +750,16 @@ def _march4(
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
-        "s_ins", "w_ins", "grouped",
+        "s_ins", "w_ins", "grouped", "warm",
     ),
 )
 def _trace_frame4(
     gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
     origin, inv_view, inv_proj, origins3, dirs3, active0,
-    rounds=64, step_cap=None,
+    rounds=64, step_cap=None, warm_ids=None,
     *, width, height, sub_rounds, sub_steps, v, interpret,
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
-    s_ins=S_INS, w_ins=W_INS, grouped=False,
+    s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel)."""
@@ -761,16 +865,28 @@ def _trace_frame4(
         rays = None
         state0 = jnp.zeros((4,) + shape, f32)
 
+    if warm:
+        wtok = (
+            warm_ids if warm_ids is not None
+            else jnp.full((T // _BLK, 2, 128), -1, i32)
+        )
+    else:
+        wtok = None
     st = _march4(
         scal, gw2, sw_cont, wmeta_pad, state0,
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
-        s_ins=s_ins, w_ins=w_ins, grouped=grouped,
+        s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok,
     )
+    ids_out = None
+    if warm:
+        st, ids_out = st
 
     carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
     fl = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
     if raw_out:
+        if warm:
+            return carry_ts, fl, carry_wa, carry_we, ids_out
         return carry_ts, fl, carry_wa, carry_we
 
     real_hit = ((fl >> _FL_HIT) & 1) != 0
@@ -791,7 +907,7 @@ def _trace_frame4(
     def ut(x):
         return _untile_hw(x, tx, ty, width, height)
 
-    return WavefrontResult(
+    res = WavefrontResult(
         hit=ut(real_hit),
         t=ut(t_stop),
         voxel=ut(voxel),
@@ -799,6 +915,7 @@ def _trace_frame4(
         water_dist=ut(water),
         steps=ut(steps.astype(i32)),
     )
+    return (res, ids_out) if warm else res
 
 
 @partial(
@@ -806,14 +923,17 @@ def _trace_frame4(
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "step_cap", "full_height",
+        "warm",
     ),
 )
 def _render_frame4(
     gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
     origin, inv_view, inv_proj, lut,
     sky_color, sun_pos_local, sun_intensity, shadow_ambient,
+    wc_p=None, wc_s=None,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, step_cap=None, full_height=None, y0=0.0,
+    warm=False,
 ):
     """v4 frame: self-serving primary march (+ optional self-serving
     shadow march) + the v3 shade kernel. One Pallas launch per pass —
@@ -829,13 +949,18 @@ def _render_frame4(
     args = (gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid)
     z = jnp.zeros((), f32)
     cap = 0.0 if step_cap is None else float(step_cap)
-    ts, fl, wa, we = _trace_frame4(
+    tr = _trace_frame4(
         *args, origin, inv_view, inv_proj, z, z, z,
-        rounds, cap,
+        rounds, cap, wc_p,
         width=width, height=height, sub_rounds=sub_rounds,
         sub_steps=sub_steps, v=v, interpret=interpret, raw_out=True,
-        full_height=full_height, y0=y0,
+        full_height=full_height, y0=y0, warm=warm,
     )
+    if warm:
+        ts, fl, wa, we, ids_p = tr
+    else:
+        ts, fl, wa, we = tr
+        ids_p = None
 
     origin = jnp.asarray(origin, f32)
     scal = _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0)
@@ -862,14 +987,21 @@ def _render_frame4(
         sn = jnp.sqrt(svx * svx + svy * svy + svz * svz)
         ot = jnp.stack([hx, hy, hz], axis=-1)
         dt3 = jnp.stack([svx / sn, svy / sn, svz / sn], axis=-1)
-        _, fls, _, _ = _trace_frame4(
+        trs = _trace_frame4(
             *args, jnp.zeros(3, f32), inv_view, inv_proj, ot, dt3, hitm,
-            rounds, cap,
+            rounds, cap, wc_s,
             width=width, height=height, sub_rounds=sub_rounds,
             sub_steps=sub_steps, v=v, interpret=interpret,
-            per_ray=True, raw_out=True,
+            per_ray=True, raw_out=True, warm=warm,
         )
+        if warm:
+            _, fls, _, _, ids_s = trs
+        else:
+            _, fls, _, _ = trs
+            ids_s = None
         sh = (fls >> _FL_HIT) & 1
+    else:
+        ids_s = wc_s  # no shadow pass: pass the caller's token through
 
     sv = sun_pos_local - origin
     sun_dir = sv / jnp.linalg.norm(sv)
@@ -886,10 +1018,13 @@ def _render_frame4(
         nsx=nsx, show_steps=show_steps, shadows=shadows,
         max_steps=rounds * sub_rounds * sub_steps, interpret=interpret,
     )
-    return (
+    out = (
         _untile_hw(packed, tx, ty, width, height),
         _untile_hw(fl, tx, ty, width, height),
     )
+    if warm:
+        out = out + ((ids_p, ids_s),)
+    return out
 
 
 def render_frame4(
@@ -909,12 +1044,16 @@ def render_frame4(
     step_cap=None,
     interpret=None,
     with_flags=False,
+    cache=None,
+    return_cache=False,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
-    Same products and shading as :func:`~.wavefront3.render_frame3`, but
-    march service happens inside the kernel, so there is no service-cache
-    token and ``rounds`` is only a safety bound."""
+    Same products and shading as :func:`~.wavefront3.render_frame3`;
+    march service happens inside the kernel and ``rounds`` is only a
+    safety bound. ``cache``/``return_cache``: warm-start token pair
+    (primary, shadow) of per-block cache-ID planes — see
+    :func:`trace_wavefront4`."""
     from .wavefront3 import color_lut_rows
 
     width, height = cam.proj_size
@@ -929,7 +1068,9 @@ def render_frame4(
            else color_lut_rows(materials_color))
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
-    img, fl = _render_frame4(
+    warm = bool(return_cache or cache is not None)
+    wc_p, wc_s = cache if cache is not None else (None, None)
+    out = _render_frame4(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
         rg.sw_liq, rg.sw_pid,
         origin,
@@ -938,13 +1079,23 @@ def render_frame4(
         lut,
         jnp.asarray(sky_color, jnp.float32), sun_local,
         jnp.float32(sun_intensity), jnp.float32(shadow_ambient),
+        wc_p, wc_s,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps,
         v=int(rg.size_voxels), interpret=bool(interpret),
         shadows=bool(shadows), show_steps=bool(show_steps),
         step_cap=None if step_cap is None else int(step_cap),
+        warm=warm,
     )
-    return (img, fl) if with_flags else img
+    if warm:
+        img, fl, tok = out
+    else:
+        img, fl = out
+        tok = None
+    ret = (img, fl) if with_flags else (img,)
+    if return_cache:
+        ret = ret + (tok,)
+    return ret if len(ret) > 1 else ret[0]
 
 
 def path_trace4(rg: RenderGrid3, cam, materials, **kw):
@@ -970,12 +1121,20 @@ def trace_wavefront4(
     s_ins=S_INS,
     w_ins=W_INS,
     grouped=False,
+    cache=None,
+    return_cache=False,
 ):
     """March one frame through the self-serving v4 kernel.
 
     Service happens inside the kernel (batched async DMA from the HBM
     content tables), so ``rounds`` is only a safety bound — every stall
     is served the round it occurs and converged blocks exit immediately.
+
+    ``cache``/``return_cache``: the warm-start token — an i32[nB,2,128]
+    plane of last frame's per-block cache IDS. Contents are always
+    re-fetched (edit-safe); a warm frame skips most cold serve rounds on
+    temporally coherent cameras. Pass ``return_cache=True`` to get
+    ``(result, token)`` back; feed the token to the next frame.
     """
     assert cam is not None, "trace_wavefront4 needs cam=CamData"
     if width is None or height is None:
@@ -986,18 +1145,25 @@ def trace_wavefront4(
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
     z = jnp.zeros((), jnp.float32)
-    return _trace_frame4(
+    out = _trace_frame4(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
         rg.sw_pid,
         jnp.asarray(origin, jnp.float32),
         jnp.asarray(cam.inv_view, jnp.float32),
         jnp.asarray(cam.inv_proj, jnp.float32),
         z, z, z, rounds, 0.0 if step_cap is None else step_cap,
+        cache,
         width=width, height=height,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), s_ins=int(s_ins), w_ins=int(w_ins),
         grouped=bool(grouped),
+        warm=bool(return_cache or cache is not None),
     )
+    if return_cache:
+        return out
+    if cache is not None:
+        return out[0]
+    return out
 
 
 def trace_wavefront4_rays(
