@@ -140,30 +140,43 @@ def main():
         rgrid, mats, lut = build(8)
         cam = cam_for(rgrid, 1920, 1080)
         t0 = time.time()
-        r = render_frame4(rgrid, cam, lut, rounds=64, step_cap=500,
-                          interpret=False)
+        r, tok = render_frame4(rgrid, cam, lut, rounds=64, step_cap=500,
+                               interpret=False, return_cache=True)
         jax.block_until_ready(r)
         print(f"# first frame (incl compile): {time.time() - t0:.1f}s",
               flush=True)
-        depth = 4
-        frames = 0
-        t0 = time.time()
-        while True:
-            rs = [
-                render_frame4(rgrid, cam, lut, rounds=64, step_cap=500,
-                              interpret=False)
-                for _ in range(depth)
-            ]
-            jax.block_until_ready(rs[-1])
-            frames += depth
-            el = time.time() - t0
-            if frames >= 8 and (el > 5.0 or frames >= 96):
-                break
-            if el > 30.0:
-                break
-        mrays = 1920 * 1080 * frames / el / 1e6
-        print(f"# v4 1080p: {mrays:.1f} Mrays/s ({frames} frames in "
-              f"{el:.2f}s)", flush=True)
+        # cold steady state (fresh token each frame would still be warm;
+        # measure both: token-carried warm loop, then cold loop)
+        for label, use_tok in (("warm", True), ("cold", False)):
+            depth = 4
+            toks = [tok] * depth
+            frames = 0
+            t0 = time.time()
+            while True:
+                rs = []
+                for i in range(depth):
+                    if use_tok:
+                        r, toks[i] = render_frame4(
+                            rgrid, cam, lut, rounds=64, step_cap=500,
+                            interpret=False, cache=toks[i],
+                            return_cache=True,
+                        )
+                    else:
+                        r = render_frame4(
+                            rgrid, cam, lut, rounds=64, step_cap=500,
+                            interpret=False,
+                        )
+                    rs.append(r)
+                jax.block_until_ready(rs[-1])
+                frames += depth
+                el = time.time() - t0
+                if frames >= 8 and (el > 5.0 or frames >= 96):
+                    break
+                if el > 30.0:
+                    break
+            mrays = 1920 * 1080 * frames / el / 1e6
+            print(f"# v4 1080p {label}: {mrays:.1f} Mrays/s ({frames} "
+                  f"frames in {el:.2f}s)", flush=True)
         return 0
 
     print(f"unknown stage {stage}")
