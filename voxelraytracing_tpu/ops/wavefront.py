@@ -511,7 +511,6 @@ def _pre(rays, c: _Carry, origin, *, nb, bg_side):
     widx = lin >> 5
 
     # voxel-phase slot index (cur_brick after demotion)
-    fb = bx + by * bg_side + bz * bg_side * bg_side
     sidx = jnp.zeros(c.t.shape, i32)
     for s_i in range(N_SLOTS):
         m = c.cur_brick == c.slot_bricks[:, s_i][:, None]
