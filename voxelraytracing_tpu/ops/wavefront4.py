@@ -10,13 +10,21 @@ compute itself is cheap). v4 moves the service *into* the kernel:
     liquid | 4 palette planes | meta) and the padded window-meta table
     (``wmeta_pad`` [Nw³,1,128]) stay in HBM (``pl.ANY``);
   * each block program runs the whole frame's round loop itself: march
-    until every lane stalls, pick up to ``S_INS`` distinct stalled
-    subwindow ids + ``W_INS`` window ids (scalar min-chains), fetch them
-    with batched ``make_async_copy`` DMAs into VMEM cache slots, merge,
-    and keep marching until the block's rays are all done;
-  * ONE kernel launch per block per frame — no idle-round relaunches, no
-    XLA staging, no warm-start service tokens, no tail compaction: a
-    converged block's program simply exits.
+    until every lane stalls (with a fixed-point early exit inside each
+    sub-round), pick up to ``s_ins`` distinct stalled subwindow ids +
+    ``w_ins`` window ids (scalar min-chains, or one vectorized per-group
+    min with ``grouped=True``), fetch them with batched
+    ``make_async_copy`` DMAs into VMEM cache slots, merge, and keep
+    marching until the block's rays are all done. Window metas are
+    fetched BEFORE subwindow picks so a two-level-cold ray clears in one
+    round; jump/liquid meta bits ride interleaved so one gather serves
+    both flags per level;
+  * ONE kernel launch per block per frame — no idle-round relaunches and
+    no XLA staging: a converged block's program simply exits;
+  * optional warm-start token (``cache``/``return_cache``): an
+    i32[nB,2,128] plane of the previous frame's per-block cache IDS,
+    prefetched in one DMA wave at round 0. Contents are always
+    re-fetched, so world edits are safe and warm frames are bit-exact.
 
 March semantics (classification, DDA exit + EPS nudge, water interval,
 step cap) are identical to v3 — the executable spec of the reference
@@ -334,8 +342,9 @@ def _march_kernel4(
         active = active & ~hit_now
         stp = stp + (march | hit_now).astype(i32)
 
+        progressed = jnp.any(march | hit_now).astype(i32)
         return (t, active.astype(i32), hit.astype(i32), axmask, vox, water,
-                wenter, stp)
+                wenter, stp), progressed
 
     def decode_hits(c, tslot, pid_rows, sm_row):
         t, active_i, hit_i, axmask, vox, water, wenter, stp = c
@@ -595,10 +604,20 @@ def _march_kernel4(
         def sub_round(state):
             sr, _, c, rows_c, cch = state
 
-            def sbody(_, cc):
-                return step(cc, rows_c, cch)
+            # fixed-point early exit: once no lane marches or hits, the
+            # remaining steps of this sub-round are no-ops — skip them
+            def sbody(st):
+                i, _, cc = st
+                cc, prog = step(cc, rows_c, cch)
+                return i + 1, prog, cc
 
-            c = jax.lax.fori_loop(0, sub_steps, sbody, c)
+            def scond(st):
+                i, prog, _ = st
+                return (i < sub_steps) & (prog != 0)
+
+            _, _, c = jax.lax.while_loop(
+                scond, sbody, (jnp.int32(0), jnp.int32(1), c)
+            )
             c = decode_hits(c, rows_c[1], rows_c[4], cch[3])
             t, a, h, axm, vox, wat, wen, stp = c
             t = jnp.minimum(t, t_exit)
