@@ -54,7 +54,19 @@ def _backend_alive(timeout_s=300):
 
 
 def main():
-    if not _backend_alive():
+    # Tunnel outages can end at any moment (docs/TPU_NOTES.md records
+    # multi-hour wedges): retry the probe for a bounded window before
+    # giving up, so a bench launched near the end of an outage still
+    # records a real number instead of a zero.
+    deadline = time.monotonic() + float(
+        __import__("os").environ.get("VOXELTPU_BENCH_WAIT_S", "1200")
+    )
+    alive = _backend_alive()
+    while not alive and time.monotonic() < deadline:
+        print("# backend down; retrying probe...", file=sys.stderr, flush=True)
+        time.sleep(120)
+        alive = _backend_alive(timeout_s=180)
+    if not alive:
         # fail fast with a diagnostic line rather than hanging the driver
         print(
             json.dumps(
