@@ -122,15 +122,19 @@ def main():
 
     import os
 
-    if os.environ.get("VOXELTPU_TRACER", "v3") == "v4":
+    if os.environ.get("VOXELTPU_TRACER", "v4") == "v4":
         from voxelraytracing_tpu.ops.wavefront4 import render_frame4
 
         def frame(tok):
             # v4 warm-start token: last frame's per-block cache IDS;
             # the kernel prefetches them in one DMA wave and skips most
-            # cold serve rounds (rounds stays a safety bound)
+            # cold serve rounds (rounds stays a safety bound).
+            # steps_per_round=256: sub-rounds have a fixed-point early
+            # exit, so a bigger in-kernel budget only helps (sustained
+            # sweep: 91 vs 85 Mrays/s at the 128 default).
             return render_frame4(
                 rgrid, cam, lut, rounds=64, step_cap=STEP_CAP,
+                steps_per_round=256,
                 cache=tok, return_cache=True,
             )
     else:

@@ -146,7 +146,17 @@ def main():
         print(f"# first frame (incl compile): {time.time() - t0:.1f}s",
               flush=True)
         # cold steady state (fresh token each frame would still be warm;
-        # measure both: token-carried warm loop, then cold loop)
+        # measure both: token-carried warm loop, then cold loop).
+        # IMPORTANT: warm each jit variant BEFORE the timed loop — the
+        # (cache=None, return_cache=True), (cache=tok, ...) and
+        # (no-cache) calls are three different jit signatures, and an
+        # in-loop compile (~7 s) swamps the measurement.
+        r2, tok = render_frame4(rgrid, cam, lut, rounds=64, step_cap=500,
+                                interpret=False, cache=tok,
+                                return_cache=True)
+        r3 = render_frame4(rgrid, cam, lut, rounds=64, step_cap=500,
+                           interpret=False)
+        jax.block_until_ready((r2, r3))
         for label, use_tok in (("warm", True), ("cold", False)):
             depth = 4
             toks = [tok] * depth

@@ -77,6 +77,21 @@ from .wavefront3 import (
     _untile_hw,
 )
 
+def _gather8(mrow, idx):
+    """Lane gather on a [1,128] row.
+
+    Mosaic rejects 1-sublane gathers ("Shape mismatch in input, indices
+    and output"); broadcast both operands to 8 sublanes and slice back
+    (docs/TPU_NOTES.md: lane gathers need >=8 sublanes).
+    """
+    src = jnp.take_along_axis(
+        jnp.broadcast_to(mrow, (8, 128)),
+        jnp.broadcast_to(idx, (8, 128)),
+        axis=1,
+    )
+    return src[0:1]
+
+
 S_INS = 16  # default subwindow fetches per in-kernel service round
 #             (= N_SC: serve() only runs when NO ray can march, so a
 #             full-cache replacement evicts only rows nothing can use
@@ -407,9 +422,7 @@ def _march_kernel4(
 
             mrow = wstage[j]                             # [1,128] u32
             slot8 = slot * 8
-            src = jnp.take_along_axis(
-                mrow, jnp.clip(lane_row - slot8, 0, 127), axis=1
-            )
+            src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
             sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & ok
             wm_row = jnp.where(sel, src, wm_row)
             wid_all = jnp.where(
@@ -468,9 +481,7 @@ def _march_kernel4(
 
             mrow = stage[j, 6:7]                         # [1,128] u32
             slot8 = slot * 8
-            src = jnp.take_along_axis(
-                mrow, jnp.clip(lane_row - slot8, 0, 127), axis=1
-            )
+            src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
             sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & ok
             sm_row = jnp.where(sel, src, sm_row)
             sid_all = jnp.where((srow_iota == slot) & ok, sj, sid_all)
@@ -570,9 +581,7 @@ def _march_kernel4(
 
                 mrow = wstage[k]
                 slot8 = k * 8
-                src = jnp.take_along_axis(
-                    mrow, jnp.clip(lane_row - slot8, 0, 127), axis=1
-                )
+                src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
                 sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
                 wm_w = jnp.where(sel, src, wm_w)
                 wid_w = jnp.where((wrow_iota == k) & okk, widk, wid_w)
@@ -591,9 +600,7 @@ def _march_kernel4(
 
                 mrow = stage[k, 6:7]
                 slot8 = k * 8
-                src = jnp.take_along_axis(
-                    mrow, jnp.clip(lane_row - slot8, 0, 127), axis=1
-                )
+                src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
                 sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
                 sm_w = jnp.where(sel, src, sm_w)
                 sid_w = jnp.where((srow_iota == k) & okk, sidk, sid_w)
@@ -942,7 +949,7 @@ def _trace_frame4(
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "step_cap", "full_height",
-        "warm",
+        "warm", "s_ins", "w_ins", "grouped",
     ),
 )
 def _render_frame4(
@@ -952,7 +959,7 @@ def _render_frame4(
     wc_p=None, wc_s=None,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, step_cap=None, full_height=None, y0=0.0,
-    warm=False,
+    warm=False, s_ins=S_INS, w_ins=W_INS, grouped=False,
 ):
     """v4 frame: self-serving primary march (+ optional self-serving
     shadow march) + the v3 shade kernel. One Pallas launch per pass —
@@ -974,6 +981,7 @@ def _render_frame4(
         width=width, height=height, sub_rounds=sub_rounds,
         sub_steps=sub_steps, v=v, interpret=interpret, raw_out=True,
         full_height=full_height, y0=y0, warm=warm,
+        s_ins=s_ins, w_ins=w_ins, grouped=grouped,
     )
     if warm:
         ts, fl, wa, we, ids_p = tr
@@ -1012,6 +1020,7 @@ def _render_frame4(
             width=width, height=height, sub_rounds=sub_rounds,
             sub_steps=sub_steps, v=v, interpret=interpret,
             per_ray=True, raw_out=True, warm=warm,
+            s_ins=s_ins, w_ins=w_ins, grouped=grouped,
         )
         if warm:
             _, fls, _, _, ids_s = trs
@@ -1065,6 +1074,9 @@ def render_frame4(
     with_flags=False,
     cache=None,
     return_cache=False,
+    s_ins=S_INS,
+    w_ins=W_INS,
+    grouped=False,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -1105,6 +1117,7 @@ def render_frame4(
         shadows=bool(shadows), show_steps=bool(show_steps),
         step_cap=None if step_cap is None else int(step_cap),
         warm=warm,
+        s_ins=int(s_ins), w_ins=int(w_ins), grouped=bool(grouped),
     )
     if warm:
         img, fl, tok = out
