@@ -317,3 +317,30 @@ def test_v4_render_frame_warm_matches_cold(scene):
                                return_cache=True, **kw)
     cold = render_frame4(rg3, cam_b, mats.color, **kw)
     np.testing.assert_array_equal(np.asarray(warm), np.asarray(cold))
+
+
+def test_v4_prepared_tables_bit_exact(scene):
+    """prepare_grid4 tables reproduce the in-frame packing exactly: a
+    prepared fused frame (shadows on) is pixel-identical to an
+    unprepared one, and the marched products match too."""
+    from voxelraytracing_tpu.ops.wavefront4 import (
+        prepare_grid4,
+        render_frame4,
+    )
+
+    rg3, _, mats = scene
+    prep = prepare_grid4(rg3)
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), shadows=True, step_cap=500,
+              rounds=64)
+    base = render_frame4(rg3, cam, mats.color, **kw)
+    prepd = render_frame4(rg3, cam, mats.color, prepared=prep, **kw)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(prepd))
+
+    origin, _ = generate_rays(cam, np.zeros(3, np.int32))
+    a = trace_wavefront4(rg3, origin, cam=cam, rounds=64)
+    b = trace_wavefront4(rg3, origin, cam=cam, rounds=64, prepared=prep)
+    np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_array_equal(np.asarray(a.voxel), np.asarray(b.voxel))
+    np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))

@@ -237,6 +237,9 @@ class WavefrontRenderer:
         # ops/wavefront3.trace_wavefront3: ids-only, never stale)
         self._v3_cache = None
         self._v3_cache_size = None
+        # v4 packed-table token (prepare_grid4), keyed on grid identity
+        self._v4_prepared = None
+        self._v4_prepared_for = None
 
     def render_packed(self, rgrid3, cam: CamData,
                       settings: RenderSettings = None):
@@ -252,13 +255,19 @@ class WavefrontRenderer:
 
         s = settings or RenderSettings()
         if self.tracer == "v4":
-            from ..ops.wavefront4 import render_frame4
+            from ..ops.wavefront4 import prepare_grid4, render_frame4
 
             cache = (
                 self._v3_cache
                 if self._v3_cache_size == ("v4",) + tuple(cam.proj_size)
                 else None
             )
+            # packed-table token, keyed on grid identity: RenderGrid3 is
+            # an immutable NamedTuple, so any world change produces a new
+            # tuple and re-packs (~6.7 ms once, vs every frame)
+            if self._v4_prepared_for is not rgrid3:
+                self._v4_prepared = prepare_grid4(rgrid3)
+                self._v4_prepared_for = rgrid3
             img, tok = render_frame4(
                 rgrid3, cam, self.materials.color,
                 sky_color=s.sky_color, sun_pos=s.sun_pos,
@@ -268,6 +277,7 @@ class WavefrontRenderer:
                 steps_per_round=self.v3_steps_per_round,
                 step_cap=self.v3_step_cap,
                 cache=cache, return_cache=True,
+                prepared=self._v4_prepared,
             )
             self._v3_cache = tok
             self._v3_cache_size = ("v4",) + tuple(cam.proj_size)

@@ -16,6 +16,7 @@ from .wavefront3 import (
 )
 from .wavefront4 import (
     path_trace4,
+    prepare_grid4,
     render_frame4,
     trace_wavefront4,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "build_render_grid3_host",
     "path_trace3",
     "path_trace4",
+    "prepare_grid4",
     "render_frame3",
     "render_frame4",
     "trace_wavefront3",

@@ -39,6 +39,7 @@ frame under a timeout before trusting it with a session.
 """
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +91,32 @@ def _gather8(mrow, idx):
         axis=1,
     )
     return src[0:1]
+
+
+def _interleave_meta(m):
+    """Meta words 0-1 (jump bits) + 2-3 (liquid bits) -> words 0-3
+    with bit 2i = jump_i, 2i+1 = liq_i: ONE kernel gather yields both
+    flags (the v4-only wire layout; words 4+ pass through)."""
+    u32 = jnp.uint32
+
+    def spread16(v):
+        v = v.astype(u32) & u32(0xFFFF)
+        v = (v | (v << 8)) & u32(0x00FF00FF)
+        v = (v | (v << 4)) & u32(0x0F0F0F0F)
+        v = (v | (v << 2)) & u32(0x33333333)
+        return (v | (v << 1)) & u32(0x55555555)
+
+    j, l = m[:, 0:2], m[:, 2:4]
+    out = jnp.stack(
+        [
+            spread16(j[:, 0]) | (spread16(l[:, 0]) << 1),
+            spread16(j[:, 0] >> 16) | (spread16(l[:, 0] >> 16) << 1),
+            spread16(j[:, 1]) | (spread16(l[:, 1]) << 1),
+            spread16(j[:, 1] >> 16) | (spread16(l[:, 1] >> 16) << 1),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([out, m[:, 4:]], axis=1)
 
 
 S_INS = 16  # default subwindow fetches per in-kernel service round
@@ -776,26 +803,33 @@ def _march4(
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
-        "s_ins", "w_ins", "grouped", "warm",
+        "s_ins", "w_ins", "grouped", "warm", "prepacked",
     ),
 )
 def _trace_frame4(
     gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
     origin, inv_view, inv_proj, origins3, dirs3, active0,
     rounds=64, step_cap=None, warm_ids=None,
+    sw_cont_pre=None, wmeta_pre=None,
     *, width, height, sub_rounds, sub_steps, v, interpret,
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
-    s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False,
+    s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
-    finish as v3 (palette ids are decoded in-kernel)."""
+    finish as v3 (palette ids are decoded in-kernel).
+
+    ``prepacked=True``: ``sw_cont_pre``/``wmeta_pre`` carry the packed
+    HBM tables from :func:`prepare_grid4`; the raw plane args are unused
+    and pruned from the executable. Re-packing them per frame costs
+    ~6.7 ms at 1080p on the v5e — a quarter of the whole frame."""
     full_height = height if full_height is None else full_height
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
     ty = height // TILE_H
     nsx, nsy, T = _sb_dims(tx, ty)
-    ns = int(round(sw_solid.shape[0] ** (1 / 3)))
-    while ns * ns * ns < sw_solid.shape[0]:
+    n_sub = (sw_cont_pre if prepacked else sw_solid).shape[0]
+    ns = int(round(n_sub ** (1 / 3)))
+    while ns * ns * ns < n_sub:
         ns += 1
     nw = ns // 4
 
@@ -815,47 +849,25 @@ def _trace_frame4(
 
     gw2 = jnp.concatenate([gw_jump, gw_liq], axis=0)       # [2,128]
 
-    def _interleave_meta(m):
-        """Meta words 0-1 (jump bits) + 2-3 (liquid bits) -> words 0-3
-        with bit 2i = jump_i, 2i+1 = liq_i: ONE kernel gather yields both
-        flags (the v4-only wire layout; words 4+ pass through)."""
-        u32 = jnp.uint32
-
-        def spread16(v):
-            v = v.astype(u32) & u32(0xFFFF)
-            v = (v | (v << 8)) & u32(0x00FF00FF)
-            v = (v | (v << 4)) & u32(0x0F0F0F0F)
-            v = (v | (v << 2)) & u32(0x33333333)
-            return (v | (v << 1)) & u32(0x55555555)
-
-        j, l = m[:, 0:2], m[:, 2:4]
-        out = jnp.stack(
+    if prepacked:
+        sw_cont, wmeta_pad = sw_cont_pre, wmeta_pre
+    else:
+        sw_meta_i = _interleave_meta(sw_meta)
+        sw_cont = jnp.concatenate(
             [
-                spread16(j[:, 0]) | (spread16(l[:, 0]) << 1),
-                spread16(j[:, 0] >> 16) | (spread16(l[:, 0] >> 16) << 1),
-                spread16(j[:, 1]) | (spread16(l[:, 1]) << 1),
-                spread16(j[:, 1] >> 16) | (spread16(l[:, 1] >> 16) << 1),
+                sw_solid[:, None, :],
+                sw_liq[:, None, :],
+                sw_pid,
+                jnp.pad(
+                    sw_meta_i, ((0, 0), (0, 128 - sw_meta_i.shape[1]))
+                )[:, None, :],
             ],
             axis=1,
         )
-        return jnp.concatenate([out, m[:, 4:]], axis=1)
-
-    sw_meta_i = _interleave_meta(sw_meta)
-    sw_cont = jnp.concatenate(
-        [
-            sw_solid[:, None, :],
-            sw_liq[:, None, :],
-            sw_pid,
-            jnp.pad(
-                sw_meta_i, ((0, 0), (0, 128 - sw_meta_i.shape[1]))
-            )[:, None, :],
-        ],
-        axis=1,
-    )
-    wmeta_i = _interleave_meta(wmeta)
-    wmeta_pad = jnp.pad(
-        wmeta_i, ((0, 0), (0, 128 - wmeta_i.shape[1]))
-    )[:, None, :]
+        wmeta_i = _interleave_meta(wmeta)
+        wmeta_pad = jnp.pad(
+            wmeta_i, ((0, 0), (0, 128 - wmeta_i.shape[1]))
+        )[:, None, :]
 
     shape = (T, 128)
     if per_ray:
@@ -944,22 +956,66 @@ def _trace_frame4(
     return (res, ids_out) if warm else res
 
 
+class PreparedGrid4(NamedTuple):
+    """Packed HBM tables for the v4 kernel, computed once per world state
+    by :func:`prepare_grid4` (re-packing them per frame costs ~6.7 ms at
+    1080p — a quarter of the fused frame)."""
+
+    sw_cont: jax.Array    # u32[Ns³,7,128] solid|liquid|pid×4|meta
+    wmeta_pad: jax.Array  # u32[Nw³,1,128] interleaved window metas
+
+
+@jax.jit
+def _pack_tables4(wmeta, sw_meta, sw_solid, sw_liq, sw_pid):
+    sw_meta_i = _interleave_meta(sw_meta)
+    sw_cont = jnp.concatenate(
+        [
+            sw_solid[:, None, :],
+            sw_liq[:, None, :],
+            sw_pid,
+            jnp.pad(
+                sw_meta_i, ((0, 0), (0, 128 - sw_meta_i.shape[1]))
+            )[:, None, :],
+        ],
+        axis=1,
+    )
+    wmeta_i = _interleave_meta(wmeta)
+    wmeta_pad = jnp.pad(
+        wmeta_i, ((0, 0), (0, 128 - wmeta_i.shape[1]))
+    )[:, None, :]
+    return sw_cont, wmeta_pad
+
+
+def prepare_grid4(rg: RenderGrid3) -> PreparedGrid4:
+    """Pack a RenderGrid3's planes into the v4 kernel's HBM wire layout.
+
+    Call once per world state and pass the result as ``prepared=`` to
+    :func:`render_frame4` / :func:`trace_wavefront4`; frames then skip
+    the per-frame table packing entirely. The token is a pure function
+    of the grid — recompute it whenever the RenderGrid3 changes
+    (:class:`~..models.raytracer.WavefrontRenderer` does this keyed on
+    grid identity)."""
+    return PreparedGrid4(*_pack_tables4(
+        rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq, rg.sw_pid
+    ))
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "step_cap", "full_height",
-        "warm", "s_ins", "w_ins", "grouped",
+        "warm", "s_ins", "w_ins", "grouped", "prepacked",
     ),
 )
 def _render_frame4(
     gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
     origin, inv_view, inv_proj, lut,
     sky_color, sun_pos_local, sun_intensity, shadow_ambient,
-    wc_p=None, wc_s=None,
+    wc_p=None, wc_s=None, sw_cont_pre=None, wmeta_pre=None,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, step_cap=None, full_height=None, y0=0.0,
-    warm=False, s_ins=S_INS, w_ins=W_INS, grouped=False,
+    warm=False, s_ins=S_INS, w_ins=W_INS, grouped=False, prepacked=False,
 ):
     """v4 frame: self-serving primary march (+ optional self-serving
     shadow march) + the v3 shade kernel. One Pallas launch per pass —
@@ -977,11 +1033,11 @@ def _render_frame4(
     cap = 0.0 if step_cap is None else float(step_cap)
     tr = _trace_frame4(
         *args, origin, inv_view, inv_proj, z, z, z,
-        rounds, cap, wc_p,
+        rounds, cap, wc_p, sw_cont_pre, wmeta_pre,
         width=width, height=height, sub_rounds=sub_rounds,
         sub_steps=sub_steps, v=v, interpret=interpret, raw_out=True,
         full_height=full_height, y0=y0, warm=warm,
-        s_ins=s_ins, w_ins=w_ins, grouped=grouped,
+        s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
     )
     if warm:
         ts, fl, wa, we, ids_p = tr
@@ -1016,11 +1072,11 @@ def _render_frame4(
         dt3 = jnp.stack([svx / sn, svy / sn, svz / sn], axis=-1)
         trs = _trace_frame4(
             *args, jnp.zeros(3, f32), inv_view, inv_proj, ot, dt3, hitm,
-            rounds, cap, wc_s,
+            rounds, cap, wc_s, sw_cont_pre, wmeta_pre,
             width=width, height=height, sub_rounds=sub_rounds,
             sub_steps=sub_steps, v=v, interpret=interpret,
             per_ray=True, raw_out=True, warm=warm,
-            s_ins=s_ins, w_ins=w_ins, grouped=grouped,
+            s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
         )
         if warm:
             _, fls, _, _, ids_s = trs
@@ -1077,6 +1133,7 @@ def render_frame4(
     s_ins=S_INS,
     w_ins=W_INS,
     grouped=False,
+    prepared=None,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -1084,7 +1141,8 @@ def render_frame4(
     march service happens inside the kernel and ``rounds`` is only a
     safety bound. ``cache``/``return_cache``: warm-start token pair
     (primary, shadow) of per-block cache-ID planes — see
-    :func:`trace_wavefront4`."""
+    :func:`trace_wavefront4`. ``prepared``: a :func:`prepare_grid4`
+    token; skips the ~6.7 ms/frame table packing for static worlds."""
     from .wavefront3 import color_lut_rows
 
     width, height = cam.proj_size
@@ -1111,6 +1169,8 @@ def render_frame4(
         jnp.asarray(sky_color, jnp.float32), sun_local,
         jnp.float32(sun_intensity), jnp.float32(shadow_ambient),
         wc_p, wc_s,
+        None if prepared is None else prepared.sw_cont,
+        None if prepared is None else prepared.wmeta_pad,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps,
         v=int(rg.size_voxels), interpret=bool(interpret),
@@ -1118,6 +1178,7 @@ def render_frame4(
         step_cap=None if step_cap is None else int(step_cap),
         warm=warm,
         s_ins=int(s_ins), w_ins=int(w_ins), grouped=bool(grouped),
+        prepacked=prepared is not None,
     )
     if warm:
         img, fl, tok = out
@@ -1155,6 +1216,7 @@ def trace_wavefront4(
     grouped=False,
     cache=None,
     return_cache=False,
+    prepared=None,
 ):
     """March one frame through the self-serving v4 kernel.
 
@@ -1185,11 +1247,14 @@ def trace_wavefront4(
         jnp.asarray(cam.inv_proj, jnp.float32),
         z, z, z, rounds, 0.0 if step_cap is None else step_cap,
         cache,
+        None if prepared is None else prepared.sw_cont,
+        None if prepared is None else prepared.wmeta_pad,
         width=width, height=height,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), s_ins=int(s_ins), w_ins=int(w_ins),
         grouped=bool(grouped),
         warm=bool(return_cache or cache is not None),
+        prepacked=prepared is not None,
     )
     if return_cache:
         return out
