@@ -723,13 +723,16 @@ def _march_kernel4(
 def _march4(
     scal, gw2, sw_cont, wmeta_pad, state,
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
-    s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None,
+    s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
-    ``warm_ids`` i32[T//64, 2, 128] cache-id token plane is passed."""
+    ``warm_ids`` i32[T//blk, 2, 128] cache-id token plane is passed.
+    ``blk``: tiles per block program (a multiple of the 64-tile superblock
+    — bigger blocks amortize the ~24 us/program floor over more rays)."""
     T = state.shape[1]
-    blk = _BLK
+    blk = int(blk)
+    assert blk % _BLK == 0 and T % blk == 0, (blk, T)
     f32 = jnp.float32
     per_ray = rays is not None
     warm = warm_ids is not None
@@ -803,7 +806,7 @@ def _march4(
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
-        "s_ins", "w_ins", "grouped", "warm", "prepacked",
+        "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk",
     ),
 )
 def _trace_frame4(
@@ -814,6 +817,7 @@ def _trace_frame4(
     *, width, height, sub_rounds, sub_steps, v, interpret,
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
+    blk=_BLK,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel).
@@ -827,6 +831,9 @@ def _trace_frame4(
     tx = width // TILE_W
     ty = height // TILE_H
     nsx, nsy, T = _sb_dims(tx, ty)
+    # pad the tile count to the block size; padded tiles map past the
+    # last superblock row, init inactive in-kernel, and are sliced off
+    T_pad = ((T + blk - 1) // blk) * blk
     n_sub = (sw_cont_pre if prepacked else sw_solid).shape[0]
     ns = int(round(n_sub ** (1 / 3)))
     while ns * ns * ns < n_sub:
@@ -869,7 +876,7 @@ def _trace_frame4(
             wmeta_i, ((0, 0), (0, 128 - wmeta_i.shape[1]))
         )[:, None, :]
 
-    shape = (T, 128)
+    shape = (T_pad, 128)
     if per_ray:
         pre_tiled = (
             origins3.ndim == 3 and origins3.shape[0] == T
@@ -883,10 +890,15 @@ def _trace_frame4(
             ot = _tile_hw(jnp.asarray(origins3, f32), tx, ty, T)
             dt3 = _tile_hw(jnp.asarray(dirs3, f32), tx, ty, T)
             act0 = _tile_hw(jnp.asarray(active0, bool), tx, ty, T)
+        if T_pad != T:
+            pad = ((0, T_pad - T), (0, 0), (0, 0))
+            ot = jnp.pad(ot, pad)
+            dt3 = jnp.pad(dt3, pad)
+            act0 = jnp.pad(act0, pad[:2] if act0.ndim == 2 else pad)
         oxr, oyr, ozr = ot[..., 0], ot[..., 1], ot[..., 2]
         dx, dy, dz = dt3[..., 0], dt3[..., 1], dt3[..., 2]
         rays = jnp.stack([oxr, oyr, ozr, dx, dy, dz])
-        valid = _tile_valid(tx, ty, T)
+        valid = _tile_valid(tx, ty, T_pad)
         inside = (
             (oxr > 0.0) & (oxr < v)
             & (oyr > 0.0) & (oyr < v)
@@ -906,7 +918,7 @@ def _trace_frame4(
     if warm:
         wtok = (
             warm_ids if warm_ids is not None
-            else jnp.full((T // _BLK, 2, 128), -1, i32)
+            else jnp.full((T_pad // blk, 2, 128), -1, i32)
         )
     else:
         wtok = None
@@ -914,11 +926,13 @@ def _trace_frame4(
         scal, gw2, sw_cont, wmeta_pad, state0,
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
-        s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok,
+        s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
     )
     ids_out = None
     if warm:
         st, ids_out = st
+    if T_pad != T:
+        st = st[:, :T]
 
     carry_ts, carry_wa, carry_we = st[0], st[2], st[3]
     fl = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
@@ -1005,7 +1019,7 @@ def prepare_grid4(rg: RenderGrid3) -> PreparedGrid4:
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "step_cap", "full_height",
-        "warm", "s_ins", "w_ins", "grouped", "prepacked",
+        "warm", "s_ins", "w_ins", "grouped", "prepacked", "blk",
     ),
 )
 def _render_frame4(
@@ -1016,6 +1030,7 @@ def _render_frame4(
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, step_cap=None, full_height=None, y0=0.0,
     warm=False, s_ins=S_INS, w_ins=W_INS, grouped=False, prepacked=False,
+    blk=_BLK,
 ):
     """v4 frame: self-serving primary march (+ optional self-serving
     shadow march) + the v3 shade kernel. One Pallas launch per pass —
@@ -1038,6 +1053,7 @@ def _render_frame4(
         sub_steps=sub_steps, v=v, interpret=interpret, raw_out=True,
         full_height=full_height, y0=y0, warm=warm,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
+        blk=blk,
     )
     if warm:
         ts, fl, wa, we, ids_p = tr
@@ -1077,6 +1093,7 @@ def _render_frame4(
             sub_steps=sub_steps, v=v, interpret=interpret,
             per_ray=True, raw_out=True, warm=warm,
             s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
+            blk=blk,
         )
         if warm:
             _, fls, _, _, ids_s = trs
@@ -1111,6 +1128,82 @@ def _render_frame4(
     return out
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "full_height", "v", "nsx", "y0"),
+)
+def _shadow_prep4(ts, fl, origin, inv_view, inv_proj, sun_pos_local,
+                  *, width, height, full_height, v, nsx, y0=0.0):
+    """Per-ray shadow bundle from the primary march's raw products:
+    hit point (normal-nudged) -> sun direction, active where hit."""
+    f32, i32 = jnp.float32, jnp.int32
+    origin = jnp.asarray(origin, f32)
+    scal = _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0)
+    shape = ts.shape
+    tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
+    lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
+    dx, dy, dz = _ray_dirs([scal[i] for i in range(24)], tile_i, lane_i, nsx)
+    hitm = ((fl >> _FL_HIT) & 1) != 0
+    ax = (fl >> _FL_AX) & 7
+    nx = -jnp.sign(dx) * ((ax >> 0) & 1).astype(f32)
+    ny = -jnp.sign(dy) * ((ax >> 1) & 1).astype(f32)
+    nz = -jnp.sign(dz) * ((ax >> 2) & 1).astype(f32)
+    hx = origin[0] + dx * ts + nx * 1e-3
+    hy = origin[1] + dy * ts + ny * 1e-3
+    hz = origin[2] + dz * ts + nz * 1e-3
+    svx = sun_pos_local[0] - hx
+    svy = sun_pos_local[1] - hy
+    svz = sun_pos_local[2] - hz
+    sn = jnp.sqrt(svx * svx + svy * svy + svz * svz)
+    ot = jnp.stack([hx, hy, hz], axis=-1)
+    dt3 = jnp.stack([svx / sn, svy / sn, svz / sn], axis=-1)
+    return ot, dt3, hitm
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "full_height", "v", "nsx", "show_steps",
+        "shadows", "max_steps", "with_flags", "interpret", "y0",
+    ),
+)
+def _shade_fin4(origin, inv_view, inv_proj, lut, sky_color, sun_pos_local,
+                sun_intensity, shadow_ambient, ts, fl, wa, we, sh_fl,
+                *, width, height, full_height, v, nsx, show_steps,
+                shadows, max_steps, with_flags, interpret, y0=0.0):
+    """Shade + untile as a dispatch of its own. Keeping the march and the
+    shade in SEPARATE executables measures 15.0 vs 18-20 ms/frame at 1080p
+    on the v5e (sky scenes: 4.7 vs 7.7+) — the monolithic program carries
+    multi-ms scheduling overhead on this runtime, the split pipelines."""
+    from .wavefront3 import _shade
+
+    f32 = jnp.float32
+    origin = jnp.asarray(origin, f32)
+    scal = _cam_scal(origin, inv_view, inv_proj, v, width, full_height, y0)
+    sv = sun_pos_local - origin
+    sun_dir = sv / jnp.linalg.norm(sv)
+    scal2 = jnp.concatenate([
+        scal,
+        sun_dir,
+        jnp.asarray([sun_intensity], f32).reshape(1),
+        jnp.asarray(sky_color, f32),
+        jnp.asarray([shadow_ambient], f32).reshape(1),
+        jnp.zeros(8, f32),
+    ])
+    sh = ((sh_fl >> _FL_HIT) & 1) if shadows else jnp.zeros_like(fl)
+    packed = _shade(
+        scal2, lut[None], ts, fl, wa, we, sh,
+        nsx=nsx, show_steps=show_steps, shadows=shadows,
+        max_steps=max_steps, interpret=interpret,
+    )
+    tx = width // TILE_W
+    ty = height // TILE_H
+    img = _untile_hw(packed, tx, ty, width, height)
+    if with_flags:
+        return img, _untile_hw(fl, tx, ty, width, height)
+    return img
+
+
 def render_frame4(
     rg: RenderGrid3,
     cam,
@@ -1134,6 +1227,7 @@ def render_frame4(
     w_ins=W_INS,
     grouped=False,
     prepared=None,
+    blk=_BLK,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -1159,33 +1253,71 @@ def render_frame4(
     sub_rounds = max(steps_per_round // sub_steps, 1)
     warm = bool(return_cache or cache is not None)
     wc_p, wc_s = cache if cache is not None else (None, None)
-    out = _render_frame4(
-        rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
-        rg.sw_liq, rg.sw_pid,
-        origin,
-        jnp.asarray(cam.inv_view, jnp.float32),
-        jnp.asarray(cam.inv_proj, jnp.float32),
-        lut,
-        jnp.asarray(sky_color, jnp.float32), sun_local,
-        jnp.float32(sun_intensity), jnp.float32(shadow_ambient),
-        wc_p, wc_s,
-        None if prepared is None else prepared.sw_cont,
-        None if prepared is None else prepared.wmeta_pad,
-        width=width, height=height, rounds=rounds,
-        sub_rounds=sub_rounds, sub_steps=sub_steps,
-        v=int(rg.size_voxels), interpret=bool(interpret),
-        shadows=bool(shadows), show_steps=bool(show_steps),
-        step_cap=None if step_cap is None else int(step_cap),
-        warm=warm,
-        s_ins=int(s_ins), w_ins=int(w_ins), grouped=bool(grouped),
-        prepacked=prepared is not None,
+
+    # Split dispatches: primary march | (shadow march) | shade+untile.
+    # Bit-exact vs the monolithic _render_frame4 (kept for the shard_map
+    # path) and measurably faster — see _shade_fin4's docstring.
+    f32 = jnp.float32
+    iv = jnp.asarray(cam.inv_view, f32)
+    ip = jnp.asarray(cam.inv_proj, f32)
+    z = jnp.zeros((), f32)
+    v = int(rg.size_voxels)
+    capf = 0.0 if step_cap is None else float(step_cap)
+    tx = width // TILE_W
+    ty = height // TILE_H
+    nsx, _, _ = _sb_dims(tx, ty)
+    spre = None if prepared is None else prepared.sw_cont
+    wpre = None if prepared is None else prepared.wmeta_pad
+    common = dict(
+        width=width, height=height, sub_rounds=sub_rounds,
+        sub_steps=sub_steps, v=v, interpret=bool(interpret), raw_out=True,
+        warm=warm, s_ins=int(s_ins), w_ins=int(w_ins),
+        grouped=bool(grouped), prepacked=prepared is not None,
+        blk=int(blk),
+    )
+    planes = (rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
+              rg.sw_liq, rg.sw_pid)
+    tr = _trace_frame4(
+        *planes, origin, iv, ip, z, z, z, rounds, capf, wc_p, spre, wpre,
+        **common,
     )
     if warm:
-        img, fl, tok = out
+        ts, fl, wa, we, ids_p = tr
     else:
-        img, fl = out
-        tok = None
-    ret = (img, fl) if with_flags else (img,)
+        ts, fl, wa, we = tr
+        ids_p = None
+
+    sh_fl = fl  # unused when shadows=False (static in _shade_fin4)
+    if shadows:
+        ot, dt3, hitm = _shadow_prep4(
+            ts, fl, origin, iv, ip, sun_local,
+            width=width, height=height, full_height=height, v=v, nsx=nsx,
+        )
+        trs = _trace_frame4(
+            *planes, jnp.zeros(3, f32), iv, ip, ot, dt3, hitm,
+            rounds, capf, wc_s, spre, wpre, per_ray=True, **common,
+        )
+        if warm:
+            _, sh_fl, _, _, ids_s = trs
+        else:
+            _, sh_fl, _, _ = trs
+            ids_s = None
+    else:
+        ids_s = wc_s  # no shadow pass: pass the caller's token through
+
+    out = _shade_fin4(
+        origin, iv, ip, lut,
+        jnp.asarray(sky_color, f32), sun_local,
+        jnp.float32(sun_intensity), jnp.float32(shadow_ambient),
+        ts, fl, wa, we, sh_fl,
+        width=width, height=height, full_height=height, v=v, nsx=nsx,
+        show_steps=bool(show_steps), shadows=bool(shadows),
+        max_steps=rounds * sub_rounds * sub_steps,
+        with_flags=bool(with_flags), interpret=bool(interpret),
+    )
+    img, fl_img = out if with_flags else (out, None)
+    tok = (ids_p, ids_s) if warm else None
+    ret = (img, fl_img) if with_flags else (img,)
     if return_cache:
         ret = ret + (tok,)
     return ret if len(ret) > 1 else ret[0]
@@ -1217,6 +1349,7 @@ def trace_wavefront4(
     cache=None,
     return_cache=False,
     prepared=None,
+    blk=_BLK,
 ):
     """March one frame through the self-serving v4 kernel.
 
@@ -1254,7 +1387,7 @@ def trace_wavefront4(
         interpret=bool(interpret), s_ins=int(s_ins), w_ins=int(w_ins),
         grouped=bool(grouped),
         warm=bool(return_cache or cache is not None),
-        prepacked=prepared is not None,
+        prepacked=prepared is not None, blk=int(blk),
     )
     if return_cache:
         return out
