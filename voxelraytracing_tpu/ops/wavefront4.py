@@ -128,7 +128,7 @@ W_INS = 2   # default window-meta fetches per in-kernel service round
 
 def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
-    s_ins, w_ins, grouped=False, warm=False,
+    s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC,
 ):
     """One self-serving block program. Ref order:
 
@@ -216,11 +216,40 @@ def _march_kernel4(
     # in-loop lane gathers at all). wm_row/sm_row: packed meta rows
     # exactly as v3's mc rows 2-3 (slot k words at lanes k*8..k*8+8).
     wid0 = jnp.full((N_WC, 128), -1, i32)
-    sid0 = jnp.full((N_SC, 128), -1, i32)
+    sid0 = jnp.full((n_sc, 128), -1, i32)
     wm0 = jnp.zeros((1, 128), u32)
-    sm0 = jnp.zeros((1, 128), u32)
+    # subwindow meta rows: 8 words per slot, 16 slots per 128-lane row;
+    # carried as a fixed [8,128] plane (supports n_sc up to 128)
+    n_smr = max(n_sc // 16, 1)
+    sm0 = jnp.zeros((8, 128), u32)
     wrow_iota = jax.lax.broadcasted_iota(i32, (N_WC, 128), 0)
-    srow_iota = jax.lax.broadcasted_iota(i32, (N_SC, 128), 0)
+    srow_iota = jax.lax.broadcasted_iota(i32, (n_sc, 128), 0)
+    smrow_iota = jax.lax.broadcasted_iota(i32, (8, 128), 0)
+    lane8 = jax.lax.broadcasted_iota(i32, (8, 128), 1)
+
+    def sm_sel(sm_rows, tslot):
+        """Per-tile meta row: each tile reads its slot's 16-slot row."""
+        sm_b = jnp.broadcast_to(sm_rows[0:1], (blk, 128))
+        for r in range(1, n_smr):
+            sm_b = jnp.where(
+                (tslot >> 4) == r,
+                jnp.broadcast_to(sm_rows[r:r + 1], (blk, 128)), sm_b,
+            )
+        return sm_b
+
+    def sm_merge(sm_rows, mrow, slot, ok):
+        """Insert slot's 8 meta words (lanes 0-7 of mrow) into the [8,128]
+        sm plane at row slot>>4, lanes (slot&15)*8.."""
+        slot8 = (slot & 15) * 8
+        src = jnp.take_along_axis(
+            jnp.broadcast_to(mrow, (8, 128)),
+            jnp.clip(lane8 - slot8, 0, 127), axis=1,
+        )
+        sel = (
+            (lane8 >= slot8) & (lane8 < slot8 + 8)
+            & (smrow_iota == (slot >> 4)) & ok
+        )
+        return jnp.where(sel, src, sm_rows)
 
     def classify(t, wid_all, sid_all, wm_row, need_sslot=True):
         px = ox + dx * t
@@ -253,7 +282,7 @@ def _march_kernel4(
         s = (vx >> 4) + (vy >> 4) * ns + (vz >> 4) * ns * ns
         sslot = jnp.full((blk, 128), -1, i32)
         if need_sslot:
-            for k in range(N_SC):
+            for k in range(n_sc):
                 sid_k = sid_all[k:k + 1, :]
                 sslot = jnp.where((s == sid_k) & (sid_k >= 0), i32(k), sslot)
 
@@ -274,7 +303,7 @@ def _march_kernel4(
         solid_row = jnp.zeros((blk, 128), u32)
         liq_row = jnp.zeros((blk, 128), u32)
         pid_rows = [jnp.zeros((blk, 128), u32) for _ in range(4)]
-        for k in range(N_SC):
+        for k in range(n_sc):
             sid_k = sid_all[k:k + 1, :1]                 # [1,1]
             eq = (tsid == sid_k) & (sid_k >= 0)          # [BLK,1]
             tslot = jnp.where(eq, i32(k), tslot)
@@ -322,8 +351,8 @@ def _march_kernel4(
 
         at_ts = s == tsid
         b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
-        bbase = tslot * 8 + (b_loc >> 4)
-        sm_b = jnp.broadcast_to(sm_row, (blk, 128))
+        bbase = (tslot & 15) * 8 + (b_loc >> 4)
+        sm_b = sm_sel(sm_row, tslot)
         br_pair = pair_of(sm_b, bbase, (b_loc & 15) * 2)
         br_jump = (br_pair & 1) != 0
         br_liq = (br_pair & 2) != 0
@@ -399,9 +428,10 @@ def _march_kernel4(
         pidx = pidx | (bit_of(pid_rows[1], l >> 5, l & 31) << 1)
         pidx = pidx | (bit_of(pid_rows[2], l >> 5, l & 31) << 2)
         pidx = pidx | (bit_of(pid_rows[3], l >> 5, l & 31) << 3)
-        sm_b = jnp.broadcast_to(sm_row, (blk, 128))
+        sm_b = sm_sel(sm_row, tslot)
         pal_w = jnp.take_along_axis(
-            sm_b, jnp.clip(tslot * 8 + 4 + (pidx >> 2), 0, 127), axis=1
+            sm_b, jnp.clip((tslot & 15) * 8 + 4 + (pidx >> 2), 0, 127),
+            axis=1,
         )
         pid = ((pal_w >> ((pidx & 3).astype(u32) * 8)) & 0xFF).astype(i32)
         vox = jnp.where(undec, pid, vox)
@@ -492,7 +522,7 @@ def _march_kernel4(
                 cp.start()
 
         for j, (sj, ok) in enumerate(spicks):
-            slot = (sctr + j) % N_SC
+            slot = (sctr + j) % n_sc
 
             @pl.when(ok)
             def _(sj=sj, j=j):
@@ -507,10 +537,7 @@ def _march_kernel4(
                 cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
 
             mrow = stage[j, 6:7]                         # [1,128] u32
-            slot8 = slot * 8
-            src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
-            sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & ok
-            sm_row = jnp.where(sel, src, sm_row)
+            sm_row = sm_merge(sm_row, mrow, slot, ok)
             sid_all = jnp.where((srow_iota == slot) & ok, sj, sid_all)
 
         return (
@@ -589,7 +616,7 @@ def _march_kernel4(
                         wmp_ref.at[widk], wstage.at[k], wsem.at[k]
                     ).start()
             spk = []
-            for k in range(N_SC):
+            for k in range(n_sc):
                 sidk = warm_ref[0, 0, k]
                 okk = sidk >= 0
                 spk.append((sidk, okk))
@@ -626,10 +653,7 @@ def _march_kernel4(
                     cpid[pl.ds(k * 4, 4)] = stage[k, 2:6]
 
                 mrow = stage[k, 6:7]
-                slot8 = k * 8
-                src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
-                sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
-                sm_w = jnp.where(sel, src, sm_w)
+                sm_w = sm_merge(sm_w, mrow, k, okk)
                 sid_w = jnp.where((srow_iota == k) & okk, sidk, sid_w)
             cch_init = (wid_w, sid_w, wm_w, sm_w)
         else:
@@ -693,7 +717,7 @@ def _march_kernel4(
             # count stays -1)
             wid_f, sid_f = cch_f[0], cch_f[1]
             sid_row = jnp.full((1, 128), -1, i32)
-            for k in range(N_SC):
+            for k in range(n_sc):
                 sid_row = jnp.where(lane_row == k, sid_f[k:k + 1, :], sid_row)
             wid_row = jnp.full((1, 128), -1, i32)
             for k in range(N_WC):
@@ -724,19 +748,25 @@ def _march4(
     scal, gw2, sw_cont, wmeta_pad, state,
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
+    n_sc=N_SC,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
     ``warm_ids`` i32[T//blk, 2, 128] cache-id token plane is passed.
     ``blk``: tiles per block program (a multiple of the 64-tile superblock
-    — bigger blocks amortize the ~24 us/program floor over more rays)."""
+    — bigger blocks amortize the ~24 us/program floor over more rays).
+    ``n_sc``: subwindow cache slots per block (16..128, multiple of 16):
+    oblique 1080p blocks touch ~40-80 subwindows, so a 16-slot cache
+    costs ~4-6 full-replacement serve rounds per block."""
     T = state.shape[1]
     blk = int(blk)
+    n_sc = int(n_sc)
     assert blk % _BLK == 0 and T % blk == 0, (blk, T)
+    assert n_sc % 16 == 0 and 16 <= n_sc <= 128, n_sc
     f32 = jnp.float32
     per_ray = rays is not None
     warm = warm_ids is not None
-    assert 1 <= s_ins <= N_SC and 1 <= w_ins <= N_WC, (s_ins, w_ins)
+    assert 1 <= s_ins <= n_sc and 1 <= w_ins <= N_WC, (s_ins, w_ins)
     assert not grouped or blk % s_ins == 0, (
         f"grouped picks need s_ins ({s_ins}) to divide the block's "
         f"{blk} tiles")
@@ -766,7 +796,7 @@ def _march4(
     kern = partial(
         _march_kernel4, sub_rounds=sub_rounds, sub_steps=sub_steps,
         rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
-        s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm,
+        s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm, n_sc=n_sc,
     )
     u32 = jnp.uint32
     i32 = jnp.int32
@@ -777,7 +807,7 @@ def _march4(
         out_shape = (out_shape,
                      jax.ShapeDtypeStruct((T // blk, 2, 128), i32))
     # warm prefetch stages a full cache wave; size the staging for it
-    n_stage = max(s_ins, N_SC) if warm else s_ins
+    n_stage = max(s_ins, n_sc) if warm else s_ins
     n_wstage = max(w_ins, N_WC) if warm else w_ins
     return pl.pallas_call(
         kern,
@@ -790,9 +820,9 @@ def _march4(
             pltpu.VMEM((n_wstage, 1, 128), u32),          # wstage
             pltpu.SemaphoreType.DMA((n_stage,)),
             pltpu.SemaphoreType.DMA((n_wstage,)),
-            pltpu.VMEM((N_SC, 128), u32),                 # csol
-            pltpu.VMEM((N_SC, 128), u32),                 # cliq
-            pltpu.VMEM((4 * N_SC, 128), u32),             # cpid
+            pltpu.VMEM((n_sc, 128), u32),                 # csol
+            pltpu.VMEM((n_sc, 128), u32),                 # cliq
+            pltpu.VMEM((4 * n_sc, 128), u32),             # cpid
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -806,7 +836,7 @@ def _march4(
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
-        "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk",
+        "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk", "n_sc",
     ),
 )
 def _trace_frame4(
@@ -817,7 +847,7 @@ def _trace_frame4(
     *, width, height, sub_rounds, sub_steps, v, interpret,
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
-    blk=_BLK,
+    blk=_BLK, n_sc=N_SC,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel).
@@ -927,6 +957,7 @@ def _trace_frame4(
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
+        n_sc=n_sc,
     )
     ids_out = None
     if warm:
@@ -1019,7 +1050,7 @@ def prepare_grid4(rg: RenderGrid3) -> PreparedGrid4:
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "step_cap", "full_height",
-        "warm", "s_ins", "w_ins", "grouped", "prepacked", "blk",
+        "warm", "s_ins", "w_ins", "grouped", "prepacked", "blk", "n_sc",
     ),
 )
 def _render_frame4(
@@ -1030,7 +1061,7 @@ def _render_frame4(
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, step_cap=None, full_height=None, y0=0.0,
     warm=False, s_ins=S_INS, w_ins=W_INS, grouped=False, prepacked=False,
-    blk=_BLK,
+    blk=_BLK, n_sc=N_SC,
 ):
     """v4 frame: self-serving primary march (+ optional self-serving
     shadow march) + the v3 shade kernel. One Pallas launch per pass —
@@ -1053,7 +1084,7 @@ def _render_frame4(
         sub_steps=sub_steps, v=v, interpret=interpret, raw_out=True,
         full_height=full_height, y0=y0, warm=warm,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
-        blk=blk,
+        blk=blk, n_sc=n_sc,
     )
     if warm:
         ts, fl, wa, we, ids_p = tr
@@ -1093,7 +1124,7 @@ def _render_frame4(
             sub_steps=sub_steps, v=v, interpret=interpret,
             per_ray=True, raw_out=True, warm=warm,
             s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
-            blk=blk,
+            blk=blk, n_sc=n_sc,
         )
         if warm:
             _, fls, _, _, ids_s = trs
@@ -1228,6 +1259,7 @@ def render_frame4(
     grouped=False,
     prepared=None,
     blk=_BLK,
+    n_sc=N_SC,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -1273,7 +1305,7 @@ def render_frame4(
         sub_steps=sub_steps, v=v, interpret=bool(interpret), raw_out=True,
         warm=warm, s_ins=int(s_ins), w_ins=int(w_ins),
         grouped=bool(grouped), prepacked=prepared is not None,
-        blk=int(blk),
+        blk=int(blk), n_sc=int(n_sc),
     )
     planes = (rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
               rg.sw_liq, rg.sw_pid)
@@ -1350,6 +1382,7 @@ def trace_wavefront4(
     return_cache=False,
     prepared=None,
     blk=_BLK,
+    n_sc=N_SC,
 ):
     """March one frame through the self-serving v4 kernel.
 
@@ -1387,7 +1420,7 @@ def trace_wavefront4(
         interpret=bool(interpret), s_ins=int(s_ins), w_ins=int(w_ins),
         grouped=bool(grouped),
         warm=bool(return_cache or cache is not None),
-        prepacked=prepared is not None, blk=int(blk),
+        prepacked=prepared is not None, blk=int(blk), n_sc=int(n_sc),
     )
     if return_cache:
         return out
