@@ -93,6 +93,28 @@ def _gather8(mrow, idx):
     return src[0:1]
 
 
+def _spread16(v):
+    """Spread the low 16 bits of each u32 to the even bit positions."""
+    u32 = jnp.uint32
+    v = v.astype(u32) & u32(0xFFFF)
+    v = (v | (v << 8)) & u32(0x00FF00FF)
+    v = (v | (v << 4)) & u32(0x0F0F0F0F)
+    v = (v | (v << 2)) & u32(0x33333333)
+    return (v | (v << 1)) & u32(0x55555555)
+
+
+def _interleave_gw(gw_jump, gw_liq):
+    """(jump|liquid)-pair global plane: bit i of word w in each input
+    becomes bits 2i/2i+1 of flat word 2w+(i>=16). Returned as [2,128]
+    rows (row 0 = flat words 0..127 = windows 0..2047). When nw³ <= 2048
+    the whole plane lives in row 0, so ONE in-kernel lane gather at word
+    w>>4, shift (w&15)*2 serves both flags (see _march_kernel4 gw_pair)."""
+    lo = _spread16(gw_jump) | (_spread16(gw_liq) << 1)
+    hi = _spread16(gw_jump >> 16) | (_spread16(gw_liq >> 16) << 1)
+    flat = jnp.stack([lo, hi], axis=-1).reshape(gw_jump.shape[0], 256)
+    return flat.reshape(2, 128)
+
+
 def _interleave_meta(m):
     """Meta words 0-1 (jump bits) + 2-3 (liquid bits) -> words 0-3
     with bit 2i = jump_i, 2i+1 = liq_i: ONE kernel gather yields both
@@ -128,13 +150,16 @@ W_INS = 2   # default window-meta fetches per in-kernel service round
 
 def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
-    s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC,
+    s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC, gw_pair=False,
 ):
     """One self-serving block program. Ref order:
 
     scal_ref  SMEM f32[27] (as v3: origin, v, proj, cam affine, y0,
               srd | step-cap | init | tx | ty)
-    gw_ref    VMEM u32[2,128]: global window jump | liquid bit rows
+    gw_ref    VMEM u32[2,128]: global window jump | liquid bit rows;
+              with ``gw_pair`` (nw³ <= 2048) row 0 holds the
+              (jump|liquid)-interleaved pair plane instead — one lane
+              gather per step serves both flags (5 gathers/step, not 6)
     sw_cont   ANY  u32[Ns³,7,128]: per-subwindow content (DMA source)
     wmeta_pad ANY  u32[Nw³,1,128]: per-window meta words 0-7 (DMA source)
     (per_ray) rays_ref VMEM f32[6,BLK,128]
@@ -260,8 +285,13 @@ def _march_kernel4(
         vz = jnp.floor(pz).astype(i32)
 
         w = (vx >> 6) + (vy >> 6) * nw + (vz >> 6) * nw * nw
-        g_jump = bit_of(gj_row, w >> 5, w & 31) != 0
-        g_liq = bit_of(gl_row, w >> 5, w & 31) != 0
+        if gw_pair:
+            g_bits = pair_of(gj_row, w >> 4, (w & 15) * 2)
+            g_jump = (g_bits & 1) != 0
+            g_liq = (g_bits & 2) != 0
+        else:
+            g_jump = bit_of(gj_row, w >> 5, w & 31) != 0
+            g_liq = bit_of(gl_row, w >> 5, w & 31) != 0
 
         wslot = jnp.full((blk, 128), -1, i32)
         for k in range(N_WC):
@@ -748,7 +778,7 @@ def _march4(
     scal, gw2, sw_cont, wmeta_pad, state,
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
-    n_sc=N_SC,
+    n_sc=N_SC, gw_pair=False,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
@@ -797,6 +827,7 @@ def _march4(
         _march_kernel4, sub_rounds=sub_rounds, sub_steps=sub_steps,
         rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm, n_sc=n_sc,
+        gw_pair=gw_pair,
     )
     u32 = jnp.uint32
     i32 = jnp.int32
@@ -884,7 +915,11 @@ def _trace_frame4(
         .at[26].set(jnp.float32(ty))
     )
 
-    gw2 = jnp.concatenate([gw_jump, gw_liq], axis=0)       # [2,128]
+    gw_pair = nw ** 3 <= 2048
+    if gw_pair:
+        gw2 = _interleave_gw(gw_jump, gw_liq)              # [2,128] pairs
+    else:
+        gw2 = jnp.concatenate([gw_jump, gw_liq], axis=0)   # [2,128]
 
     if prepacked:
         sw_cont, wmeta_pad = sw_cont_pre, wmeta_pre
@@ -957,7 +992,7 @@ def _trace_frame4(
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
-        n_sc=n_sc,
+        n_sc=n_sc, gw_pair=gw_pair,
     )
     ids_out = None
     if warm:

@@ -138,6 +138,7 @@ class RenderGrid3Builder:
         self._dirty_sw = set()
         self._dirty_w = set()
         self._dev = None  # cached device arrays
+        self._cached_rg = None  # identity-stable RenderGrid3 when clean
         self.palettes_ok = True
 
     # ------------------------------------------------------------ updates
@@ -255,7 +256,20 @@ class RenderGrid3Builder:
     # ------------------------------------------------------------- upload
 
     def grid(self) -> RenderGrid3:
-        """Current device RenderGrid3; uploads only dirty rows."""
+        """Current device RenderGrid3; uploads only dirty rows.
+
+        Identity-stable: consecutive calls with no intervening edits
+        return the SAME NamedTuple object, so callers can key derived
+        tokens (e.g. :func:`~..ops.wavefront4.prepare_grid4` packed
+        tables) on grid identity and re-derive only after real changes.
+        """
+        if (
+            self._cached_rg is not None
+            and not self._dirty_sw
+            and not self._dirty_w
+            and not self._rebuild_all_windows
+        ):
+            return self._cached_rg
         if self._dirty_w or self._rebuild_all_windows:
             wids = (range(self.nw ** 3) if self._rebuild_all_windows
                     else sorted(self._dirty_w))
@@ -293,7 +307,7 @@ class RenderGrid3Builder:
 
         zeros_i = jnp.zeros(1, jnp.int32)
         zeros_b = jnp.zeros((1, 16), jnp.uint32)
-        return RenderGrid3(
+        self._cached_rg = RenderGrid3(
             gw_jump=jnp.asarray(gw_jump),
             gw_liq=jnp.asarray(gw_liq),
             wmeta=self._dev["wmeta"],
@@ -309,3 +323,4 @@ class RenderGrid3Builder:
             size_voxels=self.v,
             palettes_ok=self.palettes_ok,
         )
+        return self._cached_rg
