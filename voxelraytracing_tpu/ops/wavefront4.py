@@ -227,12 +227,16 @@ def _march_kernel4(
     gj_row = jnp.broadcast_to(gw_ref[0:1, :], (blk, 128))
     gl_row = jnp.broadcast_to(gw_ref[1:2, :], (blk, 128))
 
-    def bit_of(row, word_i, sh):
-        wd = jnp.take_along_axis(row, jnp.clip(word_i, 0, 127), axis=1)
+    def bit_of(row, word_i, sh, bounded=False):
+        # ``bounded``: the index is structurally < 128 (e.g. l>>5 with
+        # l <= 4095) even for garbage lane values — skip the clip.
+        wi = word_i if bounded else jnp.clip(word_i, 0, 127)
+        wd = jnp.take_along_axis(row, wi, axis=1)
         return ((wd >> sh.astype(u32)) & 1).astype(i32)
 
-    def pair_of(row, word_i, sh):
-        wd = jnp.take_along_axis(row, jnp.clip(word_i, 0, 127), axis=1)
+    def pair_of(row, word_i, sh, bounded=False):
+        wi = word_i if bounded else jnp.clip(word_i, 0, 127)
+        wd = jnp.take_along_axis(row, wi, axis=1)
         return ((wd >> sh.astype(u32)) & 3).astype(i32)
 
     # ---- cache state carried through the round loop -------------------
