@@ -335,13 +335,10 @@ def config5():
     sun = (eye[0] + 900, 2500.0, eye[2] + 300)
     n_dev = len(jax.devices())
     key = jax.random.PRNGKey(1)
-    # temporal accumulation: samples spread over devices when a mesh exists
-    if n_dev > 1:
-        from voxelraytracing_tpu.parallel.render import make_mesh
-
-        mesh = make_mesh(n_samples=n_dev)
-        del mesh  # sample sharding exercised in parallel tests; time 1 chip here
-
+    # The perf number is single-chip (the only real hardware this runs
+    # on); sample sharding over a mesh is validated for shape/pixel
+    # correctness by tests/test_parallel.py and __graft_entry__'s
+    # multichip dryrun, not timed here.
     dt = _time(
         lambda: path_trace3(
             rg3, cam, mats, sun_pos=sun, bounces=4, samples=1, key=key,

@@ -319,6 +319,62 @@ def test_v4_render_frame_warm_matches_cold(scene):
     np.testing.assert_array_equal(np.asarray(warm), np.asarray(cold))
 
 
+def test_v4_fused_inkernel_shade_matches_split(scene):
+    """fused=True (shade inside the march kernel — one launch per frame,
+    the reference kernel's trace-and-shade-in-one-pass shape,
+    ray_tracer.wgsl:173-316) is pixel-identical to the split
+    march|shade dispatches, flags included."""
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+    rg3, _, mats = scene
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), step_cap=500, rounds=64,
+              with_flags=True)
+    for cfg in CAMS[:3]:
+        cam = CamData.create(cfg[0], cfg[1], 70.0, (64, 32))
+        a, afl = render_frame4(rg3, cam, mats.color, **kw)
+        b, bfl = render_frame4(rg3, cam, mats.color, fused=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(afl), np.asarray(bfl))
+
+
+def test_v4_fused_show_steps_matches_split(scene):
+    """The fused kernel's in-kernel step-count heatmap equals the split
+    path's (debug mode, ray_tracer.wgsl:311-314)."""
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+    rg3, _, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    kw = dict(step_cap=500, rounds=64, show_steps=True)
+    a = np.asarray(render_frame4(rg3, cam, mats.color, **kw))
+    b = np.asarray(render_frame4(rg3, cam, mats.color, fused=True, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_v4_fused_warm_and_prepared_match_cold(scene):
+    """Fused frames with a warm token and/or prepared tables are
+    pixel-identical to the cold unprepared fused frame."""
+    from voxelraytracing_tpu.ops.wavefront4 import (
+        prepare_grid4,
+        render_frame4,
+    )
+
+    rg3, _, mats = scene
+    prep = prepare_grid4(rg3)
+    cam_a = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    cam_b = CamData.create((30.0, 52.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), step_cap=500, rounds=96,
+              fused=True)
+    _, tok = render_frame4(rg3, cam_a, mats.color, return_cache=True, **kw)
+    assert tok[0] is not None
+    warm, tok2 = render_frame4(rg3, cam_b, mats.color, cache=tok,
+                               return_cache=True, prepared=prep, **kw)
+    cold = render_frame4(rg3, cam_b, mats.color, **kw)
+    np.testing.assert_array_equal(np.asarray(warm), np.asarray(cold))
+
+
 def test_v4_prepared_tables_bit_exact(scene):
     """prepare_grid4 tables reproduce the in-frame packing exactly: a
     prepared fused frame (shadows on) is pixel-identical to an

@@ -126,15 +126,26 @@ def test_find_land_near(gen):
 
 
 def test_peaks_are_strict_local_maxima(gen):
-    """A reported peak's feat-noise must exceed all 8 neighbors (gen.rs:244-261)."""
-    grids, aux = gen.terrain.generate_grids(np.asarray([[0, 1, 14]]))
-    peak = np.asarray(aux["peak"])[0]
-    if not peak.any():
-        pytest.skip("no peaks in this chunk")
+    """A reported peak's feat-noise must exceed all 8 neighbors (gen.rs:244-261).
+
+    The probe scans a deterministic list of surface chunks near the seed's
+    spawn land (seed 1234: land at voxel (160, 65, 0); chunk (3,2,-2)
+    carries 11 peaks) until one reports a peak, so the assertion always
+    runs — worldgen would have to produce ZERO vegetation peaks across all
+    four probes for this to fail, which would itself be a bug."""
+    probes = [(3, 2, -2), (4, 2, -2), (4, 2, -1), (5, 2, -1)]
+    cpos = peak = None
+    for p in probes:
+        grids, aux = gen.terrain.generate_grids(np.asarray([p]))
+        m = np.asarray(aux["peak"])[0]
+        if m.any():
+            cpos, peak = p, m
+            break
+    assert peak is not None, "no feature peaks in any probed chunk"
     fm = gen.terrain.feat_map
     xs, zs = np.nonzero(peak)
     x, z = int(xs[0]), int(zs[0])
-    wx, wz = 0 * CHUNK_SIZE + x, 14 * CHUNK_SIZE + z
+    wx, wz = cpos[0] * CHUNK_SIZE + x, cpos[2] * CHUNK_SIZE + z
     center = float(np.asarray(fm.sample(np.asarray([[wx, wz]], np.float32)))[0])
     for dx, dz in [(-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)]:
         nb = float(np.asarray(fm.sample(np.asarray([[wx+dx, wz+dz]], np.float32)))[0])

@@ -112,7 +112,7 @@ class EngineApp:
         world_size_chunks=30,
         server_program=None,
         fast_path=None,
-        fast_tracer="v3",
+        fast_tracer="v4",
     ):
         import jax
         import jax.numpy as jnp
@@ -134,10 +134,25 @@ class EngineApp:
         if fast_path is None:
             fast_path = jax.default_backend() == "tpu"
         self.fast_path = bool(fast_path)
-        # "v3" = round-serviced fused pipeline; "v4" = the self-serving
-        # kernel (ops/wavefront4.py) — one launch per pass
+        # "v4" (default) = the self-serving kernel (ops/wavefront4.py) —
+        # one launch per pass, the headline tracer; "v3" = the
+        # round-serviced fused pipeline (kept selectable: bit-exact, and
+        # its host round loop is easier to introspect per round)
         assert fast_tracer in ("v3", "v4"), fast_tracer
         self.fast_tracer = fast_tracer
+        # a window beyond the fused path's 32³-chunk global plane starts
+        # (not crashes) on the SVO tracer; resize_world() re-enables
+        self._fast_path_suspended = (
+            self.fast_path and game.world.size_in_chunks > 32
+        )
+        if self._fast_path_suspended:
+            from ..utils.log import get_logger
+
+            get_logger(__name__).warning(
+                "initial window %d > 32 chunks exceeds the fused path's "
+                "global plane; rendering falls back to the SVO tracer",
+                game.world.size_in_chunks,
+            )
         self._rg_builder = None
         self._rg_min = None
         # v4 frame tokens: packed HBM tables keyed on grid identity

@@ -151,45 +151,68 @@ W_INS = 2   # default window-meta fetches per in-kernel service round
 def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
     s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC, gw_pair=False,
+    fused=False, show_steps=False,
 ):
     """One self-serving block program. Ref order:
 
     scal_ref  SMEM f32[27] (as v3: origin, v, proj, cam affine, y0,
-              srd | step-cap | init | tx | ty)
+              srd | step-cap | init | tx | ty); with ``fused`` the row
+              extends to f32[43] with the shade params at the v3 shade
+              kernel's indices (27-29 sun_dir, 30 intensity, 31-33 sky)
     gw_ref    VMEM u32[2,128]: global window jump | liquid bit rows;
               with ``gw_pair`` (nw³ <= 2048) row 0 holds the
               (jump|liquid)-interleaved pair plane instead — one lane
               gather per step serves both flags (5 gathers/step, not 6)
+    (fused)   lut_ref VMEM f32[6,128]: color LUT rows r0 r1 g0 g1 b0 b1
     sw_cont   ANY  u32[Ns³,7,128]: per-subwindow content (DMA source)
     wmeta_pad ANY  u32[Nw³,1,128]: per-window meta words 0-7 (DMA source)
     (per_ray) rays_ref VMEM f32[6,BLK,128]
-    st_ref    VMEM f32[4,BLK,128]: ts | flags | wa | we
-    st_o      same 4 planes out
+    st_ref    VMEM f32[4,BLK,128]: ts | flags | wa | we (absent when
+              ``fused``: primary rays are synthesized in-kernel and no
+              state plane is streamed at all)
+    st_o      same 4 planes out; with ``fused`` instead pk_o u32[BLK,128]
+              (packed RGBA8, shaded in-kernel) + fl_o i32[BLK,128]
     scratch:  stage u32[S_INS,7,128], wstage u32[W_INS,1,128],
               ssem DMA[S_INS], wsem DMA[W_INS],
               csol u32[N_SC,128], cliq u32[N_SC,128], cpid u32[4*N_SC,128]
+
+    ``fused`` shades the march products in the same program — the
+    reference kernel's trace-AND-shade-in-one-pass shape
+    (ray_tracer.wgsl:173-316) — skipping the whole state-plane HBM
+    round-trip and the separate shade dispatch. Primary-only (no
+    per-ray bundles), no shadows.
     """
+    assert not (fused and per_ray), "fused shade is primary-only"
     refs = list(refs)
     scal_ref = refs.pop(0)
     gw_ref = refs.pop(0)
+    lut_ref = refs.pop(0) if fused else None
     swc_ref = refs.pop(0)
     wmp_ref = refs.pop(0)
     rays_ref = refs.pop(0) if per_ray else None
     warm_ref = refs.pop(0) if warm else None
-    st_ref = refs.pop(0)
-    st_o = refs.pop(0)
+    st_ref = None if fused else refs.pop(0)
+    if fused:
+        pk_o = refs.pop(0)
+        fl_o = refs.pop(0)
+        st_o = None
+    else:
+        pk_o = fl_o = None
+        st_o = refs.pop(0)
     ids_o = refs.pop(0) if warm else None
     stage, wstage, ssem, wsem, csol, cliq, cpid = refs
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     v = scal_ref[3]
     bigi = jnp.int32(_BIGI)
 
-    ts_ref = st_ref[0]
-    fl_in = jax.lax.bitcast_convert_type(st_ref[1], i32) - _FL_BIAS
-    wa_ref = st_ref[2]
-    we_ref = st_ref[3]
-
-    blk = ts_ref.shape[0]
+    if st_ref is not None:
+        ts_ref = st_ref[0]
+        fl_in = jax.lax.bitcast_convert_type(st_ref[1], i32) - _FL_BIAS
+        wa_ref = st_ref[2]
+        we_ref = st_ref[3]
+        blk = ts_ref.shape[0]
+    else:
+        blk = pk_o.shape[0]
     lanes = jax.lax.broadcasted_iota(i32, (blk, 128), 1)
     lane_row = jax.lax.broadcasted_iota(i32, (1, 128), 1)
 
@@ -306,10 +329,11 @@ def _march_kernel4(
             ((vx >> 4) & 3) + ((vy >> 4) & 3) * 4 + ((vz >> 4) & 3) * 16
         )
         # interleaved meta (see _interleave_meta): bit 2i jump, 2i+1 liq
-        # of subwindow i — one gather for both flags
+        # of subwindow i — one gather for both flags. mbase <= 7*8+3 < 128
+        # structurally (wslot < N_WC, s_loc < 64), so the clip is skipped.
         mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 4)
         wm_b = jnp.broadcast_to(wm_row, (blk, 128))
-        sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2)
+        sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2, bounded=True)
         sw_jump = (sw_pair & 1) != 0
         sw_liq = (sw_pair & 2) != 0
 
@@ -384,16 +408,19 @@ def _march_kernel4(
         active = active & inw & (stp < step_cap)
 
         at_ts = s == tsid
+        # bbase <= 15*8+3 < 128 and l >> 5 <= 4095 >> 5 = 127 structurally
+        # (even for garbage lanes: every term is &-masked), so the gather
+        # clips are skipped (bounded=True).
         b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
         bbase = (tslot & 15) * 8 + (b_loc >> 4)
         sm_b = sm_sel(sm_row, tslot)
-        br_pair = pair_of(sm_b, bbase, (b_loc & 15) * 2)
+        br_pair = pair_of(sm_b, bbase, (b_loc & 15) * 2, bounded=True)
         br_jump = (br_pair & 1) != 0
         br_liq = (br_pair & 2) != 0
 
         l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
-        vsolid = bit_of(solid_row, l >> 5, l & 31) != 0
-        vliq = bit_of(liq_row, l >> 5, l & 31) != 0
+        vsolid = bit_of(solid_row, l >> 5, l & 31, bounded=True) != 0
+        vliq = bit_of(liq_row, l >> 5, l & 31, bounded=True) != 0
 
         case1 = active & g_jump
         case2 = active & ~g_jump & (wslot >= 0) & sw_jump
@@ -458,10 +485,11 @@ def _march_kernel4(
         vy = jnp.floor(oy + dy * t).astype(i32)
         vz = jnp.floor(oz + dz * t).astype(i32)
         l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
-        pidx = bit_of(pid_rows[0], l >> 5, l & 31)
-        pidx = pidx | (bit_of(pid_rows[1], l >> 5, l & 31) << 1)
-        pidx = pidx | (bit_of(pid_rows[2], l >> 5, l & 31) << 2)
-        pidx = pidx | (bit_of(pid_rows[3], l >> 5, l & 31) << 3)
+        li, lsh = l >> 5, l & 31  # l <= 4095 structurally -> bounded gathers
+        pidx = bit_of(pid_rows[0], li, lsh, bounded=True)
+        pidx = pidx | (bit_of(pid_rows[1], li, lsh, bounded=True) << 1)
+        pidx = pidx | (bit_of(pid_rows[2], li, lsh, bounded=True) << 2)
+        pidx = pidx | (bit_of(pid_rows[3], li, lsh, bounded=True) << 3)
         sm_b = sm_sel(sm_row, tslot)
         pal_w = jnp.take_along_axis(
             sm_b, jnp.clip((tslot & 15) * 8 + 4 + (pidx >> 2), 0, 127),
@@ -621,9 +649,101 @@ def _march_kernel4(
     act0 = jnp.where(inw0 & (ts0 < t_exit), act0, 0)
     any_active = jnp.any(act0 != 0)
 
+    def encode_flags(c):
+        sgn_bits = (
+            sx.astype(i32)
+            | (sy.astype(i32) << 1)
+            | (sz.astype(i32) << 2)
+        )
+        return (
+            c[1]
+            | (c[2] << _FL_HIT)
+            | (c[3] << _FL_AX)
+            | (jnp.minimum(c[7], 0xFFF) << _FL_STP)
+            | (c[4] << _FL_VOX)
+            | (sgn_bits << _FL_SGN)
+        )
+
+    def shade_store(c):
+        """In-kernel shade epilogue (fused mode): same op order as the v3
+        _shade_kernel (wavefront3.py:1849) so the packed RGBA8 is
+        bit-exact vs the split march|shade dispatches."""
+        t, _a, hit_i, axm, vox, wat, wen, stp = c
+        hit = hit_i != 0
+        t_stop = jnp.minimum(t, t_exit)
+        water = wat + jnp.where(wen >= 0.0, t_stop - wen, 0.0)
+        lo = vox & 127
+        hi = vox >> 7
+
+        def chan(r0, r1):
+            a = jnp.take_along_axis(
+                jnp.broadcast_to(r0, (blk, 128)), lo, axis=1)
+            b = jnp.take_along_axis(
+                jnp.broadcast_to(r1, (blk, 128)), lo, axis=1)
+            return jnp.where(hi != 0, b, a)
+
+        cr = chan(lut_ref[0:1], lut_ref[1:2])
+        cg = chan(lut_ref[2:3], lut_ref[3:4])
+        cb = chan(lut_ref[4:5], lut_ref[5:6])
+        tint = jnp.where((axm & 1) != 0, f32(0.5), f32(1.0))
+        tint = tint * jnp.where((axm & 4) != 0, f32(0.7), f32(1.0))
+        bottom = ((axm & 2) != 0) & (dy > 0.0)
+        tint = tint * jnp.where(bottom, f32(0.2), f32(1.0))
+        cr = cr * tint
+        cg = cg * tint
+        cb = cb * tint
+        if show_steps:
+            max_steps = rounds_cap * sub_rounds * sub_steps
+            fstep = jnp.clip(stp.astype(f32) / f32(max_steps), 0.0, 1.0)
+            cr = fstep
+            cg = fstep
+            cb = fstep
+
+        def sstep(e0, e1, x):
+            q = jnp.clip((x - e0) * (1.0 / (e1 - e0)), 0.0, 1.0)
+            return q * q * (3.0 - 2.0 * q)
+
+        gts = sstep(-0.01, 0.0, dy)
+        grad_t = sstep(0.0, 0.4, dy) ** 0.35
+        sun_dot = (dx * scal_ref[27] + dy * scal_ref[28]
+                   + dz * scal_ref[29])
+        sun = (
+            ((sun_dot > (1.0 - 0.01)) & (gts >= 1.0)).astype(f32)
+            * scal_ref[30]
+        )
+
+        def sky_chan(h, vd, sc):
+            g = h + (sc - h) * grad_t
+            return vd + (g - vd) * gts + sun
+
+        sr = sky_chan(f32(1.0), f32(0.03), scal_ref[31])
+        sg = sky_chan(f32(0.3), f32(0.03), scal_ref[32])
+        sb = sky_chan(f32(0.0), f32(0.03), scal_ref[33])
+        r = jnp.where(hit, cr, sr)
+        g = jnp.where(hit, cg, sg)
+        b = jnp.where(hit, cb, sb)
+        factor = jnp.clip(water * (1.0 / 14.0), 0.8, 1.0)
+        wet = water != 0.0
+        r = jnp.where(wet, r * (1.0 - factor) + 0.2 * factor, r)
+        g = jnp.where(wet, g * (1.0 - factor) + 0.5 * factor, g)
+        b = jnp.where(wet, b * (1.0 - factor) + 1.0 * factor, b)
+
+        def q8(cch):
+            return (
+                jnp.clip(cch, 0.0, 1.0) * 255.0
+            ).astype(i32).astype(u32)
+
+        pk_o[:, :] = (
+            q8(r) | (q8(g) << 8) | (q8(b) << 16) | u32(0xFF000000)
+        )
+        fl_o[:, :] = encode_flags(c)
+
     @pl.when(jnp.logical_not(any_active))
     def _():
-        st_o[:] = st_ref[:]
+        if fused:
+            shade_store((ts0, act0, hit0, ax0, vox0, wa0, we0, stp0))
+        else:
+            st_o[:] = st_ref[:]
         if warm:
             ids_o[:] = warm_ref[:]   # keep the caller's token for the block
 
@@ -759,30 +879,22 @@ def _march_kernel4(
             ids_o[0, 0, :] = sid_row[0]
             ids_o[0, 1, :] = wid_row[0]
 
-        sgn_bits = (
-            sx.astype(i32)
-            | (sy.astype(i32) << 1)
-            | (sz.astype(i32) << 2)
-        )
-        fl_out = (
-            c[1]
-            | (c[2] << _FL_HIT)
-            | (c[3] << _FL_AX)
-            | (jnp.minimum(c[7], 0xFFF) << _FL_STP)
-            | (c[4] << _FL_VOX)
-            | (sgn_bits << _FL_SGN)
-        )
-        st_o[0, :, :] = c[0]
-        st_o[1, :, :] = jax.lax.bitcast_convert_type(fl_out + _FL_BIAS, f32)
-        st_o[2, :, :] = c[5]
-        st_o[3, :, :] = c[6]
+        if fused:
+            shade_store(c)
+        else:
+            fl_out = encode_flags(c)
+            st_o[0, :, :] = c[0]
+            st_o[1, :, :] = jax.lax.bitcast_convert_type(
+                fl_out + _FL_BIAS, f32)
+            st_o[2, :, :] = c[5]
+            st_o[3, :, :] = c[6]
 
 
 def _march4(
     scal, gw2, sw_cont, wmeta_pad, state,
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
-    n_sc=N_SC, gw_pair=False,
+    n_sc=N_SC, gw_pair=False, lut=None, show_steps=False, T=None,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
@@ -791,8 +903,16 @@ def _march4(
     — bigger blocks amortize the ~24 us/program floor over more rays).
     ``n_sc``: subwindow cache slots per block (16..128, multiple of 16):
     oblique 1080p blocks touch ~40-80 subwindows, so a 16-slot cache
-    costs ~4-6 full-replacement serve rounds per block."""
-    T = state.shape[1]
+    costs ~4-6 full-replacement serve rounds per block.
+
+    Fused mode (``lut`` passed, ``state`` None, ``T`` given): shade
+    in-kernel; no state planes are streamed at all — returns
+    (packed u32[T,128], flags i32[T,128]) (+ ids' when warm)."""
+    fused = lut is not None
+    if fused:
+        assert state is None and rays is None and T is not None
+    else:
+        T = state.shape[1]
     blk = int(blk)
     n_sc = int(n_sc)
     assert blk % _BLK == 0 and T % blk == 0, (blk, T)
@@ -809,6 +929,10 @@ def _march4(
         return pl.BlockSpec((p, blk, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
+    def vspec():
+        return pl.BlockSpec((blk, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
     ispec = pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [
@@ -819,28 +943,42 @@ def _march4(
         pl.BlockSpec(memory_space=pl.ANY),             # wmeta_pad (HBM)
     ]
     args = [scal, gw2, sw_cont, wmeta_pad]
+    if fused:
+        in_specs.insert(2, pl.BlockSpec((6, 128), lambda i: (0, 0),
+                                        memory_space=pltpu.VMEM))
+        args.insert(2, lut)
     if per_ray:
         in_specs.append(pspec(6))
         args.append(rays)
     if warm:
         in_specs.append(ispec)
         args.append(warm_ids)
-    in_specs.append(pspec(4))
-    args.append(state)
+    if not fused:
+        in_specs.append(pspec(4))
+        args.append(state)
     kern = partial(
         _march_kernel4, sub_rounds=sub_rounds, sub_steps=sub_steps,
         rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm, n_sc=n_sc,
-        gw_pair=gw_pair,
+        gw_pair=gw_pair, fused=fused, show_steps=show_steps,
     )
     u32 = jnp.uint32
     i32 = jnp.int32
-    out_specs = pspec(4)
-    out_shape = jax.ShapeDtypeStruct((4, T, 128), f32)
-    if warm:
-        out_specs = (out_specs, ispec)
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((T // blk, 2, 128), i32))
+    if fused:
+        out_specs = (vspec(), vspec())
+        out_shape = (jax.ShapeDtypeStruct((T, 128), u32),
+                     jax.ShapeDtypeStruct((T, 128), i32))
+        if warm:
+            out_specs = out_specs + (ispec,)
+            out_shape = out_shape + (
+                jax.ShapeDtypeStruct((T // blk, 2, 128), i32),)
+    else:
+        out_specs = pspec(4)
+        out_shape = jax.ShapeDtypeStruct((4, T, 128), f32)
+        if warm:
+            out_specs = (out_specs, ispec)
+            out_shape = (out_shape,
+                         jax.ShapeDtypeStruct((T // blk, 2, 128), i32))
     # warm prefetch stages a full cache wave; size the staging for it
     n_stage = max(s_ins, n_sc) if warm else s_ins
     n_wstage = max(w_ins, N_WC) if warm else w_ins
@@ -1038,6 +1176,111 @@ def _trace_frame4(
         steps=ut(steps.astype(i32)),
     )
     return (res, ids_out) if warm else res
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
+        "interpret", "show_steps", "full_height", "warm", "with_flags",
+        "s_ins", "w_ins", "grouped", "prepacked", "blk", "n_sc",
+    ),
+)
+def _frame_fused4(
+    gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid,
+    origin, inv_view, inv_proj, lut,
+    sky_color, sun_pos_local, sun_intensity,
+    rounds=64, step_cap=None, warm_ids=None,
+    sw_cont_pre=None, wmeta_pre=None,
+    *, width, height, sub_rounds, sub_steps, v, interpret,
+    show_steps=False, full_height=None, y0=0.0, warm=False,
+    with_flags=False, s_ins=S_INS, w_ins=W_INS, grouped=False,
+    prepacked=False, blk=_BLK, n_sc=N_SC,
+):
+    """One fused v4 frame: trace AND shade in a single kernel launch —
+    the reference kernel's one-pass shape (ray_tracer.wgsl:173-316).
+    Primary rays only, no shadows; returns packed u32[H,W] RGBA8
+    (+ flags i32[H,W] when ``with_flags``, + the warm ids token).
+    Bit-exact vs the split march|shade dispatches (same shade op order);
+    skips the 33 MB/frame state-plane HBM round-trip and the shade
+    dispatch entirely."""
+    full_height = height if full_height is None else full_height
+    f32, i32 = jnp.float32, jnp.int32
+    tx = width // TILE_W
+    ty = height // TILE_H
+    nsx, nsy, T = _sb_dims(tx, ty)
+    T_pad = ((T + blk - 1) // blk) * blk
+    n_sub = (sw_cont_pre if prepacked else sw_solid).shape[0]
+    ns = int(round(n_sub ** (1 / 3)))
+    while ns * ns * ns < n_sub:
+        ns += 1
+    nw = ns // 4
+
+    origin = jnp.asarray(origin, f32)
+    scal = _cam_scal(
+        origin, jnp.asarray(inv_view, f32), jnp.asarray(inv_proj, f32),
+        v, width, full_height, y0,
+    )
+    cap = jnp.asarray(step_cap, f32)
+    scal = (
+        scal.at[22].set(jnp.float32(sub_rounds))
+        .at[23].set(cap)
+        .at[24].set(1.0)
+        .at[25].set(jnp.float32(tx))
+        .at[26].set(jnp.float32(ty))
+    )
+    sv = sun_pos_local - origin
+    sun_dir = sv / jnp.linalg.norm(sv)
+    scal = jnp.concatenate([
+        scal,
+        sun_dir,
+        jnp.asarray(sun_intensity, f32).reshape(1),
+        jnp.asarray(sky_color, f32),
+        jnp.zeros(9, f32),
+    ])
+
+    gw_pair = nw ** 3 <= 2048
+    if gw_pair:
+        gw2 = _interleave_gw(gw_jump, gw_liq)
+    else:
+        gw2 = jnp.concatenate([gw_jump, gw_liq], axis=0)
+    if prepacked:
+        sw_cont, wmeta_pad = sw_cont_pre, wmeta_pre
+    else:
+        sw_cont, wmeta_pad = _pack_tables4(
+            wmeta, sw_meta, sw_solid, sw_liq, sw_pid
+        )
+
+    if warm:
+        wtok = (
+            warm_ids if warm_ids is not None
+            else jnp.full((T_pad // blk, 2, 128), -1, i32)
+        )
+    else:
+        wtok = None
+    out = _march4(
+        scal, gw2, sw_cont, wmeta_pad, None,
+        sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
+        nw=nw, ns=ns, nsx=nsx, interpret=interpret,
+        s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
+        n_sc=n_sc, gw_pair=gw_pair, lut=lut, show_steps=show_steps,
+        T=T_pad,
+    )
+    if warm:
+        pk, fl, ids_out = out
+    else:
+        pk, fl = out
+        ids_out = None
+    if T_pad != T:
+        pk = pk[:T]
+        fl = fl[:T]
+    img = _untile_hw(pk, tx, ty, width, height)
+    ret = (img,)
+    if with_flags:
+        ret = ret + (_untile_hw(fl, tx, ty, width, height),)
+    if warm:
+        ret = ret + (ids_out,)
+    return ret if len(ret) > 1 else ret[0]
 
 
 class PreparedGrid4(NamedTuple):
@@ -1299,6 +1542,7 @@ def render_frame4(
     prepared=None,
     blk=_BLK,
     n_sc=N_SC,
+    fused=False,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -1307,7 +1551,11 @@ def render_frame4(
     safety bound. ``cache``/``return_cache``: warm-start token pair
     (primary, shadow) of per-block cache-ID planes — see
     :func:`trace_wavefront4`. ``prepared``: a :func:`prepare_grid4`
-    token; skips the ~6.7 ms/frame table packing for static worlds."""
+    token; skips the ~6.7 ms/frame table packing for static worlds.
+    ``fused`` (primary-only; requires ``shadows=False``): shade inside
+    the march kernel itself — ONE launch for the whole frame, the
+    reference kernel's shape (ray_tracer.wgsl:173-316); bit-exact vs
+    the split dispatches."""
     from .wavefront3 import color_lut_rows
 
     width, height = cam.proj_size
@@ -1348,6 +1596,32 @@ def render_frame4(
     )
     planes = (rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
               rg.sw_liq, rg.sw_pid)
+
+    if fused:
+        assert not shadows, "fused shade is primary-only (shadows=False)"
+        out = _frame_fused4(
+            *planes, origin, iv, ip, lut,
+            jnp.asarray(sky_color, f32), sun_local,
+            jnp.float32(sun_intensity),
+            rounds, capf, wc_p, spre, wpre,
+            width=width, height=height, sub_rounds=sub_rounds,
+            sub_steps=sub_steps, v=v, interpret=bool(interpret),
+            show_steps=bool(show_steps), warm=warm,
+            with_flags=bool(with_flags), s_ins=int(s_ins),
+            w_ins=int(w_ins), grouped=bool(grouped),
+            prepacked=prepared is not None, blk=int(blk), n_sc=int(n_sc),
+        )
+        if not isinstance(out, tuple):
+            out = (out,)
+        out = list(out)
+        img = out.pop(0)
+        fl_img = out.pop(0) if with_flags else None
+        ids_p = out.pop(0) if warm else None
+        ret = (img, fl_img) if with_flags else (img,)
+        if return_cache:
+            ret = ret + ((ids_p, wc_s),)
+        return ret if len(ret) > 1 else ret[0]
+
     tr = _trace_frame4(
         *planes, origin, iv, ip, z, z, z, rounds, capf, wc_p, spre, wpre,
         **common,
