@@ -122,6 +122,28 @@ def main():
 
     import os
 
+    # Orbit cameras for the sustained moving-camera metric: the warm-start
+    # token is only honest if it survives a changing view (the reference's
+    # real workload is a player flying through the world, main.rs:681-721).
+    # One full revolution around the world center at terrain-skimming
+    # height, all host-side NumPy (CamData is host data).
+    n_orbit = 48
+    cx = cz = world_voxels * 0.5
+    orbit_cams = []
+    for i in range(n_orbit):
+        a = 360.0 * i / n_orbit
+        r = world_voxels * 0.35
+        eye = (
+            cx + r * np.cos(np.deg2rad(a)),
+            world_voxels * 0.72,
+            cz + r * np.sin(np.deg2rad(a)),
+        )
+        # look inward and slightly down
+        orbit_cams.append(CamData.create(
+            rot_deg=(30.0, (a + 180.0) % 360.0, 0.0), eye=eye,
+            fov_deg=70.0, proj_size=(WIDTH, HEIGHT),
+        ))
+
     if os.environ.get("VOXELTPU_TRACER", "v4") == "v4":
         from voxelraytracing_tpu.ops.wavefront4 import (
             prepare_grid4,
@@ -130,20 +152,25 @@ def main():
 
         prepared = prepare_grid4(rgrid)  # pack HBM tables once (static world)
 
-        def frame(tok):
+        def frame(tok, cam=cam):
             # v4 warm-start token: last frame's per-block cache IDS;
             # the kernel prefetches them in one DMA wave and skips most
             # cold serve rounds (rounds stays a safety bound).
             # steps_per_round=256: sub-rounds have a fixed-point early
             # exit, so a bigger in-kernel budget only helps (sustained
             # sweep: 91 vs 85 Mrays/s at the 128 default).
+            # fused=True: shade inside the march kernel — ONE launch per
+            # frame, the reference kernel's shape (ray_tracer.wgsl
+            # update() traces AND shades in one pass). Bit-exact vs the
+            # split dispatches (tests/test_wavefront4.py) and ~1.23x
+            # faster at 1080p (experiments/v4_fused_probe.py).
             return render_frame4(
                 rgrid, cam, lut, rounds=64, step_cap=STEP_CAP,
                 steps_per_round=256, prepared=prepared,
-                cache=tok, return_cache=True,
+                cache=tok, return_cache=True, fused=True,
             )
     else:
-        def frame(tok):
+        def frame(tok, cam=cam):
             return render_frame3(
                 rgrid, cam, lut, rounds=ROUNDS, step_cap=STEP_CAP,
                 cache=tok, return_cache=True,
@@ -179,6 +206,32 @@ def main():
             break
 
     mrays = WIDTH * HEIGHT * frames / elapsed / 1e6
+
+    # Moving-camera sustained throughput: one orbit step per frame, warm
+    # tokens carried frame-to-frame exactly as EngineApp does. This is the
+    # reference's actual workload shape (a player flying through the
+    # world, main.rs:681-721) and guards against the static number ever
+    # being an artifact of re-warming one frozen view.
+    print("# orbit timing...", file=sys.stderr, flush=True)
+    o_tokens = [tok0] * stride
+    last, o_tokens[0] = frame(o_tokens[0], cam=orbit_cams[0])
+    jax.block_until_ready(last)
+    o_frames = 0
+    t0 = time.perf_counter()
+    while True:
+        last = None
+        for i in range(batch):
+            last, o_tokens[i % stride] = frame(
+                o_tokens[i % stride],
+                cam=orbit_cams[(o_frames + i) % len(orbit_cams)],
+            )
+        jax.block_until_ready(last)
+        o_frames += batch
+        o_elapsed = time.perf_counter() - t0
+        if o_elapsed > 5.0 or o_frames >= 4 * batch:
+            break
+    o_mrays = WIDTH * HEIGHT * o_frames / o_elapsed / 1e6
+
     # No device readback at all: even a 4-byte D2H can stall for minutes
     # after sustained dispatch activity on this runtime. Image correctness
     # is covered by tests/test_wavefront.py (CPU backend, exact checks).
@@ -190,6 +243,8 @@ def main():
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
                 "frames": frames,
+                "orbit_mrays": round(o_mrays, 3),
+                "orbit_frames": o_frames,
             }
         )
     )

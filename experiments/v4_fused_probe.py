@@ -110,6 +110,71 @@ def main():
               f"mismatch frac: {(a != b).mean():.5f}", flush=True)
         return 0
 
+    if stage == "wp_compile":
+        # lower+compile the warm_pre (hoisted warm-cache gather) variant:
+        # warm tokens become XLA row-gathers feeding pipelined block
+        # inputs instead of an in-kernel DMA wave
+        rgrid, mats, lut = build(2)
+        cam = cam_for(rgrid, 64, 32)
+        t0 = time.time()
+        img, tok = render_frame4(
+            rgrid, cam, lut, rounds=64, step_cap=500, interpret=False,
+            fused=True, return_cache=True, warm_gather=True,
+        )
+        jax.block_until_ready(img)
+        # second frame exercises the warm_pre branch (cache provided)
+        img2, _ = render_frame4(
+            rgrid, cam, lut, rounds=64, step_cap=500, interpret=False,
+            fused=True, cache=tok, return_cache=True, warm_gather=True,
+        )
+        jax.block_until_ready(img2)
+        print(f"# warm_pre compiled+ran tiny in {time.time() - t0:.1f}s",
+              flush=True)
+        return 0
+
+    if stage == "wp_cmp":
+        # warm frame with hoisted gather vs in-kernel DMA wave must be
+        # pixel-identical given the same cache token (two D2H at exit)
+        rgrid, mats, lut = build(2)
+        cam = cam_for(rgrid, 64, 32)
+        _, tok = render_frame4(
+            rgrid, cam, lut, rounds=64, step_cap=500, fused=True,
+            return_cache=True,
+        )
+        a, _ = render_frame4(rgrid, cam, lut, rounds=64, step_cap=500,
+                             fused=True, cache=tok, return_cache=True,
+                             warm_gather=False)
+        b, _ = render_frame4(rgrid, cam, lut, rounds=64, step_cap=500,
+                             fused=True, cache=tok, return_cache=True,
+                             warm_gather=True)
+        a, b = np.asarray(a), np.asarray(b)
+        print(f"# identical: {(a == b).all()}  "
+              f"mismatch frac: {(a != b).mean():.5f}", flush=True)
+        return 0
+
+    if stage == "wp_time":
+        from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
+
+        rgrid, mats, lut = build(8)
+        cam = cam_for(rgrid, 1920, 1080)
+        prep = prepare_grid4(rgrid)
+        jax.block_until_ready(prep)
+        kw = dict(rounds=64, step_cap=500, steps_per_round=256,
+                  prepared=prep, return_cache=True, fused=True)
+
+        def dma(tok):
+            return render_frame4(rgrid, cam, lut, cache=tok,
+                                 warm_gather=False, **kw)
+
+        def pre(tok):
+            return render_frame4(rgrid, cam, lut, cache=tok,
+                                 warm_gather=True, **kw)
+
+        ms_d = sustained("fused warm via in-kernel DMA", dma)
+        ms_p = sustained("fused warm via hoisted gather", pre)
+        print(f"# pre/dma: {ms_p / ms_d:.3f}", flush=True)
+        return 0
+
     if stage == "time":
         from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
 

@@ -319,6 +319,30 @@ def test_v4_render_frame_warm_matches_cold(scene):
     np.testing.assert_array_equal(np.asarray(warm), np.asarray(cold))
 
 
+def test_v4_warm_gather_matches_inkernel_dma(scene):
+    """The hoisted warm-cache path (warm_gather=True: XLA row-gathers the
+    previous frame's cache contents and streams them in as pipelined
+    block inputs) is pixel-identical to the in-kernel DMA prefetch wave
+    (warm_gather=False) given the same cache token."""
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+    rg3, _, mats = scene
+    cam_a = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    cam_b = CamData.create((30.0, 52.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    for fused in (False, True):
+        kw = dict(sun_pos=(1000.0, 2500.0, 500.0), shadows=not fused,
+                  step_cap=500, rounds=96, fused=fused)
+        _, tok = render_frame4(rg3, cam_a, mats.color, return_cache=True,
+                               **kw)
+        a, _ = render_frame4(rg3, cam_b, mats.color, cache=tok,
+                             return_cache=True, warm_gather=False, **kw)
+        b, _ = render_frame4(rg3, cam_b, mats.color, cache=tok,
+                             return_cache=True, warm_gather=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_v4_fused_inkernel_shade_matches_split(scene):
     """fused=True (shade inside the march kernel — one launch per frame,
     the reference kernel's trace-and-shade-in-one-pass shape,

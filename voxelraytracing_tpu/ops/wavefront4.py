@@ -151,7 +151,7 @@ W_INS = 2   # default window-meta fetches per in-kernel service round
 def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
     s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC, gw_pair=False,
-    fused=False, show_steps=False,
+    fused=False, show_steps=False, warm_pre=False,
 ):
     """One self-serving block program. Ref order:
 
@@ -191,6 +191,12 @@ def _march_kernel4(
     wmp_ref = refs.pop(0)
     rays_ref = refs.pop(0) if per_ray else None
     warm_ref = refs.pop(0) if warm else None
+    # hoisted warm-cache planes: the previous frame's cache CONTENTS,
+    # row-gathered by XLA outside the kernel and streamed in as ordinary
+    # pipelined block inputs — zero in-kernel DMA issue/wait cost at
+    # round 0 (the ~24 us/program floor was mostly this prefetch wave)
+    swcw_ref = refs.pop(0) if (warm and warm_pre) else None
+    wmpw_ref = refs.pop(0) if (warm and warm_pre) else None
     st_ref = None if fused else refs.pop(0)
     if fused:
         pk_o = refs.pop(0)
@@ -755,7 +761,35 @@ def _march_kernel4(
         # always re-fetched, so world edits are safe — the token carries
         # no geometry). One batched DMA wave replaces ~most cold serve
         # rounds on temporally coherent frames.
-        if warm:
+        if warm and warm_pre:
+            # contents pre-gathered by XLA and pipelined in as block
+            # inputs: no DMA issue/wait at all — just merge
+            wm_w, sm_w = wm0, sm0
+            wid_w, sid_w = wid0, sid0
+            for k in range(N_WC):
+                widk = warm_ref[0, 1, k]
+                okk = widk >= 0
+                mrow = wmpw_ref[0, k]
+                slot8 = k * 8
+                src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
+                sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
+                wm_w = jnp.where(sel, src, wm_w)
+                wid_w = jnp.where((wrow_iota == k) & okk, widk, wid_w)
+            for k in range(n_sc):
+                sidk = warm_ref[0, 0, k]
+                okk = sidk >= 0
+
+                @pl.when(okk)
+                def _(k=k):
+                    csol[pl.ds(k, 1)] = swcw_ref[0, k, 0:1]
+                    cliq[pl.ds(k, 1)] = swcw_ref[0, k, 1:2]
+                    cpid[pl.ds(k * 4, 4)] = swcw_ref[0, k, 2:6]
+
+                mrow = swcw_ref[0, k, 6:7]
+                sm_w = sm_merge(sm_w, mrow, k, okk)
+                sid_w = jnp.where((srow_iota == k) & okk, sidk, sid_w)
+            cch_init = (wid_w, sid_w, wm_w, sm_w)
+        elif warm:
             wm_w, sm_w = wm0, sm0
             wid_w, sid_w = wid0, sid0
             wpk = []
@@ -895,6 +929,7 @@ def _march4(
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
     n_sc=N_SC, gw_pair=False, lut=None, show_steps=False, T=None,
+    warm_gather=False,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
@@ -950,9 +985,40 @@ def _march4(
     if per_ray:
         in_specs.append(pspec(6))
         args.append(rays)
+    warm_pre = warm and warm_gather
     if warm:
         in_specs.append(ispec)
         args.append(warm_ids)
+    if warm_pre:
+        # Hoist the warm-start cache fetch out of the kernel: row-gather
+        # last frame's cache contents with XLA and stream them in as
+        # pipelined block inputs instead of the in-kernel prefetch DMA
+        # wave. NEGATIVE RESULT on chip (experiments/v4_fused_probe.py
+        # wp_time, 1080p fused+prepared): 16.93 ms/frame hoisted vs
+        # 15.68 ms in-kernel — the XLA gather of [nB, n_sc, 7, 128] +
+        # [nB, N_WC, 1, 128] costs more HBM traffic than the ~1 us-each
+        # scattered DMAs it replaces, because every block re-reads 7 KiB
+        # x n_sc whether or not the row is already cached. Kept as a
+        # tested knob (default False); both paths pixel-identical
+        # (tests/test_wavefront4.py::test_v4_warm_gather_matches_inkernel_dma,
+        # wp_cmp on chip).
+        nB = T // blk
+        sids = jnp.maximum(warm_ids[:, 0, :n_sc], 0)        # [nB, n_sc]
+        wids = jnp.maximum(warm_ids[:, 1, :N_WC], 0)        # [nB, N_WC]
+        swc_warm = jnp.take(sw_cont, sids.reshape(-1), axis=0).reshape(
+            nB, n_sc, 7, 128
+        )
+        wmp_warm = jnp.take(wmeta_pad, wids.reshape(-1), axis=0).reshape(
+            nB, N_WC, 1, 128
+        )
+        in_specs.append(pl.BlockSpec(
+            (1, n_sc, 7, 128), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(swc_warm)
+        in_specs.append(pl.BlockSpec(
+            (1, N_WC, 1, 128), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(wmp_warm)
     if not fused:
         in_specs.append(pspec(4))
         args.append(state)
@@ -961,6 +1027,7 @@ def _march4(
         rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm, n_sc=n_sc,
         gw_pair=gw_pair, fused=fused, show_steps=show_steps,
+        warm_pre=warm_pre,
     )
     u32 = jnp.uint32
     i32 = jnp.int32
@@ -979,9 +1046,10 @@ def _march4(
             out_specs = (out_specs, ispec)
             out_shape = (out_shape,
                          jax.ShapeDtypeStruct((T // blk, 2, 128), i32))
-    # warm prefetch stages a full cache wave; size the staging for it
-    n_stage = max(s_ins, n_sc) if warm else s_ins
-    n_wstage = max(w_ins, N_WC) if warm else w_ins
+    # the in-kernel warm prefetch stages a full cache wave; with the
+    # hoisted (warm_pre) path the staging only serves mid-frame rounds
+    n_stage = max(s_ins, n_sc) if (warm and not warm_pre) else s_ins
+    n_wstage = max(w_ins, N_WC) if (warm and not warm_pre) else w_ins
     return pl.pallas_call(
         kern,
         grid=(T // blk,),
@@ -1010,6 +1078,7 @@ def _march4(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
         "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk", "n_sc",
+        "warm_gather",
     ),
 )
 def _trace_frame4(
@@ -1020,7 +1089,7 @@ def _trace_frame4(
     *, width, height, sub_rounds, sub_steps, v, interpret,
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
-    blk=_BLK, n_sc=N_SC,
+    blk=_BLK, n_sc=N_SC, warm_gather=False,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel).
@@ -1134,6 +1203,7 @@ def _trace_frame4(
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
+        warm_gather=warm_gather,
         n_sc=n_sc, gw_pair=gw_pair,
     )
     ids_out = None
@@ -1184,6 +1254,7 @@ def _trace_frame4(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "show_steps", "full_height", "warm", "with_flags",
         "s_ins", "w_ins", "grouped", "prepacked", "blk", "n_sc",
+        "warm_gather",
     ),
 )
 def _frame_fused4(
@@ -1195,7 +1266,7 @@ def _frame_fused4(
     *, width, height, sub_rounds, sub_steps, v, interpret,
     show_steps=False, full_height=None, y0=0.0, warm=False,
     with_flags=False, s_ins=S_INS, w_ins=W_INS, grouped=False,
-    prepacked=False, blk=_BLK, n_sc=N_SC,
+    prepacked=False, blk=_BLK, n_sc=N_SC, warm_gather=False,
 ):
     """One fused v4 frame: trace AND shade in a single kernel launch —
     the reference kernel's one-pass shape (ray_tracer.wgsl:173-316).
@@ -1263,6 +1334,7 @@ def _frame_fused4(
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
+        warm_gather=warm_gather,
         n_sc=n_sc, gw_pair=gw_pair, lut=lut, show_steps=show_steps,
         T=T_pad,
     )
@@ -1333,6 +1405,7 @@ def prepare_grid4(rg: RenderGrid3) -> PreparedGrid4:
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "step_cap", "full_height",
         "warm", "s_ins", "w_ins", "grouped", "prepacked", "blk", "n_sc",
+        "warm_gather",
     ),
 )
 def _render_frame4(
@@ -1343,7 +1416,7 @@ def _render_frame4(
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, step_cap=None, full_height=None, y0=0.0,
     warm=False, s_ins=S_INS, w_ins=W_INS, grouped=False, prepacked=False,
-    blk=_BLK, n_sc=N_SC,
+    blk=_BLK, n_sc=N_SC, warm_gather=False,
 ):
     """v4 frame: self-serving primary march (+ optional self-serving
     shadow march) + the v3 shade kernel. One Pallas launch per pass —
@@ -1366,7 +1439,7 @@ def _render_frame4(
         sub_steps=sub_steps, v=v, interpret=interpret, raw_out=True,
         full_height=full_height, y0=y0, warm=warm,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
-        blk=blk, n_sc=n_sc,
+        blk=blk, n_sc=n_sc, warm_gather=warm_gather,
     )
     if warm:
         ts, fl, wa, we, ids_p = tr
@@ -1406,7 +1479,7 @@ def _render_frame4(
             sub_steps=sub_steps, v=v, interpret=interpret,
             per_ray=True, raw_out=True, warm=warm,
             s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
-            blk=blk, n_sc=n_sc,
+            blk=blk, n_sc=n_sc, warm_gather=warm_gather,
         )
         if warm:
             _, fls, _, _, ids_s = trs
@@ -1543,6 +1616,7 @@ def render_frame4(
     blk=_BLK,
     n_sc=N_SC,
     fused=False,
+    warm_gather=False,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -1592,7 +1666,7 @@ def render_frame4(
         sub_steps=sub_steps, v=v, interpret=bool(interpret), raw_out=True,
         warm=warm, s_ins=int(s_ins), w_ins=int(w_ins),
         grouped=bool(grouped), prepacked=prepared is not None,
-        blk=int(blk), n_sc=int(n_sc),
+        blk=int(blk), n_sc=int(n_sc), warm_gather=bool(warm_gather),
     )
     planes = (rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
               rg.sw_liq, rg.sw_pid)
@@ -1610,6 +1684,7 @@ def render_frame4(
             with_flags=bool(with_flags), s_ins=int(s_ins),
             w_ins=int(w_ins), grouped=bool(grouped),
             prepacked=prepared is not None, blk=int(blk), n_sc=int(n_sc),
+            warm_gather=bool(warm_gather),
         )
         if not isinstance(out, tuple):
             out = (out,)
