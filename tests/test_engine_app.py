@@ -254,9 +254,10 @@ def test_engine_resize(flat_root):
 
 
 def test_engine_oversized_window_falls_back(flat_root):
-    """Resizing past the fused path's 32-chunk global-plane limit must
-    degrade to the SVO tracer, not crash (reference slider max is 80,
-    ui.rs:163-168)."""
+    """Resizing past the fused path's 64-chunk table budget must degrade
+    to the SVO tracer, not crash (reference slider max is 80,
+    ui.rs:163-168); 33..64 chunks stay on the fast path via the
+    super-cell global plane (wavefront3._gs_for)."""
     import time
 
     from voxelraytracing_tpu.engine import EngineApp
@@ -272,10 +273,24 @@ def test_engine_oversized_window_falls_back(flat_root):
             if app.game.world.populated_count() >= 64:
                 break
             time.sleep(0.1)
+        # gate checks: past-32 windows keep the fast path now. Requests
+        # for the transiently-huge windows are suppressed (a 64³ window
+        # floods 262k chunk requests; the gate itself is what's under
+        # test — resize keeps the populated 4-window chunks, world.rs
+        # keep-overlap semantics).
+        real_req = app.game.request_missing_chunks
+        app.game.request_missing_chunks = lambda: None
         app.resize_world(34)
+        assert not app._fast_path_suspended
+        app.resize_world(64)
+        assert not app._fast_path_suspended
+        app.resize_world(68)
+        assert app._fast_path_suspended
         img = app.draw_frame()  # SVO fallback
         assert img.shape == (32, 64, 3)
+        app.game.request_missing_chunks = real_req
         app.resize_world(4)
+        assert not app._fast_path_suspended
         img2 = app.draw_frame()  # fast path again
         assert img2.shape == (32, 64, 3)
     finally:

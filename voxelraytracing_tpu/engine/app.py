@@ -35,6 +35,8 @@ from ..ops.traverse import WorldSlice
 
 DEFAULT_MAX_NODES = 1 << 24  # 16M nodes ≈ 64 MB host mirror
 PICK_DISTANCE = 10.0  # voxel-edit reach (clientdesktop/src/main.rs:320-325)
+FAST_PATH_MAX_W = 64  # fused-path window cap (chunks): table-memory line,
+#                       not a format limit (plane scales to 128 chunks)
 
 
 class Timers:
@@ -140,18 +142,23 @@ class EngineApp:
         # its host round loop is easier to introspect per round)
         assert fast_tracer in ("v3", "v4"), fast_tracer
         self.fast_tracer = fast_tracer
-        # a window beyond the fused path's 32³-chunk global plane starts
-        # (not crashes) on the SVO tracer; resize_world() re-enables
+        # a window beyond the fused path's practical table budget starts
+        # (not crashes) on the SVO tracer; resize_world() re-enables.
+        # The global plane itself scales to 128 chunks via super-cells
+        # (wavefront3._gs_for); 64 chunks is the memory line — the flat
+        # bit tables are dense, ~3.1 KB per 16³ subwindow, ~6.5 GB at 64³
+        # chunks (plus the packed v4 twin), past which a 16 GB chip can't
+        # also hold frame state.
         self._fast_path_suspended = (
-            self.fast_path and game.world.size_in_chunks > 32
+            self.fast_path and game.world.size_in_chunks > FAST_PATH_MAX_W
         )
         if self._fast_path_suspended:
             from ..utils.log import get_logger
 
             get_logger(__name__).warning(
-                "initial window %d > 32 chunks exceeds the fused path's "
-                "global plane; rendering falls back to the SVO tracer",
-                game.world.size_in_chunks,
+                "initial window %d > %d chunks exceeds the fused path's "
+                "table budget; rendering falls back to the SVO tracer",
+                game.world.size_in_chunks, FAST_PATH_MAX_W,
             )
         self._rg_builder = None
         self._rg_min = None
@@ -473,22 +480,24 @@ class EngineApp:
         )
 
     def resize_world(self, size_in_chunks):
-        """Live window resize, 10..80 (ui.rs:163-168). Beyond the fast
-        path's 32³-chunk global-plane capacity (render_grid.py) frames
-        fall back to the SVO tracer; shrinking back re-enables it."""
+        """Live window resize, 10..80 (ui.rs:163-168). The fused path
+        covers up to 64 chunks (super-cell global plane past 32,
+        wavefront3._gs_for); beyond that the dense tables outgrow chip
+        memory and frames fall back to the SVO tracer; shrinking back
+        re-enables it."""
         size_in_chunks = max(2, min(80, int(size_in_chunks)))
         self.game.world.resize(size_in_chunks)
-        if self.fast_path and size_in_chunks > 32:
+        if self.fast_path and size_in_chunks > FAST_PATH_MAX_W:
             from ..utils.log import get_logger
 
             get_logger(__name__).warning(
-                "window %d > 32 chunks exceeds the fused path's global "
-                "plane; rendering falls back to the SVO tracer",
-                size_in_chunks,
+                "window %d > %d chunks exceeds the fused path's table "
+                "budget; rendering falls back to the SVO tracer",
+                size_in_chunks, FAST_PATH_MAX_W,
             )
             self._fast_path_suspended = True
         elif getattr(self, "_fast_path_suspended", False) \
-                and size_in_chunks <= 32:
+                and size_in_chunks <= FAST_PATH_MAX_W:
             self._fast_path_suspended = False
         self.game.request_missing_chunks()
 

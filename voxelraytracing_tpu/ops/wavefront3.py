@@ -99,7 +99,10 @@ class RenderGrid3(NamedTuple):
     """Bit-plane world for the v3 tracer.
 
     gw_jump/gw_liq: ``uint32[1,128]`` global window bits (word w>>5, bit
-      w&31; window id w = wx + wy*Nw + wz*Nw², Nw³ ≤ 4096).
+      w&31; window id w = wx + wy*Nw + wz*Nw²). Worlds past 16 windows
+      per axis store 2^gs-window SUPER-CELL bits on a ≤16³ grid instead
+      (gs = _gs_for(Nw); a set bit = every covered window jumpable with
+      uniform liquidity, crossed in (64<<gs)-voxel jumps).
     wmeta: ``uint32[Nw³, 8]`` per-window packed meta — words 0-1: subwindow
       jumpable bits, words 2-3: subwindow all-liquid bits (local subwindow
       s = sx + sy*4 + sz*16), words 4-7 zero.
@@ -278,6 +281,58 @@ def build_render_grid3_host(grids, cells, world_min, size_in_chunks,
     )
 
 
+def _gs_for(nw):
+    """Global-plane super-cell shift for an ``nw``-window world.
+
+    The global plane is one 4096-bit row (16³ granularity). Worlds past
+    16 windows (32 chunks) per axis coarsen each bit to a 2^gs-window
+    SUPER-CELL: gs is the smallest shift with ceil(nw/2^gs) <= 16. A set
+    bit means every covered window is jumpable with uniform liquidity,
+    so the kernel jumps (WIN<<gs)-voxel cells through it; a clear bit
+    falls back to per-window service (correct, just finer-grained). The
+    reference slides its window 10..80 chunks (clientdesktop/src/
+    ui.rs:163-168); gs<=2 covers 128 chunks. gs=0 (<=32 chunks) packs
+    bit-identically to the pre-super-cell format."""
+    gs = 0
+    while ((nw + (1 << gs) - 1) >> gs) > 16:
+        gs += 1
+    assert gs <= 3, "global plane supports <=128³ windows (256 chunks)"
+    return gs
+
+
+def _super_gplanes_np(w_jump, w_all_liq, nw):
+    """Reduce per-window flags to the [1,128]-packed super-cell planes.
+
+    ``w_jump``/``w_all_liq``: flat [nw³] bools, index X + Y*nw + Z*nw².
+    Returns (gw_jump, gw_liq) u32[1,128]. Pad windows (beyond nw on any
+    axis when nw isn't a multiple of 2^gs) never contain geometry and are
+    excluded: jump=True, any-liq=False, all-liq=True."""
+    gs = _gs_for(nw)
+    nwg = (nw + (1 << gs) - 1) >> gs
+    gsh = 1 << gs
+
+    def grid(flat, pad):
+        t = flat.reshape(nw, nw, nw)                 # (Z, Y, X)
+        p = nwg * gsh - nw
+        return np.pad(t, ((0, p),) * 3, constant_values=pad)
+
+    def cells(g):
+        return g.reshape(nwg, gsh, nwg, gsh, nwg, gsh)
+
+    all_jump = cells(grid(w_jump, True)).all(axis=(1, 3, 5))
+    all_liq = cells(grid(w_all_liq, True)).all(axis=(1, 3, 5))
+    any_liq = cells(grid(w_all_liq, False)).any(axis=(1, 3, 5))
+    sj = all_jump & (all_liq | ~any_liq)             # uniform liquidity
+    sl = sj & all_liq & any_liq
+
+    def gplane(bits):
+        pad = np.zeros(4096, bool)
+        pad[: bits.size] = bits.reshape(-1)          # (Z,Y,X) flat
+        return _pack_bits_np(pad.reshape(1, 4096))   # [1,128]
+
+    return gplane(sj), gplane(sl)
+
+
 def _planes_from_masks_np(solid, liq, vpad, vol=None, to_pack=None):
     """NumPy: (solid, liq) [V,V,V] bool -> (seven v3 plane arrays, pal_ok).
 
@@ -287,7 +342,6 @@ def _planes_from_masks_np(solid, liq, vpad, vol=None, to_pack=None):
     """
     ns = vpad // SW
     nw = vpad // WIN
-    assert nw * nw * nw <= 4096, "global window plane supports ≤16³ windows"
 
     def sw_rows(m):
         t = m.reshape(ns, SW, ns, SW, ns, SW)       # (X,xl,Y,yl,Z,zl)
@@ -345,13 +399,8 @@ def _planes_from_masks_np(solid, liq, vpad, vol=None, to_pack=None):
     w_any_liq = win_bits(s_any_liq).any(axis=1)
     w_jump = ~w_any_solid & (w_all_liq | ~w_any_liq)
 
-    def gplane(bits):
-        pad = np.zeros(4096, bool)
-        pad[:bits.shape[0]] = bits
-        return _pack_bits_np(pad.reshape(1, 4096))  # [1,128]
-
-    planes = (gplane(w_jump), gplane(w_jump & w_all_liq), wmeta, sw_meta,
-              sw_solid, sw_liq, sw_pid)
+    gw_jump, gw_liq = _super_gplanes_np(w_jump, w_jump & w_all_liq, nw)
+    planes = (gw_jump, gw_liq, wmeta, sw_meta, sw_solid, sw_liq, sw_pid)
     return planes, palettes_ok
 
 
@@ -466,6 +515,8 @@ def _march_kernel(
     (st_ref, st_o, want_o) = refs
     f32, i32 = jnp.float32, jnp.int32
     v = scal_ref[3]
+    gs = _gs_for(nw)                      # global-plane super-cell shift
+    nwg = (nw + (1 << gs) - 1) >> gs
 
     ts_ref = st_ref[0]
     fl_ref = (
@@ -555,8 +606,17 @@ def _march_kernel(
         vz = jnp.floor(pz).astype(i32)
 
         w = (vx >> 6) + (vy >> 6) * nw + (vz >> 6) * nw * nw
-        g_jump = bit_of(gj_row, w >> 5, w & 31) != 0
-        g_liq = bit_of(gl_row, w >> 5, w & 31) != 0
+        if gs:
+            # >16-window worlds: the global plane's bits are 2^gs-window
+            # super-cells (see _gs_for) — index it on the coarser grid
+            wg = (
+                (vx >> (6 + gs)) + (vy >> (6 + gs)) * nwg
+                + (vz >> (6 + gs)) * nwg * nwg
+            )
+        else:
+            wg = w
+        g_jump = bit_of(gj_row, wg >> 5, wg & 31) != 0
+        g_liq = bit_of(gl_row, wg >> 5, wg & 31) != 0
 
         wslot = jnp.full((blk, 128), -1, i32)
         for k in range(N_WC):
@@ -683,7 +743,7 @@ def _march_kernel(
         wenter = jnp.where(march & liquid & (wenter < 0.0), t, wenter)
 
         cell = jnp.where(
-            case1, f32(WIN),
+            case1, f32(WIN << gs),
             jnp.where(case2, f32(SW), jnp.where(in_br, f32(BRICK), f32(1.0))),
         )
         icell = 1.0 / cell
@@ -771,7 +831,7 @@ def _march_kernel(
                         prev = e
                     ch[k] = jnp.where(e, s, ch[k])
             if j + 1 < lookahead:
-                cell = jnp.where(g_jump, f32(WIN), f32(SW))
+                cell = jnp.where(g_jump, f32(WIN << gs), f32(SW))
                 icell = 1.0 / cell
 
                 def adv(pc, ivc, sgn):

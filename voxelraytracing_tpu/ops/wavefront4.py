@@ -70,6 +70,7 @@ from .wavefront3 import (
     WIN,
     RenderGrid3,
     _cam_scal,
+    _gs_for,
     _interpret_default,
     _ray_dirs,
     _sb_dims,
@@ -309,6 +310,9 @@ def _march_kernel4(
         )
         return jnp.where(sel, src, sm_rows)
 
+    gs = _gs_for(nw)                      # global-plane super-cell shift
+    nwg = (nw + (1 << gs) - 1) >> gs
+
     def classify(t, wid_all, sid_all, wm_row, need_sslot=True):
         px = ox + dx * t
         py = oy + dy * t
@@ -318,13 +322,22 @@ def _march_kernel4(
         vz = jnp.floor(pz).astype(i32)
 
         w = (vx >> 6) + (vy >> 6) * nw + (vz >> 6) * nw * nw
+        if gs:
+            # >16-window worlds: global-plane bits are 2^gs-window
+            # super-cells (wavefront3._gs_for) on a 16³-capped grid
+            wg = (
+                (vx >> (6 + gs)) + (vy >> (6 + gs)) * nwg
+                + (vz >> (6 + gs)) * nwg * nwg
+            )
+        else:
+            wg = w
         if gw_pair:
-            g_bits = pair_of(gj_row, w >> 4, (w & 15) * 2)
+            g_bits = pair_of(gj_row, wg >> 4, (wg & 15) * 2)
             g_jump = (g_bits & 1) != 0
             g_liq = (g_bits & 2) != 0
         else:
-            g_jump = bit_of(gj_row, w >> 5, w & 31) != 0
-            g_liq = bit_of(gl_row, w >> 5, w & 31) != 0
+            g_jump = bit_of(gj_row, wg >> 5, wg & 31) != 0
+            g_liq = bit_of(gl_row, wg >> 5, wg & 31) != 0
 
         wslot = jnp.full((blk, 128), -1, i32)
         for k in range(N_WC):
@@ -453,7 +466,7 @@ def _march_kernel4(
         wenter = jnp.where(march & liquid & (wenter < 0.0), t, wenter)
 
         cell = jnp.where(
-            case1, f32(WIN),
+            case1, f32(WIN << gs),
             jnp.where(case2, f32(SW), jnp.where(in_br, f32(BRICK), f32(1.0))),
         )
         icell = 1.0 / cell
@@ -1126,7 +1139,8 @@ def _trace_frame4(
         .at[26].set(jnp.float32(ty))
     )
 
-    gw_pair = nw ** 3 <= 2048
+    nwg = (nw + (1 << _gs_for(nw)) - 1) >> _gs_for(nw)
+    gw_pair = nwg ** 3 <= 2048   # pair plane indexes the SUPER-CELL grid
     if gw_pair:
         gw2 = _interleave_gw(gw_jump, gw_liq)              # [2,128] pairs
     else:
@@ -1310,7 +1324,8 @@ def _frame_fused4(
         jnp.zeros(9, f32),
     ])
 
-    gw_pair = nw ** 3 <= 2048
+    nwg = (nw + (1 << _gs_for(nw)) - 1) >> _gs_for(nw)
+    gw_pair = nwg ** 3 <= 2048   # pair plane indexes the SUPER-CELL grid
     if gw_pair:
         gw2 = _interleave_gw(gw_jump, gw_liq)
     else:

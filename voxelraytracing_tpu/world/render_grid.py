@@ -27,7 +27,9 @@ from ..ops.wavefront3 import (
     SW,
     WIN,
     RenderGrid3,
+    _gs_for,
     _pack_bits_np,
+    _super_gplanes_np,
     build_sw_palettes,
 )
 from ..utils.log import get_logger
@@ -118,7 +120,7 @@ class RenderGrid3Builder:
         vpad = -(-v // WIN) * WIN
         self.ns = vpad // SW
         self.nw = vpad // WIN
-        assert self.nw ** 3 <= 4096, "global plane supports ≤16³ windows"
+        _gs_for(self.nw)  # asserts the supported ceiling (128³ windows)
         ns3, nw3 = self.ns ** 3, self.nw ** 3
         self.sw_solid = np.zeros((ns3, 128), np.uint32)
         self.sw_liq = np.zeros((ns3, 128), np.uint32)
@@ -246,12 +248,9 @@ class RenderGrid3Builder:
         w_any_liq = win_flags(self.s_any_liq, np.ndarray.any)
         w_jump = ~w_any_solid & (w_all_liq | ~w_any_liq)
 
-        def gplane(bits):
-            pad = np.zeros(4096, bool)
-            pad[: bits.shape[0]] = bits
-            return _pack_bits_np(pad.reshape(1, 4096))
-
-        return gplane(w_jump), gplane(w_jump & w_all_liq)
+        # shared super-cell reduction (no-op packing at <=16 windows) so
+        # the two builders can't drift on the >32-chunk format
+        return _super_gplanes_np(w_jump, w_jump & w_all_liq, nw)
 
     # ------------------------------------------------------------- upload
 
