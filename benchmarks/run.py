@@ -23,16 +23,32 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 import numpy as np
 
 
-def _time(fn, min_iters=3, budget_s=10.0):
+def _time(fn, min_iters=3, budget_s=10.0, batch=1):
+    """Steady-state seconds per ``fn()``.
+
+    TWO warmup calls: warm-token frames compile a second program variant
+    on their first token-carrying call — one warmup left that compile
+    inside the timed window (config2 measured 8.8 Mrays/s with a ~30 s
+    compile amortized over the window vs 32+ clean).
+
+    ``batch``: enqueue this many frames per sync. JAX dispatch is async;
+    this runtime's host<->device round-trip is ~33 ms (measured: 23.4 vs
+    57.7 ms/frame for the same 720p program), so a per-frame sync times
+    the tunnel, not the kernel. An interactive loop pipelines frames the
+    same way (engine/app.py carries tokens without reading frames back).
+    """
     import jax
 
+    out = fn()
+    jax.block_until_ready(out)
     out = fn()
     jax.block_until_ready(out)
     n = 0
     t0 = time.perf_counter()
     while True:
-        out = fn()
-        n += 1
+        for _ in range(batch):
+            out = fn()
+        n += batch
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         if n >= min_iters and dt > budget_s:
@@ -259,7 +275,7 @@ def config2():
             tok["t"] = tok2
             return img
 
-    dt = _time(frame)
+    dt = _time(frame, batch=32)
     # primary + one shadow ray per pixel, shaded frame end to end
     _report("config2_720p_shadows", 2 * 1280 * 720 / dt / 1e6, "Mrays/s")
 
@@ -278,7 +294,8 @@ def config3():
         lambda: path_trace3(
             rg3, cam, mats, sun_pos=sun, bounces=1, samples=1, key=key,
             step_cap=500, v4=_use_v4(),
-        )
+        ),
+        batch=8,
     )
     _report("config3_1080p_1bounce_pt", 2 * 1920 * 1080 / dt / 1e6, "Mrays/s")
 
@@ -413,6 +430,7 @@ def config5():
         ),
         min_iters=2,
         budget_s=20.0,
+        batch=4,
     )
     _report("config5_4k_4bounce_pt", 5 * 3840 * 2160 / dt / 1e6, "Mrays/s",
             devices=n_dev)

@@ -177,6 +177,32 @@ def test_v4_path_trace_matches_v3(scene):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_v4_path_trace_perf_carries_are_noops(scene):
+    """The PT perf carries — prepared tables, the frame-to-frame warm ids
+    token, and a separate bounce-leg spin budget — are all pixel-exact
+    no-ops on the v4 route (wavefront3._path_frame docstring)."""
+    import jax
+
+    from voxelraytracing_tpu.ops.wavefront3 import path_trace3
+    from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
+
+    rg3, _, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), bounces=1, samples=1,
+              key=jax.random.PRNGKey(3), rounds=48, step_cap=500, v4=True)
+    a = np.asarray(path_trace3(rg3, cam, mats, **kw))
+    prep = prepare_grid4(rg3)
+    b, tok = path_trace3(rg3, cam, mats, prepared=prep, return_cache=True,
+                         **kw)
+    np.testing.assert_array_equal(a, np.asarray(b))
+    assert tok is not None
+    c = path_trace3(rg3, cam, mats, prepared=prep, cache=tok, **kw)
+    np.testing.assert_array_equal(a, np.asarray(c))
+    d = path_trace3(rg3, cam, mats, bounce_steps_per_round=128, **kw)
+    np.testing.assert_array_equal(a, np.asarray(d))
+
+
 def test_v4_step_cap(scene):
     """step_cap kills rays at the cap exactly like v3 (reference cap
     semantics: exhausted rays render as misses, ray_tracer.wgsl:220)."""

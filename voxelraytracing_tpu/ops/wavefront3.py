@@ -2377,7 +2377,7 @@ def material_lut_rows(color, emission, scatter):
     static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "bounces", "samples", "full_height", "step_cap",
-        "v4",
+        "v4", "prepacked", "return_cache", "bounce_sub_rounds",
     ),
 )
 def _path_frame(
@@ -2385,10 +2385,29 @@ def _path_frame(
     brick_dir, bricks, to_pack,
     origin, inv_view, inv_proj, mlut,
     sky_color, sun_pos_local, sun_intensity, key,
+    warm_ids=None, sw_cont_pre=None, wmeta_pre=None,
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     bounces, samples, full_height=None, y0=0.0, step_cap=None, v4=False,
+    prepacked=False, return_cache=False, bounce_sub_rounds=None,
 ):
-    """Path-traced frame -> f32[H,W,3] linear radiance (sample average)."""
+    """Path-traced frame -> f32[H,W,3] linear radiance (sample average).
+
+    v4 route perf carries (all bit-exact no-ops semantically):
+      * every leg runs the self-serving kernel WARM — bounce b prefetches
+        bounce b-1's per-block cache ids (secondary rays START where the
+        previous leg's rays stopped, so the previous leg's cache is the
+        ideal round-0 cache), and the primary leg warms from ``warm_ids``
+        (the previous FRAME's token, like render_frame4);
+      * ``prepacked`` + ``sw_cont_pre``/``wmeta_pre`` skip the per-frame
+        HBM table packing (prepare_grid4);
+      * the primary march is hoisted out of the sample loop (it doesn't
+        depend on the sample key);
+      * ``bounce_sub_rounds``: smaller in-kernel spin budget for the
+        incoherent bounce legs (scattered rays stall early and want
+        frequent serves; measured 118 -> 140 ms/frame when bounces spin
+        256 steps/round like the coherent primary likes).
+    ``return_cache``: also return the primary leg's ids token for the
+    next frame."""
     full_height = height if full_height is None else full_height
     f32, i32 = jnp.float32, jnp.int32
     tx = width // TILE_W
@@ -2429,6 +2448,40 @@ def _path_frame(
                 chanl(0.3, 0.03, sky_color[1]),
                 chanl(0.0, 0.03, sky_color[2]))
 
+    # ---- primary march: sample-independent, traced ONCE per frame ----
+    z = jnp.zeros((), f32)
+    ids_prim = None
+    if v4:
+        # self-serving kernel: drop the brick/pool args, cap is
+        # positional-traced (0.0 = uncapped), rounds is a bound
+        from .wavefront4 import _trace_frame4
+
+        cap4 = 0.0 if step_cap is None else float(step_cap)
+        a4 = args[:7]
+        k4 = dict(
+            width=width, height=height, sub_steps=sub_steps, v=v,
+            interpret=interpret, raw_out=True, warm=True,
+            prepacked=prepacked,
+        )
+        prim = _trace_frame4(
+            *a4, origin, inv_view, inv_proj, z, z, z, rounds, cap4,
+            warm_ids=warm_ids, sw_cont_pre=sw_cont_pre,
+            wmeta_pre=wmeta_pre, sub_rounds=sub_rounds, **k4,
+        )
+        ids_prim = prim[4]
+        prim = prim[:4]
+        b_sub_rounds = (
+            sub_rounds if bounce_sub_rounds is None else bounce_sub_rounds
+        )
+    else:
+        prim = _trace_frame(
+            *args, origin, inv_view, inv_proj, z, z, z,
+            width=width, height=height, rounds=rounds,
+            step_cap=step_cap,
+            sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
+            interpret=interpret, per_ray=False, raw_out=True,
+        )
+
     def one_sample(skey):
         oX = jnp.broadcast_to(origin[0], shape)
         oY = jnp.broadcast_to(origin[1], shape)
@@ -2441,41 +2494,20 @@ def _path_frame(
         lg = jnp.zeros(shape, f32)
         lb = jnp.zeros(shape, f32)
         alive = jnp.ones(shape, bool)
+        ids_prev = ids_prim
 
         for bounce in range(bounces + 1):
-            z = jnp.zeros((), f32)
-            if v4:
-                # self-serving kernel: drop the brick/pool args, cap is
-                # positional-traced (0.0 = uncapped), rounds is a bound
-                from .wavefront4 import _trace_frame4
-
-                cap4 = 0.0 if step_cap is None else float(step_cap)
-                a4 = args[:7]
-                if bounce == 0:
-                    ts, fl, wa, we = _trace_frame4(
-                        *a4, origin, inv_view, inv_proj, z, z, z,
-                        rounds, cap4,
-                        width=width, height=height,
-                        sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
-                        interpret=interpret, raw_out=True,
-                    )
-                else:
-                    ot = jnp.stack([oX, oY, oZ], axis=-1)
-                    dt3 = jnp.stack([dX, dY, dZ], axis=-1)
-                    ts, fl, wa, we = _trace_frame4(
-                        *a4, jnp.zeros(3, f32), inv_view, inv_proj,
-                        ot, dt3, alive, rounds, cap4,
-                        width=width, height=height,
-                        sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
-                        interpret=interpret, per_ray=True, raw_out=True,
-                    )
-            elif bounce == 0:
-                ts, fl, wa, we = _trace_frame(
-                    *args, origin, inv_view, inv_proj, z, z, z,
-                    width=width, height=height, rounds=rounds,
-                    step_cap=step_cap,
-                    sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
-                    interpret=interpret, per_ray=False, raw_out=True,
+            if bounce == 0:
+                ts, fl, wa, we = prim
+            elif v4:
+                ot = jnp.stack([oX, oY, oZ], axis=-1)
+                dt3 = jnp.stack([dX, dY, dZ], axis=-1)
+                ts, fl, wa, we, ids_prev = _trace_frame4(
+                    *a4, jnp.zeros(3, f32), inv_view, inv_proj,
+                    ot, dt3, alive, rounds, cap4,
+                    warm_ids=ids_prev, sw_cont_pre=sw_cont_pre,
+                    wmeta_pre=wmeta_pre, sub_rounds=b_sub_rounds,
+                    per_ray=True, **k4,
                 )
             else:
                 ot = jnp.stack([oX, oY, oZ], axis=-1)
@@ -2600,10 +2632,13 @@ def _path_frame(
     def untile(x):
         return _untile_hw(x, tx, ty, width, height)
 
-    return jnp.stack(
+    img = jnp.stack(
         [untile(ar_ * inv_s), untile(ag_ * inv_s), untile(ab_ * inv_s)],
         axis=-1,
     )
+    if return_cache:
+        return img, ids_prim
+    return img
 
 
 def path_trace3(
@@ -2620,13 +2655,24 @@ def path_trace3(
     key=None,
     rounds=16,
     steps_per_round=48,
+    bounce_steps_per_round=None,
     step_cap=None,
     interpret=None,
     v4=False,
+    prepared=None,
+    cache=None,
+    return_cache=False,
 ):
     """Path-traced frame through the v3 fast path -> f32[H,W,3] radiance.
     ``v4=True`` swaps every bounce's march to the self-serving v4 kernel
     (ops/wavefront4.py) — same semantics, no host round loop.
+
+    v4-route perf carries (all bit-exact; see _path_frame):
+    ``prepared`` = :func:`~voxelraytracing_tpu.ops.wavefront4.prepare_grid4`
+    packed tables; ``cache``/``return_cache`` = the previous frame's
+    warm-start ids token (carried like render_frame4's);
+    ``bounce_steps_per_round`` = in-kernel spin budget for the incoherent
+    bounce legs (default: same as ``steps_per_round``).
 
     ``materials``: a MaterialTable (color/emission/scatter used). The
     reference's path tracer was never dispatched (path_tracer.wgsl, stale
@@ -2646,7 +2692,11 @@ def path_trace3(
         key = jax.random.PRNGKey(0)
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
-    return _path_frame(
+    bounce_sub_rounds = (
+        None if bounce_steps_per_round is None
+        else max(int(bounce_steps_per_round) // sub_steps, 1)
+    )
+    out = _path_frame(
         rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
         rg.sw_pid, rg.brick_dir, rg.bricks, rg.to_pack,
         origin,
@@ -2655,10 +2705,16 @@ def path_trace3(
         mlut,
         jnp.asarray(sky_color, jnp.float32), sun_local,
         jnp.float32(sun_intensity), key,
+        warm_ids=cache,
+        sw_cont_pre=None if prepared is None else prepared.sw_cont,
+        wmeta_pre=None if prepared is None else prepared.wmeta_pad,
         width=width, height=height, rounds=rounds,
         sub_rounds=sub_rounds, sub_steps=sub_steps, v=int(rg.size_voxels),
         interpret=bool(interpret), bounces=int(bounces),
         samples=int(samples),
         step_cap=None if step_cap is None else int(step_cap),
-        v4=bool(v4),
+        v4=bool(v4), prepacked=prepared is not None,
+        return_cache=bool(return_cache),
+        bounce_sub_rounds=bounce_sub_rounds,
     )
+    return out
