@@ -164,10 +164,14 @@ def main():
             # update() traces AND shades in one pass). Bit-exact vs the
             # split dispatches (tests/test_wavefront4.py) and ~1.23x
             # faster at 1080p (experiments/v4_fused_probe.py).
+            # s_seg=4: each serve DMA fetches 4 consecutive subwindow
+            # rows (stalled neighbors along +x share the issue cost);
+            # pixel-identical, best-of-sweep on chip (14.47 vs 14.6-16.4
+            # ms/f across seg1 repeats, experiments probe_seg2).
             return render_frame4(
                 rgrid, cam, lut, rounds=64, step_cap=STEP_CAP,
                 steps_per_round=256, prepared=prepared,
-                cache=tok, return_cache=True, fused=True,
+                cache=tok, return_cache=True, fused=True, s_seg=4,
             )
     else:
         def frame(tok, cam=cam):

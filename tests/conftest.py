@@ -32,6 +32,30 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 os.environ["VOXELTPU_COMPCACHE"] = _cache_dir  # subprocess servers too
 
+# PJRT-CPU `executable.serialize()` SEGFAULTS for the big v4-family
+# programs when they compile late in the suite (~100 live executables in
+# the process; reproducible with a fresh cache and with zstandard
+# removed, so it is the serialize itself, not compression — standalone
+# runs of the same tests are fine). Exclude that family from
+# persistent-cache WRITES: never serialized -> never crashes, and reads
+# simply miss (they recompile each suite run — the suite runs them in
+# interpret mode at tiny shapes, so the loss is small) instead of
+# killing the whole run with SIGSEGV.
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_orig_put = _cc.put_executable_and_time
+_SERIALIZE_CRASHERS = ("frame4", "march4", "pt_frame", "path_frame")
+
+
+def _safe_put(cache_key, module_name, executable, backend, compile_time):
+    if any(m in str(module_name) for m in _SERIALIZE_CRASHERS):
+        return None
+    return _orig_put(cache_key, module_name, executable, backend,
+                     compile_time)
+
+
+_cc.put_executable_and_time = _safe_put
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,144 @@
+"""Fused in-kernel path tracer (ops/pathtrace4.py) tests.
+
+The fused kernel traces, bounces, and shades in one launch (the
+reference's dedicated path_tracer.wgsl shape) with an on-core
+counter-hash RNG, so it cannot be bit-exact with the XLA-route
+path_trace3 on RNG-dependent paths. What IS pinned:
+
+  * RNG-free paths match path_trace3 EXACTLY: bounces=0 frames, and
+    scatter=0 (mirror) worlds where the bounce direction is the
+    deterministic specular reflection — including emission pickup and
+    water absorption along both legs;
+  * diffuse frames agree statistically (mean radiance within a few
+    percent at a handful of samples);
+  * frames are deterministic given (world, camera, key) and actually
+    depend on the key.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from voxelraytracing_tpu.ops import noise
+from voxelraytracing_tpu.ops.camera import CamData
+from voxelraytracing_tpu.ops.materials import make_material_table
+from voxelraytracing_tpu.ops.pathtrace4 import path_trace_fused4
+from voxelraytracing_tpu.ops.wavefront3 import (
+    build_render_grid3_host,
+    path_trace3,
+)
+from voxelraytracing_tpu.world.demo import demo_chunk_grids_host, demo_materials
+
+SUN = (1000.0, 2500.0, 500.0)
+
+
+def _world(mats, w=2):
+    perm = noise.make_permutation(7)
+    grids, cells = demo_chunk_grids_host(
+        perm, np.zeros(3, np.int64), w, w * 32 * 0.45, int(w * 32 * 0.28)
+    )
+    return build_render_grid3_host(
+        grids, cells, np.zeros(3, np.int32), w, mats
+    )
+
+
+@pytest.fixture(scope="module")
+def diffuse_scene():
+    mats = demo_materials()
+    return _world(mats), mats
+
+
+@pytest.fixture(scope="module")
+def mirror_scene():
+    """scatter=0 everywhere: the bounce is a deterministic reflection,
+    so the fused kernel must match the XLA route exactly. Voxel 1 also
+    emits, covering the emission-pickup path."""
+    styles = {
+        1: {"color": (0.55, 0.55, 0.55), "state": "solid",
+            "scatter": 0.0, "emission": 0.5},
+        2: {"color": (0.55, 0.35, 0.15), "state": "solid", "scatter": 0.0},
+        3: {"color": (0.30, 0.68, 0.24), "state": "solid", "scatter": 0.0},
+        4: {"color": (0.12, 0.30, 0.85), "state": "liquid", "scatter": 0.0},
+    }
+    mats = make_material_table(256, styles)
+    return _world(mats), mats
+
+
+CAM = CamData.create((30.0, 45.0, 0.0), (32.0, 40.0, 32.0), 70.0, (64, 32))
+
+
+def test_fused_pt_bounces0_matches_xla_route(diffuse_scene):
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(0),
+              rounds=48, step_cap=500)
+    a = np.asarray(path_trace3(rg3, CAM, mats, bounces=0, v4=True, **kw))
+    b = np.asarray(path_trace_fused4(rg3, CAM, mats, bounces=0, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("bounces", [1, 2])
+def test_fused_pt_specular_matches_xla_route(mirror_scene, bounces):
+    rg3, mats = mirror_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(0),
+              rounds=64, step_cap=500)
+    a = np.asarray(path_trace3(rg3, CAM, mats, bounces=bounces, v4=True,
+                               **kw))
+    b = np.asarray(path_trace_fused4(rg3, CAM, mats, bounces=bounces,
+                                     **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_pt_diffuse_statistics(diffuse_scene):
+    """Different RNGs, same estimator: mean radiance agrees within a few
+    percent at a handful of samples."""
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, bounces=1, samples=4, rounds=48, step_cap=500)
+    a = np.asarray(path_trace3(rg3, CAM, mats, v4=True,
+                               key=jax.random.PRNGKey(0), **kw))
+    b = np.asarray(path_trace_fused4(rg3, CAM, mats,
+                                     key=jax.random.PRNGKey(0), **kw))
+    assert not np.isnan(b).any()
+    ma, mb = float(a.mean()), float(b.mean())
+    assert abs(ma - mb) / ma < 0.05, (ma, mb)
+
+
+def test_fused_pt_deterministic_and_key_sensitive(diffuse_scene):
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, bounces=1, samples=1, rounds=48, step_cap=500)
+    a = np.asarray(path_trace_fused4(rg3, CAM, mats,
+                                     key=jax.random.PRNGKey(7), **kw))
+    b = np.asarray(path_trace_fused4(rg3, CAM, mats,
+                                     key=jax.random.PRNGKey(7), **kw))
+    c = np.asarray(path_trace_fused4(rg3, CAM, mats,
+                                     key=jax.random.PRNGKey(8), **kw))
+    np.testing.assert_array_equal(a, b)
+    assert (a != c).any()
+
+
+def test_fused_pt_stable_across_serve_pacing(diffuse_scene):
+    """The RNG keys on (ray id, bounce index, seed) — NOT on a round
+    counter — so serve-pacing knobs (segmented fetches, bigger budgets)
+    cannot change what a ray draws: frames are bit-identical."""
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, bounces=1, samples=1,
+              key=jax.random.PRNGKey(0), step_cap=500)
+    a = np.asarray(path_trace_fused4(rg3, CAM, mats, rounds=48, **kw))
+    b = np.asarray(path_trace_fused4(rg3, CAM, mats, rounds=48, s_seg=4,
+                                     **kw))
+    c = np.asarray(path_trace_fused4(rg3, CAM, mats, rounds=96, **kw))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+
+
+def test_fused_pt_prepared_tables_are_noop(diffuse_scene):
+    from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
+
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, bounces=1, samples=1,
+              key=jax.random.PRNGKey(0), rounds=48, step_cap=500)
+    a = np.asarray(path_trace_fused4(rg3, CAM, mats, **kw))
+    prep = prepare_grid4(rg3)
+    b = np.asarray(path_trace_fused4(rg3, CAM, mats, prepared=prep, **kw))
+    np.testing.assert_array_equal(a, b)

@@ -369,6 +369,40 @@ def test_v4_warm_gather_matches_inkernel_dma(scene):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_v4_vb_and_sseg_are_pixel_identical(scene):
+    """Program-virtualization (vb sub-blocks per grid program, amortizing
+    the ~16 us/program pipeline setup) and segmented serve fetches
+    (s_seg consecutive subwindow rows per DMA) are pure perf knobs:
+    pixel-identical output, and warm tokens interchange across vb
+    settings (the token stays per-SUB-block shaped)."""
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+    rg3, _, mats = scene
+    cam_a = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    cam_b = CamData.create((30.0, 52.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                           (64, 32))
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), rounds=64, step_cap=500)
+    for fused in (False, True):
+        a = render_frame4(rg3, cam_a, mats.color, shadows=not fused,
+                          fused=fused, **kw)
+        for vkw in ({"vb": 2}, {"s_seg": 4}, {"vb": 2, "s_seg": 4}):
+            b = render_frame4(rg3, cam_a, mats.color, shadows=not fused,
+                              fused=fused, **vkw, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{fused} {vkw}"
+            )
+    # warm-token interchange: a token from a vb=1 frame warms a vb=2
+    # frame (and the result equals the vb=1 warm frame)
+    _, tok = render_frame4(rg3, cam_a, mats.color, fused=True,
+                           return_cache=True, **kw)
+    w1, _ = render_frame4(rg3, cam_b, mats.color, fused=True, cache=tok,
+                          return_cache=True, **kw)
+    w2, _ = render_frame4(rg3, cam_b, mats.color, fused=True, cache=tok,
+                          return_cache=True, vb=2, **kw)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
 def test_v4_fused_inkernel_shade_matches_split(scene):
     """fused=True (shade inside the march kernel — one launch per frame,
     the reference kernel's trace-and-shade-in-one-pass shape,

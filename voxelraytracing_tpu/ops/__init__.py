@@ -6,6 +6,7 @@ stay importable as modules — they are the executable oracles.
 """
 
 from .camera import CamData, generate_rays
+from .pathtrace4 import path_trace_fused4
 from .svo_build import build_chunk_svo, build_chunk_svo_batch
 from .wavefront3 import (
     build_render_grid3_host,
@@ -29,6 +30,7 @@ __all__ = [
     "build_render_grid3_host",
     "path_trace3",
     "path_trace4",
+    "path_trace_fused4",
     "prepare_grid4",
     "render_frame3",
     "render_frame4",

@@ -152,7 +152,7 @@ W_INS = 2   # default window-meta fetches per in-kernel service round
 def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
     s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC, gw_pair=False,
-    fused=False, show_steps=False, warm_pre=False,
+    fused=False, show_steps=False, warm_pre=False, s_seg=1, vb=1,
 ):
     """One self-serving block program. Ref order:
 
@@ -213,47 +213,11 @@ def _march_kernel4(
     bigi = jnp.int32(_BIGI)
 
     if st_ref is not None:
-        ts_ref = st_ref[0]
-        fl_in = jax.lax.bitcast_convert_type(st_ref[1], i32) - _FL_BIAS
-        wa_ref = st_ref[2]
-        we_ref = st_ref[3]
-        blk = ts_ref.shape[0]
+        blk = st_ref.shape[1] // vb
     else:
-        blk = pk_o.shape[0]
+        blk = pk_o.shape[0] // vb
     lanes = jax.lax.broadcasted_iota(i32, (blk, 128), 1)
     lane_row = jax.lax.broadcasted_iota(i32, (1, 128), 1)
-
-    if per_ray:
-        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
-        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
-        tg = None
-    else:
-        ox = scal_ref[0]
-        oy = scal_ref[1]
-        oz = scal_ref[2]
-        rows = jax.lax.broadcasted_iota(i32, (blk, 128), 0)
-        tg = pl.program_id(0) * blk + rows
-        scal_v = [scal_ref[i] for i in range(24)]
-        dx, dy, dz = _ray_dirs(scal_v, tg, lanes, nsx)
-
-    def inv(c):
-        c2 = jnp.where(c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
-        return 1.0 / c2
-
-    ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
-    sx = (dx > 0.0).astype(f32)
-    sy = (dy > 0.0).astype(f32)
-    sz = (dz > 0.0).astype(f32)
-
-    def slab(oc, ivc):
-        return jnp.maximum((0.0 - oc) * ivc, (v - oc) * ivc)
-
-    t_cap = 4.0 * v + 16.0
-    t_exit = jnp.minimum(
-        jnp.minimum(slab(ox, ivx), jnp.minimum(slab(oy, ivy), slab(oz, ivz))),
-        t_cap,
-    )
-
     gj_row = jnp.broadcast_to(gw_ref[0:1, :], (blk, 128))
     gl_row = jnp.broadcast_to(gw_ref[1:2, :], (blk, 128))
 
@@ -313,628 +277,737 @@ def _march_kernel4(
     gs = _gs_for(nw)                      # global-plane super-cell shift
     nwg = (nw + (1 << gs) - 1) >> gs
 
-    def classify(t, wid_all, sid_all, wm_row, need_sslot=True):
-        px = ox + dx * t
-        py = oy + dy * t
-        pz = oz + dz * t
-        vx = jnp.floor(px).astype(i32)
-        vy = jnp.floor(py).astype(i32)
-        vz = jnp.floor(pz).astype(i32)
-
-        w = (vx >> 6) + (vy >> 6) * nw + (vz >> 6) * nw * nw
-        if gs:
-            # >16-window worlds: global-plane bits are 2^gs-window
-            # super-cells (wavefront3._gs_for) on a 16³-capped grid
-            wg = (
-                (vx >> (6 + gs)) + (vy >> (6 + gs)) * nwg
-                + (vz >> (6 + gs)) * nwg * nwg
-            )
+    # ``vb`` sub-blocks are virtualized into one grid program (python-
+    # unrolled): the ~16 us/program pipeline setup amortizes over vb
+    # independent round loops, which was ~30% of a warm 1080p frame
+    # (sky-floor probe: ~4.2 ms/frame of per-program setup at 254
+    # programs). Each sub-block is a full independent march (own rays,
+    # own cache state); scratch buffers are reused serially.
+    def do_block(sb):
+        s0 = sb * blk
+        if st_ref is not None:
+            ts_ref = st_ref[0, s0:s0 + blk]
+            fl_in = jax.lax.bitcast_convert_type(
+                st_ref[1, s0:s0 + blk], i32) - _FL_BIAS
+            wa_ref = st_ref[2, s0:s0 + blk]
+            we_ref = st_ref[3, s0:s0 + blk]
+        if per_ray:
+            ox = rays_ref[0, s0:s0 + blk]
+            oy = rays_ref[1, s0:s0 + blk]
+            oz = rays_ref[2, s0:s0 + blk]
+            dx = rays_ref[3, s0:s0 + blk]
+            dy = rays_ref[4, s0:s0 + blk]
+            dz = rays_ref[5, s0:s0 + blk]
+            tg = None
         else:
-            wg = w
-        if gw_pair:
-            g_bits = pair_of(gj_row, wg >> 4, (wg & 15) * 2)
-            g_jump = (g_bits & 1) != 0
-            g_liq = (g_bits & 2) != 0
-        else:
-            g_jump = bit_of(gj_row, wg >> 5, wg & 31) != 0
-            g_liq = bit_of(gl_row, wg >> 5, wg & 31) != 0
+            ox = scal_ref[0]
+            oy = scal_ref[1]
+            oz = scal_ref[2]
+            rows = jax.lax.broadcasted_iota(i32, (blk, 128), 0)
+            tg = pl.program_id(0) * (vb * blk) + s0 + rows
+            scal_v = [scal_ref[i] for i in range(24)]
+            dx, dy, dz = _ray_dirs(scal_v, tg, lanes, nsx)
 
-        wslot = jnp.full((blk, 128), -1, i32)
-        for k in range(N_WC):
-            wid_k = wid_all[k:k + 1, :]
-            wslot = jnp.where((w == wid_k) & (wid_k >= 0), i32(k), wslot)
+        def inv(c):
+            c2 = jnp.where(c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
+            return 1.0 / c2
 
-        s_loc = (
-            ((vx >> 4) & 3) + ((vy >> 4) & 3) * 4 + ((vz >> 4) & 3) * 16
+        ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+        sx = (dx > 0.0).astype(f32)
+        sy = (dy > 0.0).astype(f32)
+        sz = (dz > 0.0).astype(f32)
+
+        def slab(oc, ivc):
+            return jnp.maximum((0.0 - oc) * ivc, (v - oc) * ivc)
+
+        t_cap = 4.0 * v + 16.0
+        t_exit = jnp.minimum(
+            jnp.minimum(slab(ox, ivx), jnp.minimum(slab(oy, ivy), slab(oz, ivz))),
+            t_cap,
         )
-        # interleaved meta (see _interleave_meta): bit 2i jump, 2i+1 liq
-        # of subwindow i — one gather for both flags. mbase <= 7*8+3 < 128
-        # structurally (wslot < N_WC, s_loc < 64), so the clip is skipped.
-        mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 4)
-        wm_b = jnp.broadcast_to(wm_row, (blk, 128))
-        sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2, bounded=True)
-        sw_jump = (sw_pair & 1) != 0
-        sw_liq = (sw_pair & 2) != 0
 
-        s = (vx >> 4) + (vy >> 4) * ns + (vz >> 4) * ns * ns
-        sslot = jnp.full((blk, 128), -1, i32)
-        if need_sslot:
+        def classify(t, wid_all, sid_all, wm_row, need_sslot=True):
+            px = ox + dx * t
+            py = oy + dy * t
+            pz = oz + dz * t
+            vx = jnp.floor(px).astype(i32)
+            vy = jnp.floor(py).astype(i32)
+            vz = jnp.floor(pz).astype(i32)
+
+            w = (vx >> 6) + (vy >> 6) * nw + (vz >> 6) * nw * nw
+            if gs:
+                # >16-window worlds: global-plane bits are 2^gs-window
+                # super-cells (wavefront3._gs_for) on a 16³-capped grid
+                wg = (
+                    (vx >> (6 + gs)) + (vy >> (6 + gs)) * nwg
+                    + (vz >> (6 + gs)) * nwg * nwg
+                )
+            else:
+                wg = w
+            if gw_pair:
+                g_bits = pair_of(gj_row, wg >> 4, (wg & 15) * 2)
+                g_jump = (g_bits & 1) != 0
+                g_liq = (g_bits & 2) != 0
+            else:
+                g_jump = bit_of(gj_row, wg >> 5, wg & 31) != 0
+                g_liq = bit_of(gl_row, wg >> 5, wg & 31) != 0
+
+            wslot = jnp.full((blk, 128), -1, i32)
+            for k in range(N_WC):
+                wid_k = wid_all[k:k + 1, :]
+                wslot = jnp.where((w == wid_k) & (wid_k >= 0), i32(k), wslot)
+
+            s_loc = (
+                ((vx >> 4) & 3) + ((vy >> 4) & 3) * 4 + ((vz >> 4) & 3) * 16
+            )
+            # interleaved meta (see _interleave_meta): bit 2i jump, 2i+1 liq
+            # of subwindow i — one gather for both flags. mbase <= 7*8+3 < 128
+            # structurally (wslot < N_WC, s_loc < 64), so the clip is skipped.
+            mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 4)
+            wm_b = jnp.broadcast_to(wm_row, (blk, 128))
+            sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2, bounded=True)
+            sw_jump = (sw_pair & 1) != 0
+            sw_liq = (sw_pair & 2) != 0
+
+            s = (vx >> 4) + (vy >> 4) * ns + (vz >> 4) * ns * ns
+            sslot = jnp.full((blk, 128), -1, i32)
+            if need_sslot:
+                for k in range(n_sc):
+                    sid_k = sid_all[k:k + 1, :]
+                    sslot = jnp.where((s == sid_k) & (sid_k >= 0), i32(k), sslot)
+
+            return (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
+                    sw_jump, sw_liq, s, sslot)
+
+        def boundary(t, active_i, wid_all, sid_all, wm_row):
+            """Pick each tile's subwindow (min cached id) and compose its rows
+            from the VMEM cache planes."""
+            active = active_i != 0
+            (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
+                classify(t, wid_all, sid_all, wm_row)
+            need = active & ~g_jump & (wslot >= 0) & ~sw_jump
+            skey = jnp.where(need & (sslot >= 0), s, bigi)
+            smin = jnp.min(skey, axis=1, keepdims=True)      # [BLK,1]
+            tsid = jnp.where(smin < bigi, smin, -1)
+            tslot = jnp.zeros((blk, 1), i32)
+            solid_row = jnp.zeros((blk, 128), u32)
+            liq_row = jnp.zeros((blk, 128), u32)
+            pid_rows = [jnp.zeros((blk, 128), u32) for _ in range(4)]
             for k in range(n_sc):
-                sid_k = sid_all[k:k + 1, :]
-                sslot = jnp.where((s == sid_k) & (sid_k >= 0), i32(k), sslot)
-
-        return (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
-                sw_jump, sw_liq, s, sslot)
-
-    def boundary(t, active_i, wid_all, sid_all, wm_row):
-        """Pick each tile's subwindow (min cached id) and compose its rows
-        from the VMEM cache planes."""
-        active = active_i != 0
-        (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
-            classify(t, wid_all, sid_all, wm_row)
-        need = active & ~g_jump & (wslot >= 0) & ~sw_jump
-        skey = jnp.where(need & (sslot >= 0), s, bigi)
-        smin = jnp.min(skey, axis=1, keepdims=True)      # [BLK,1]
-        tsid = jnp.where(smin < bigi, smin, -1)
-        tslot = jnp.zeros((blk, 1), i32)
-        solid_row = jnp.zeros((blk, 128), u32)
-        liq_row = jnp.zeros((blk, 128), u32)
-        pid_rows = [jnp.zeros((blk, 128), u32) for _ in range(4)]
-        for k in range(n_sc):
-            sid_k = sid_all[k:k + 1, :1]                 # [1,1]
-            eq = (tsid == sid_k) & (sid_k >= 0)          # [BLK,1]
-            tslot = jnp.where(eq, i32(k), tslot)
-            solid_row = jnp.where(
-                eq, jnp.broadcast_to(csol[k:k + 1, :], (blk, 128)), solid_row
-            )
-            liq_row = jnp.where(
-                eq, jnp.broadcast_to(cliq[k:k + 1, :], (blk, 128)), liq_row
-            )
-            for b in range(4):
-                pid_rows[b] = jnp.where(
-                    eq,
-                    jnp.broadcast_to(
-                        cpid[k * 4 + b:k * 4 + b + 1, :], (blk, 128)
-                    ),
-                    pid_rows[b],
+                sid_k = sid_all[k:k + 1, :1]                 # [1,1]
+                eq = (tsid == sid_k) & (sid_k >= 0)          # [BLK,1]
+                tslot = jnp.where(eq, i32(k), tslot)
+                solid_row = jnp.where(
+                    eq, jnp.broadcast_to(csol[k:k + 1, :], (blk, 128)), solid_row
                 )
-        can = active & (
-            g_jump
-            | ((wslot >= 0) & sw_jump)
-            | (need & (s == tsid))
-        )
-        go = jnp.any(can).astype(i32)
-        return tsid, tslot, solid_row, liq_row, tuple(pid_rows), go
-
-    cap_f = scal_ref[23]
-    step_cap = jnp.where(cap_f > 0.5, cap_f, jnp.float32(1e9)).astype(i32)
-
-    def step(c, rows_c, cch):
-        wid_all, sid_all, wm_row, sm_row = cch
-        tsid, tslot, solid_row, liq_row, pid_rows = rows_c
-        t, active_i, hit_i, axmask, vox, water, wenter, stp = c
-        active = (active_i != 0) & (t < t_exit)
-        hit = hit_i != 0
-
-        (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
-         sw_jump, sw_liq, s, _) = classify(
-            t, wid_all, sid_all, wm_row, need_sslot=False)
-
-        inw = (
-            (px >= 0.0) & (py >= 0.0) & (pz >= 0.0)
-            & (px < v) & (py < v) & (pz < v)
-        )
-        active = active & inw & (stp < step_cap)
-
-        at_ts = s == tsid
-        # bbase <= 15*8+3 < 128 and l >> 5 <= 4095 >> 5 = 127 structurally
-        # (even for garbage lanes: every term is &-masked), so the gather
-        # clips are skipped (bounded=True).
-        b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
-        bbase = (tslot & 15) * 8 + (b_loc >> 4)
-        sm_b = sm_sel(sm_row, tslot)
-        br_pair = pair_of(sm_b, bbase, (b_loc & 15) * 2, bounded=True)
-        br_jump = (br_pair & 1) != 0
-        br_liq = (br_pair & 2) != 0
-
-        l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
-        vsolid = bit_of(solid_row, l >> 5, l & 31, bounded=True) != 0
-        vliq = bit_of(liq_row, l >> 5, l & 31, bounded=True) != 0
-
-        case1 = active & g_jump
-        case2 = active & ~g_jump & (wslot >= 0) & sw_jump
-        case3 = active & ~g_jump & (wslot >= 0) & ~sw_jump & at_ts
-        in_br = case3 & br_jump
-        in_vox = case3 & ~br_jump
-        hit_now = in_vox & vsolid
-        march = case1 | case2 | in_br | (in_vox & ~vsolid)
-
-        liq_i = jnp.where(
-            case1, g_liq.astype(i32),
-            jnp.where(
-                case2, sw_liq.astype(i32),
-                jnp.where(in_br, br_liq.astype(i32), vliq.astype(i32)),
-            ),
-        )
-        liquid = liq_i != 0
-
-        in_w = wenter >= 0.0
-        consider = march | hit_now
-        leave = consider & in_w & ~liquid
-        water = water + jnp.where(leave, t - wenter, 0.0)
-        wenter = jnp.where(leave, -1.0, wenter)
-        wenter = jnp.where(march & liquid & (wenter < 0.0), t, wenter)
-
-        cell = jnp.where(
-            case1, f32(WIN << gs),
-            jnp.where(case2, f32(SW), jnp.where(in_br, f32(BRICK), f32(1.0))),
-        )
-        icell = 1.0 / cell
-
-        def axis(pc, ivc, sgn):
-            q = pc * icell
-            b = jnp.where(sgn > 0.5, jnp.floor(q) + 1.0, jnp.ceil(q) - 1.0)
-            dt = (b * cell - pc) * ivc
-            return jnp.where(jnp.abs(ivc) >= 0.99 * _BIG_IV, f32(_BIG), dt)
-
-        dtx = axis(px, ivx, sx)
-        dty = axis(py, ivy, sy)
-        dtz = axis(pz, ivz, sz)
-        dt = jnp.minimum(dtx, jnp.minimum(dty, dtz))
-        axm = (
-            (dtx <= dt).astype(i32)
-            | ((dty <= dt).astype(i32) << 1)
-            | ((dtz <= dt).astype(i32) << 2)
-        )
-
-        t = jnp.where(march, t + dt + EPS_T, t)
-        axmask = jnp.where(march, axm, axmask)
-        hit = hit | hit_now
-        active = active & ~hit_now
-        stp = stp + (march | hit_now).astype(i32)
-
-        progressed = jnp.any(march | hit_now).astype(i32)
-        return (t, active.astype(i32), hit.astype(i32), axmask, vox, water,
-                wenter, stp), progressed
-
-    def decode_hits(c, tslot, pid_rows, sm_row):
-        t, active_i, hit_i, axmask, vox, water, wenter, stp = c
-        undec = (hit_i != 0) & (vox == 0)
-        vx = jnp.floor(ox + dx * t).astype(i32)
-        vy = jnp.floor(oy + dy * t).astype(i32)
-        vz = jnp.floor(oz + dz * t).astype(i32)
-        l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
-        li, lsh = l >> 5, l & 31  # l <= 4095 structurally -> bounded gathers
-        pidx = bit_of(pid_rows[0], li, lsh, bounded=True)
-        pidx = pidx | (bit_of(pid_rows[1], li, lsh, bounded=True) << 1)
-        pidx = pidx | (bit_of(pid_rows[2], li, lsh, bounded=True) << 2)
-        pidx = pidx | (bit_of(pid_rows[3], li, lsh, bounded=True) << 3)
-        sm_b = sm_sel(sm_row, tslot)
-        pal_w = jnp.take_along_axis(
-            sm_b, jnp.clip((tslot & 15) * 8 + 4 + (pidx >> 2), 0, 127),
-            axis=1,
-        )
-        pid = ((pal_w >> ((pidx & 3).astype(u32) * 8)) & 0xFF).astype(i32)
-        vox = jnp.where(undec, pid, vox)
-        return (t, active_i, hit_i, axmask, vox, water, wenter, stp)
-
-    # ---- in-kernel service --------------------------------------------
-    def serve(t, active_i, cch, wctr, sctr):
-        """Fetch up to W_INS window metas + S_INS subwindow rows for the
-        block's stalled rays, window metas FIRST: subwindow stalls are
-        re-derived against the freshly merged window metas, so a ray cold
-        on both levels is fully served in ONE round (the meta row is 512 B
-        — its DMA wait costs ~nothing next to saving a whole round)."""
-        wid_all, sid_all, wm_row, sm_row = cch
-        (_, _, _, _, _, _, w, g_jump, _, wslot, _, _, _, _) = \
-            classify(t, wid_all, sid_all, wm_row, need_sslot=False)
-        alive = (active_i != 0) & (t < t_exit)
-        wstall = alive & ~g_jump & (wslot < 0)
-        wkey = jnp.where(wstall, w, bigi)
-
-        # distinct-min picks (scalar chains) + batched DMA starts
-        wpicks = []
-        for j in range(w_ins):
-            wj = jnp.min(wkey)
-            ok = wj < bigi
-            wpicks.append((wj, ok))
-            wkey = jnp.where(wkey == wj, bigi, wkey)
-
-            @pl.when(ok)
-            def _(wj=wj, j=j):
-                cp = pltpu.make_async_copy(
-                    wmp_ref.at[wj], wstage.at[j], wsem.at[j]
+                liq_row = jnp.where(
+                    eq, jnp.broadcast_to(cliq[k:k + 1, :], (blk, 128)), liq_row
                 )
-                cp.start()
+                for b in range(4):
+                    pid_rows[b] = jnp.where(
+                        eq,
+                        jnp.broadcast_to(
+                            cpid[k * 4 + b:k * 4 + b + 1, :], (blk, 128)
+                        ),
+                        pid_rows[b],
+                    )
+            can = active & (
+                g_jump
+                | ((wslot >= 0) & sw_jump)
+                | (need & (s == tsid))
+            )
+            go = jnp.any(can).astype(i32)
+            return tsid, tslot, solid_row, liq_row, tuple(pid_rows), go
 
-        # wait + merge window metas (FIFO slot rotation; invalid picks
-        # leave the slot's previous content in place)
-        for j, (wj, ok) in enumerate(wpicks):
-            slot = (wctr + j) % N_WC
+        cap_f = scal_ref[23]
+        step_cap = jnp.where(cap_f > 0.5, cap_f, jnp.float32(1e9)).astype(i32)
 
-            @pl.when(ok)
-            def _(wj=wj, j=j, slot=slot):
-                pltpu.make_async_copy(
-                    wmp_ref.at[wj], wstage.at[j], wsem.at[j]
-                ).wait()
+        def step(c, rows_c, cch):
+            wid_all, sid_all, wm_row, sm_row = cch
+            tsid, tslot, solid_row, liq_row, pid_rows = rows_c
+            t, active_i, hit_i, axmask, vox, water, wenter, stp = c
+            active = (active_i != 0) & (t < t_exit)
+            hit = hit_i != 0
 
-            mrow = wstage[j]                             # [1,128] u32
-            slot8 = slot * 8
-            src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
-            sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & ok
-            wm_row = jnp.where(sel, src, wm_row)
-            wid_all = jnp.where(
-                (wrow_iota == slot) & ok, wj, wid_all
+            (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
+             sw_jump, sw_liq, s, _) = classify(
+                t, wid_all, sid_all, wm_row, need_sslot=False)
+
+            inw = (
+                (px >= 0.0) & (py >= 0.0) & (pz >= 0.0)
+                & (px < v) & (py < v) & (pz < v)
+            )
+            active = active & inw & (stp < step_cap)
+
+            at_ts = s == tsid
+            # bbase <= 15*8+3 < 128 and l >> 5 <= 4095 >> 5 = 127 structurally
+            # (even for garbage lanes: every term is &-masked), so the gather
+            # clips are skipped (bounded=True).
+            b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
+            bbase = (tslot & 15) * 8 + (b_loc >> 4)
+            sm_b = sm_sel(sm_row, tslot)
+            br_pair = pair_of(sm_b, bbase, (b_loc & 15) * 2, bounded=True)
+            br_jump = (br_pair & 1) != 0
+            br_liq = (br_pair & 2) != 0
+
+            l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
+            vsolid = bit_of(solid_row, l >> 5, l & 31, bounded=True) != 0
+            vliq = bit_of(liq_row, l >> 5, l & 31, bounded=True) != 0
+
+            case1 = active & g_jump
+            case2 = active & ~g_jump & (wslot >= 0) & sw_jump
+            case3 = active & ~g_jump & (wslot >= 0) & ~sw_jump & at_ts
+            in_br = case3 & br_jump
+            in_vox = case3 & ~br_jump
+            hit_now = in_vox & vsolid
+            march = case1 | case2 | in_br | (in_vox & ~vsolid)
+
+            liq_i = jnp.where(
+                case1, g_liq.astype(i32),
+                jnp.where(
+                    case2, sw_liq.astype(i32),
+                    jnp.where(in_br, br_liq.astype(i32), vliq.astype(i32)),
+                ),
+            )
+            liquid = liq_i != 0
+
+            in_w = wenter >= 0.0
+            consider = march | hit_now
+            leave = consider & in_w & ~liquid
+            water = water + jnp.where(leave, t - wenter, 0.0)
+            wenter = jnp.where(leave, -1.0, wenter)
+            wenter = jnp.where(march & liquid & (wenter < 0.0), t, wenter)
+
+            cell = jnp.where(
+                case1, f32(WIN << gs),
+                jnp.where(case2, f32(SW), jnp.where(in_br, f32(BRICK), f32(1.0))),
+            )
+            icell = 1.0 / cell
+
+            def axis(pc, ivc, sgn):
+                q = pc * icell
+                b = jnp.where(sgn > 0.5, jnp.floor(q) + 1.0, jnp.ceil(q) - 1.0)
+                dt = (b * cell - pc) * ivc
+                return jnp.where(jnp.abs(ivc) >= 0.99 * _BIG_IV, f32(_BIG), dt)
+
+            dtx = axis(px, ivx, sx)
+            dty = axis(py, ivy, sy)
+            dtz = axis(pz, ivz, sz)
+            dt = jnp.minimum(dtx, jnp.minimum(dty, dtz))
+            axm = (
+                (dtx <= dt).astype(i32)
+                | ((dty <= dt).astype(i32) << 1)
+                | ((dtz <= dt).astype(i32) << 2)
             )
 
-        # re-classify against the merged window metas, then fetch
-        # subwindow content for every remaining stall
-        (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
-            classify(t, wid_all, sid_all, wm_row)
-        sstall = (
-            alive & ~g_jump & (wslot >= 0) & ~sw_jump & (sslot < 0)
-        )
-        skey = jnp.where(sstall, s, bigi)
-        spicks = []
-        if grouped:
-            # grouped pick: one vectorized per-tile-group min instead of
-            # s_ins sequential whole-array reductions — spatially fair
-            # (adjacent tiles share a group) and ~s_ins× cheaper to pick;
-            # duplicate ids across groups waste the odd slot, which the
-            # next round's re-pick absorbs.
-            gmin = jnp.min(
-                skey.reshape(s_ins, (blk // s_ins) * 128), axis=1
-            )                                             # [s_ins]
-            for j in range(s_ins):
-                sj = gmin[j]
-                spicks.append((sj, sj < bigi))
-        else:
-            for j in range(s_ins):
-                sj = jnp.min(skey)
-                spicks.append((sj, sj < bigi))
-                skey = jnp.where(skey == sj, bigi, skey)
-        for j, (sj, ok) in enumerate(spicks):
+            t = jnp.where(march, t + dt + EPS_T, t)
+            axmask = jnp.where(march, axm, axmask)
+            hit = hit | hit_now
+            active = active & ~hit_now
+            stp = stp + (march | hit_now).astype(i32)
 
-            @pl.when(ok)
-            def _(sj=sj, j=j):
-                cp = pltpu.make_async_copy(
-                    swc_ref.at[sj], stage.at[j], ssem.at[j]
+            progressed = jnp.any(march | hit_now).astype(i32)
+            return (t, active.astype(i32), hit.astype(i32), axmask, vox, water,
+                    wenter, stp), progressed
+
+        def decode_hits(c, tslot, pid_rows, sm_row):
+            t, active_i, hit_i, axmask, vox, water, wenter, stp = c
+            undec = (hit_i != 0) & (vox == 0)
+            vx = jnp.floor(ox + dx * t).astype(i32)
+            vy = jnp.floor(oy + dy * t).astype(i32)
+            vz = jnp.floor(oz + dz * t).astype(i32)
+            l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
+            li, lsh = l >> 5, l & 31  # l <= 4095 structurally -> bounded gathers
+            pidx = bit_of(pid_rows[0], li, lsh, bounded=True)
+            pidx = pidx | (bit_of(pid_rows[1], li, lsh, bounded=True) << 1)
+            pidx = pidx | (bit_of(pid_rows[2], li, lsh, bounded=True) << 2)
+            pidx = pidx | (bit_of(pid_rows[3], li, lsh, bounded=True) << 3)
+            sm_b = sm_sel(sm_row, tslot)
+            pal_w = jnp.take_along_axis(
+                sm_b, jnp.clip((tslot & 15) * 8 + 4 + (pidx >> 2), 0, 127),
+                axis=1,
+            )
+            pid = ((pal_w >> ((pidx & 3).astype(u32) * 8)) & 0xFF).astype(i32)
+            vox = jnp.where(undec, pid, vox)
+            return (t, active_i, hit_i, axmask, vox, water, wenter, stp)
+
+        # ---- in-kernel service --------------------------------------------
+        def serve(t, active_i, cch, wctr, sctr):
+            """Fetch up to W_INS window metas + S_INS subwindow rows for the
+            block's stalled rays, window metas FIRST: subwindow stalls are
+            re-derived against the freshly merged window metas, so a ray cold
+            on both levels is fully served in ONE round (the meta row is 512 B
+            — its DMA wait costs ~nothing next to saving a whole round)."""
+            wid_all, sid_all, wm_row, sm_row = cch
+            (_, _, _, _, _, _, w, g_jump, _, wslot, _, _, _, _) = \
+                classify(t, wid_all, sid_all, wm_row, need_sslot=False)
+            alive = (active_i != 0) & (t < t_exit)
+            wstall = alive & ~g_jump & (wslot < 0)
+            wkey = jnp.where(wstall, w, bigi)
+
+            # distinct-min picks (scalar chains) + batched DMA starts
+            wpicks = []
+            for j in range(w_ins):
+                wj = jnp.min(wkey)
+                ok = wj < bigi
+                wpicks.append((wj, ok))
+                wkey = jnp.where(wkey == wj, bigi, wkey)
+
+                @pl.when(ok)
+                def _(wj=wj, j=j):
+                    cp = pltpu.make_async_copy(
+                        wmp_ref.at[wj], wstage.at[j], wsem.at[j]
+                    )
+                    cp.start()
+
+            # wait + merge window metas (FIFO slot rotation; invalid picks
+            # leave the slot's previous content in place)
+            for j, (wj, ok) in enumerate(wpicks):
+                slot = (wctr + j) % N_WC
+
+                @pl.when(ok)
+                def _(wj=wj, j=j, slot=slot):
+                    pltpu.make_async_copy(
+                        wmp_ref.at[wj], wstage.at[j], wsem.at[j]
+                    ).wait()
+
+                mrow = wstage[j]                             # [1,128] u32
+                slot8 = slot * 8
+                src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
+                sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & ok
+                wm_row = jnp.where(sel, src, wm_row)
+                wid_all = jnp.where(
+                    (wrow_iota == slot) & ok, wj, wid_all
                 )
-                cp.start()
 
-        for j, (sj, ok) in enumerate(spicks):
-            slot = (sctr + j) % n_sc
+            # re-classify against the merged window metas, then fetch
+            # subwindow content for every remaining stall
+            (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
+                classify(t, wid_all, sid_all, wm_row)
+            sstall = (
+                alive & ~g_jump & (wslot >= 0) & ~sw_jump & (sslot < 0)
+            )
+            skey = jnp.where(sstall, s, bigi)
+            if s_seg > 1:
+                # Segmented fetch: each DMA brings s_seg CONSECUTIVE rows
+                # starting at the picked stall id. Subwindow ids are x-major
+                # (s = X + Y*ns + Z*ns²), so stalled neighbors along +x are
+                # consecutive rows and one issue serves them all — the DMA
+                # ISSUE cost (~1 us each on this runtime, serialized on the
+                # scalar core) was the serve round's dominant term. Every id
+                # in a fetched segment clears from the stall pool; duplicate
+                # cache entries from overlapping segments are harmless (the
+                # cache is id-matched, copies carry identical content).
+                n3 = ns * ns * ns
+                spicks = []
+                for i in range(s_ins // s_seg):
+                    sj = jnp.min(skey)
+                    ok = sj < bigi
+                    start = jnp.minimum(sj, i32(n3 - s_seg))
+                    spicks.append((start, ok))
+                    served = (skey >= start) & (skey < start + s_seg)
+                    skey = jnp.where(served, bigi, skey)
 
-            @pl.when(ok)
-            def _(sj=sj, j=j):
-                pltpu.make_async_copy(
-                    swc_ref.at[sj], stage.at[j], ssem.at[j]
-                ).wait()
+                    @pl.when(ok)
+                    def _(start=start, i=i):
+                        pltpu.make_async_copy(
+                            swc_ref.at[pl.ds(start, s_seg)],
+                            stage.at[pl.ds(i * s_seg, s_seg)], ssem.at[i],
+                        ).start()
 
-            @pl.when(ok)
-            def _(j=j, slot=slot):
-                csol[pl.ds(slot, 1)] = stage[j, 0:1]
-                cliq[pl.ds(slot, 1)] = stage[j, 1:2]
-                cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
+                for i, (start, ok) in enumerate(spicks):
 
-            mrow = stage[j, 6:7]                         # [1,128] u32
-            sm_row = sm_merge(sm_row, mrow, slot, ok)
-            sid_all = jnp.where((srow_iota == slot) & ok, sj, sid_all)
+                    @pl.when(ok)
+                    def _(start=start, i=i):
+                        pltpu.make_async_copy(
+                            swc_ref.at[pl.ds(start, s_seg)],
+                            stage.at[pl.ds(i * s_seg, s_seg)], ssem.at[i],
+                        ).wait()
 
-        return (
-            (wid_all, sid_all, wm_row, sm_row),
-            wctr + w_ins, sctr + s_ins,
-        )
+                    for r in range(s_seg):
+                        j = i * s_seg + r
+                        slot = (sctr + j) % n_sc
 
-    # ---- state init (primary: synthesized in-kernel, as v3) -----------
-    if not per_ray:
-        sbi = tg // _BLK
-        li = tg - sbi * _BLK
-        from .wavefront3 import SB_H, SB_W
-        txi = (sbi % nsx) * SB_W + li % SB_W
-        tyi = (sbi // nsx) * SB_H + li // SB_W
-        val_t = (
-            (txi.astype(f32) < scal_ref[25])
-            & (tyi.astype(f32) < scal_ref[26])
-        )
-        in_w0 = (
-            (ox > 0.0) & (ox < v)
-            & (oy > 0.0) & (oy < v)
-            & (oz > 0.0) & (oz < v)
-        )
-        act0 = (val_t & in_w0).astype(i32)
-        ts0 = jnp.full((blk, 128), EPS_T, f32)
-        wa0 = jnp.zeros((blk, 128), f32)
-        we0 = jnp.full((blk, 128), -1.0, f32)
-        hit0 = jnp.zeros((blk, 128), i32)
-        ax0 = jnp.zeros((blk, 128), i32)
-        stp0 = jnp.zeros((blk, 128), i32)
-        vox0 = jnp.zeros((blk, 128), i32)
-    else:
-        ts0, wa0, we0 = ts_ref[...], wa_ref[...], we_ref[...]
-        act0 = (fl_in >> 0) & 1
-        hit0 = (fl_in >> _FL_HIT) & 1
-        ax0 = (fl_in >> _FL_AX) & 7
-        stp0 = (fl_in >> _FL_STP) & 0xFFF
-        vox0 = (fl_in >> _FL_VOX) & 0xFF
-    act0 = jnp.where(stp0 < step_cap, act0, 0)
-    px0 = ox + dx * ts0
-    py0 = oy + dy * ts0
-    pz0 = oz + dz * ts0
-    inw0 = (
-        (px0 >= 0.0) & (py0 >= 0.0) & (pz0 >= 0.0)
-        & (px0 < v) & (py0 < v) & (pz0 < v)
-    )
-    act0 = jnp.where(inw0 & (ts0 < t_exit), act0, 0)
-    any_active = jnp.any(act0 != 0)
+                        @pl.when(ok)
+                        def _(j=j, slot=slot):
+                            csol[pl.ds(slot, 1)] = stage[j, 0:1]
+                            cliq[pl.ds(slot, 1)] = stage[j, 1:2]
+                            cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
 
-    def encode_flags(c):
-        sgn_bits = (
-            sx.astype(i32)
-            | (sy.astype(i32) << 1)
-            | (sz.astype(i32) << 2)
-        )
-        return (
-            c[1]
-            | (c[2] << _FL_HIT)
-            | (c[3] << _FL_AX)
-            | (jnp.minimum(c[7], 0xFFF) << _FL_STP)
-            | (c[4] << _FL_VOX)
-            | (sgn_bits << _FL_SGN)
-        )
+                        mrow = stage[j, 6:7]
+                        sm_row = sm_merge(sm_row, mrow, slot, ok)
+                        sid_all = jnp.where(
+                            (srow_iota == slot) & ok, start + r, sid_all
+                        )
 
-    def shade_store(c):
-        """In-kernel shade epilogue (fused mode): same op order as the v3
-        _shade_kernel (wavefront3.py:1849) so the packed RGBA8 is
-        bit-exact vs the split march|shade dispatches."""
-        t, _a, hit_i, axm, vox, wat, wen, stp = c
-        hit = hit_i != 0
-        t_stop = jnp.minimum(t, t_exit)
-        water = wat + jnp.where(wen >= 0.0, t_stop - wen, 0.0)
-        lo = vox & 127
-        hi = vox >> 7
+                return (
+                    (wid_all, sid_all, wm_row, sm_row),
+                    wctr + w_ins, sctr + s_ins,
+                )
+            spicks = []
+            if grouped:
+                # grouped pick: one vectorized per-tile-group min instead of
+                # s_ins sequential whole-array reductions — spatially fair
+                # (adjacent tiles share a group) and ~s_ins× cheaper to pick;
+                # duplicate ids across groups waste the odd slot, which the
+                # next round's re-pick absorbs.
+                gmin = jnp.min(
+                    skey.reshape(s_ins, (blk // s_ins) * 128), axis=1
+                )                                             # [s_ins]
+                for j in range(s_ins):
+                    sj = gmin[j]
+                    spicks.append((sj, sj < bigi))
+            else:
+                for j in range(s_ins):
+                    sj = jnp.min(skey)
+                    spicks.append((sj, sj < bigi))
+                    skey = jnp.where(skey == sj, bigi, skey)
+            for j, (sj, ok) in enumerate(spicks):
 
-        def chan(r0, r1):
-            a = jnp.take_along_axis(
-                jnp.broadcast_to(r0, (blk, 128)), lo, axis=1)
-            b = jnp.take_along_axis(
-                jnp.broadcast_to(r1, (blk, 128)), lo, axis=1)
-            return jnp.where(hi != 0, b, a)
+                @pl.when(ok)
+                def _(sj=sj, j=j):
+                    cp = pltpu.make_async_copy(
+                        swc_ref.at[sj], stage.at[j], ssem.at[j]
+                    )
+                    cp.start()
 
-        cr = chan(lut_ref[0:1], lut_ref[1:2])
-        cg = chan(lut_ref[2:3], lut_ref[3:4])
-        cb = chan(lut_ref[4:5], lut_ref[5:6])
-        tint = jnp.where((axm & 1) != 0, f32(0.5), f32(1.0))
-        tint = tint * jnp.where((axm & 4) != 0, f32(0.7), f32(1.0))
-        bottom = ((axm & 2) != 0) & (dy > 0.0)
-        tint = tint * jnp.where(bottom, f32(0.2), f32(1.0))
-        cr = cr * tint
-        cg = cg * tint
-        cb = cb * tint
-        if show_steps:
-            max_steps = rounds_cap * sub_rounds * sub_steps
-            fstep = jnp.clip(stp.astype(f32) / f32(max_steps), 0.0, 1.0)
-            cr = fstep
-            cg = fstep
-            cb = fstep
+            for j, (sj, ok) in enumerate(spicks):
+                slot = (sctr + j) % n_sc
 
-        def sstep(e0, e1, x):
-            q = jnp.clip((x - e0) * (1.0 / (e1 - e0)), 0.0, 1.0)
-            return q * q * (3.0 - 2.0 * q)
+                @pl.when(ok)
+                def _(sj=sj, j=j):
+                    pltpu.make_async_copy(
+                        swc_ref.at[sj], stage.at[j], ssem.at[j]
+                    ).wait()
 
-        gts = sstep(-0.01, 0.0, dy)
-        grad_t = sstep(0.0, 0.4, dy) ** 0.35
-        sun_dot = (dx * scal_ref[27] + dy * scal_ref[28]
-                   + dz * scal_ref[29])
-        sun = (
-            ((sun_dot > (1.0 - 0.01)) & (gts >= 1.0)).astype(f32)
-            * scal_ref[30]
-        )
+                @pl.when(ok)
+                def _(j=j, slot=slot):
+                    csol[pl.ds(slot, 1)] = stage[j, 0:1]
+                    cliq[pl.ds(slot, 1)] = stage[j, 1:2]
+                    cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
 
-        def sky_chan(h, vd, sc):
-            g = h + (sc - h) * grad_t
-            return vd + (g - vd) * gts + sun
+                mrow = stage[j, 6:7]                         # [1,128] u32
+                sm_row = sm_merge(sm_row, mrow, slot, ok)
+                sid_all = jnp.where((srow_iota == slot) & ok, sj, sid_all)
 
-        sr = sky_chan(f32(1.0), f32(0.03), scal_ref[31])
-        sg = sky_chan(f32(0.3), f32(0.03), scal_ref[32])
-        sb = sky_chan(f32(0.0), f32(0.03), scal_ref[33])
-        r = jnp.where(hit, cr, sr)
-        g = jnp.where(hit, cg, sg)
-        b = jnp.where(hit, cb, sb)
-        factor = jnp.clip(water * (1.0 / 14.0), 0.8, 1.0)
-        wet = water != 0.0
-        r = jnp.where(wet, r * (1.0 - factor) + 0.2 * factor, r)
-        g = jnp.where(wet, g * (1.0 - factor) + 0.5 * factor, g)
-        b = jnp.where(wet, b * (1.0 - factor) + 1.0 * factor, b)
-
-        def q8(cch):
             return (
-                jnp.clip(cch, 0.0, 1.0) * 255.0
-            ).astype(i32).astype(u32)
+                (wid_all, sid_all, wm_row, sm_row),
+                wctr + w_ins, sctr + s_ins,
+            )
 
-        pk_o[:, :] = (
-            q8(r) | (q8(g) << 8) | (q8(b) << 16) | u32(0xFF000000)
+        # ---- state init (primary: synthesized in-kernel, as v3) -----------
+        if not per_ray:
+            sbi = tg // _BLK
+            li = tg - sbi * _BLK
+            from .wavefront3 import SB_H, SB_W
+            txi = (sbi % nsx) * SB_W + li % SB_W
+            tyi = (sbi // nsx) * SB_H + li // SB_W
+            val_t = (
+                (txi.astype(f32) < scal_ref[25])
+                & (tyi.astype(f32) < scal_ref[26])
+            )
+            in_w0 = (
+                (ox > 0.0) & (ox < v)
+                & (oy > 0.0) & (oy < v)
+                & (oz > 0.0) & (oz < v)
+            )
+            act0 = (val_t & in_w0).astype(i32)
+            ts0 = jnp.full((blk, 128), EPS_T, f32)
+            wa0 = jnp.zeros((blk, 128), f32)
+            we0 = jnp.full((blk, 128), -1.0, f32)
+            hit0 = jnp.zeros((blk, 128), i32)
+            ax0 = jnp.zeros((blk, 128), i32)
+            stp0 = jnp.zeros((blk, 128), i32)
+            vox0 = jnp.zeros((blk, 128), i32)
+        else:
+            ts0, wa0, we0 = ts_ref[...], wa_ref[...], we_ref[...]
+            act0 = (fl_in >> 0) & 1
+            hit0 = (fl_in >> _FL_HIT) & 1
+            ax0 = (fl_in >> _FL_AX) & 7
+            stp0 = (fl_in >> _FL_STP) & 0xFFF
+            vox0 = (fl_in >> _FL_VOX) & 0xFF
+        act0 = jnp.where(stp0 < step_cap, act0, 0)
+        px0 = ox + dx * ts0
+        py0 = oy + dy * ts0
+        pz0 = oz + dz * ts0
+        inw0 = (
+            (px0 >= 0.0) & (py0 >= 0.0) & (pz0 >= 0.0)
+            & (px0 < v) & (py0 < v) & (pz0 < v)
         )
-        fl_o[:, :] = encode_flags(c)
+        act0 = jnp.where(inw0 & (ts0 < t_exit), act0, 0)
+        any_active = jnp.any(act0 != 0)
 
-    @pl.when(jnp.logical_not(any_active))
-    def _():
-        if fused:
-            shade_store((ts0, act0, hit0, ax0, vox0, wa0, we0, stp0))
-        else:
-            st_o[:] = st_ref[:]
-        if warm:
-            ids_o[:] = warm_ref[:]   # keep the caller's token for the block
-
-    @pl.when(any_active)
-    def _():
-        c0 = (ts0, act0, hit0, ax0, vox0, wa0, we0, stp0)
-
-        # ---- warm start: prefetch last frame's cache IDS (contents are
-        # always re-fetched, so world edits are safe — the token carries
-        # no geometry). One batched DMA wave replaces ~most cold serve
-        # rounds on temporally coherent frames.
-        if warm and warm_pre:
-            # contents pre-gathered by XLA and pipelined in as block
-            # inputs: no DMA issue/wait at all — just merge
-            wm_w, sm_w = wm0, sm0
-            wid_w, sid_w = wid0, sid0
-            for k in range(N_WC):
-                widk = warm_ref[0, 1, k]
-                okk = widk >= 0
-                mrow = wmpw_ref[0, k]
-                slot8 = k * 8
-                src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
-                sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
-                wm_w = jnp.where(sel, src, wm_w)
-                wid_w = jnp.where((wrow_iota == k) & okk, widk, wid_w)
-            for k in range(n_sc):
-                sidk = warm_ref[0, 0, k]
-                okk = sidk >= 0
-
-                @pl.when(okk)
-                def _(k=k):
-                    csol[pl.ds(k, 1)] = swcw_ref[0, k, 0:1]
-                    cliq[pl.ds(k, 1)] = swcw_ref[0, k, 1:2]
-                    cpid[pl.ds(k * 4, 4)] = swcw_ref[0, k, 2:6]
-
-                mrow = swcw_ref[0, k, 6:7]
-                sm_w = sm_merge(sm_w, mrow, k, okk)
-                sid_w = jnp.where((srow_iota == k) & okk, sidk, sid_w)
-            cch_init = (wid_w, sid_w, wm_w, sm_w)
-        elif warm:
-            wm_w, sm_w = wm0, sm0
-            wid_w, sid_w = wid0, sid0
-            wpk = []
-            for k in range(N_WC):
-                widk = warm_ref[0, 1, k]
-                okk = widk >= 0
-                wpk.append((widk, okk))
-
-                @pl.when(okk)
-                def _(widk=widk, k=k):
-                    pltpu.make_async_copy(
-                        wmp_ref.at[widk], wstage.at[k], wsem.at[k]
-                    ).start()
-            spk = []
-            for k in range(n_sc):
-                sidk = warm_ref[0, 0, k]
-                okk = sidk >= 0
-                spk.append((sidk, okk))
-
-                @pl.when(okk)
-                def _(sidk=sidk, k=k):
-                    pltpu.make_async_copy(
-                        swc_ref.at[sidk], stage.at[k], ssem.at[k]
-                    ).start()
-            for k, (widk, okk) in enumerate(wpk):
-                @pl.when(okk)
-                def _(widk=widk, k=k):
-                    pltpu.make_async_copy(
-                        wmp_ref.at[widk], wstage.at[k], wsem.at[k]
-                    ).wait()
-
-                mrow = wstage[k]
-                slot8 = k * 8
-                src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
-                sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
-                wm_w = jnp.where(sel, src, wm_w)
-                wid_w = jnp.where((wrow_iota == k) & okk, widk, wid_w)
-            for k, (sidk, okk) in enumerate(spk):
-                @pl.when(okk)
-                def _(sidk=sidk, k=k):
-                    pltpu.make_async_copy(
-                        swc_ref.at[sidk], stage.at[k], ssem.at[k]
-                    ).wait()
-
-                @pl.when(okk)
-                def _(k=k):
-                    csol[pl.ds(k, 1)] = stage[k, 0:1]
-                    cliq[pl.ds(k, 1)] = stage[k, 1:2]
-                    cpid[pl.ds(k * 4, 4)] = stage[k, 2:6]
-
-                mrow = stage[k, 6:7]
-                sm_w = sm_merge(sm_w, mrow, k, okk)
-                sid_w = jnp.where((srow_iota == k) & okk, sidk, sid_w)
-            cch_init = (wid_w, sid_w, wm_w, sm_w)
-        else:
-            cch_init = (wid0, sid0, wm0, sm0)
-
-        def sub_round(state):
-            sr, _, c, rows_c, cch = state
-
-            # fixed-point early exit: once no lane marches or hits, the
-            # remaining steps of this sub-round are no-ops — skip them
-            def sbody(st):
-                i, _, cc = st
-                cc, prog = step(cc, rows_c, cch)
-                return i + 1, prog, cc
-
-            def scond(st):
-                i, prog, _ = st
-                return (i < sub_steps) & (prog != 0)
-
-            _, _, c = jax.lax.while_loop(
-                scond, sbody, (jnp.int32(0), jnp.int32(1), c)
+        def encode_flags(c):
+            sgn_bits = (
+                sx.astype(i32)
+                | (sy.astype(i32) << 1)
+                | (sz.astype(i32) << 2)
             )
-            c = decode_hits(c, rows_c[1], rows_c[4], cch[3])
-            t, a, h, axm, vox, wat, wen, stp = c
-            t = jnp.minimum(t, t_exit)
-            c = (t, jnp.where(stp < step_cap, a, 0), h, axm, vox, wat,
-                 wen, stp)
-            tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(
-                c[0], c[1], cch[0], cch[1], cch[2]
+            return (
+                c[1]
+                | (c[2] << _FL_HIT)
+                | (c[3] << _FL_AX)
+                | (jnp.minimum(c[7], 0xFFF) << _FL_STP)
+                | (c[4] << _FL_VOX)
+                | (sgn_bits << _FL_SGN)
             )
-            return sr + 1, go, c, (tsid, tslot, solid_row, liq_row,
-                                   pid_rows), cch
 
-        def inner_cond(state):
-            sr, go, _, _, _ = state
-            return (sr < sub_rounds) & (go != 0)
+        def shade_store(c):
+            """In-kernel shade epilogue (fused mode): same op order as the v3
+            _shade_kernel (wavefront3.py:1849) so the packed RGBA8 is
+            bit-exact vs the split march|shade dispatches."""
+            t, _a, hit_i, axm, vox, wat, wen, stp = c
+            hit = hit_i != 0
+            t_stop = jnp.minimum(t, t_exit)
+            water = wat + jnp.where(wen >= 0.0, t_stop - wen, 0.0)
+            lo = vox & 127
+            hi = vox >> 7
 
-        def round_body(carry):
-            r, c, cch, wctr, sctr = carry
-            # serve this round's stalls, then march until every lane
-            # stalls again (or the block converges)
-            cch, wctr, sctr = serve(c[0], c[1], cch, wctr, sctr)
-            rows_c = boundary(c[0], c[1], cch[0], cch[1], cch[2])
-            _, _, c, _, _ = jax.lax.while_loop(
-                inner_cond, sub_round,
-                (jnp.int32(0), rows_c[5], c, rows_c[:5], cch),
+            def chan(r0, r1):
+                a = jnp.take_along_axis(
+                    jnp.broadcast_to(r0, (blk, 128)), lo, axis=1)
+                b = jnp.take_along_axis(
+                    jnp.broadcast_to(r1, (blk, 128)), lo, axis=1)
+                return jnp.where(hi != 0, b, a)
+
+            cr = chan(lut_ref[0:1], lut_ref[1:2])
+            cg = chan(lut_ref[2:3], lut_ref[3:4])
+            cb = chan(lut_ref[4:5], lut_ref[5:6])
+            tint = jnp.where((axm & 1) != 0, f32(0.5), f32(1.0))
+            tint = tint * jnp.where((axm & 4) != 0, f32(0.7), f32(1.0))
+            bottom = ((axm & 2) != 0) & (dy > 0.0)
+            tint = tint * jnp.where(bottom, f32(0.2), f32(1.0))
+            cr = cr * tint
+            cg = cg * tint
+            cb = cb * tint
+            if show_steps:
+                max_steps = rounds_cap * sub_rounds * sub_steps
+                fstep = jnp.clip(stp.astype(f32) / f32(max_steps), 0.0, 1.0)
+                cr = fstep
+                cg = fstep
+                cb = fstep
+
+            def sstep(e0, e1, x):
+                q = jnp.clip((x - e0) * (1.0 / (e1 - e0)), 0.0, 1.0)
+                return q * q * (3.0 - 2.0 * q)
+
+            gts = sstep(-0.01, 0.0, dy)
+            grad_t = sstep(0.0, 0.4, dy) ** 0.35
+            sun_dot = (dx * scal_ref[27] + dy * scal_ref[28]
+                       + dz * scal_ref[29])
+            sun = (
+                ((sun_dot > (1.0 - 0.01)) & (gts >= 1.0)).astype(f32)
+                * scal_ref[30]
             )
-            return r + 1, c, cch, wctr, sctr
 
-        def round_cond(carry):
-            r, c, _, _, _ = carry
-            return (r < rounds_cap) & jnp.any(c[1] != 0)
+            def sky_chan(h, vd, sc):
+                g = h + (sc - h) * grad_t
+                return vd + (g - vd) * gts + sun
 
-        _, c, cch_f, _, _ = jax.lax.while_loop(
-            round_cond, round_body,
-            (jnp.int32(0), c0, cch_init, jnp.int32(0), jnp.int32(0)),
-        )
-        if warm:
-            # pack the final cache ids into the token plane: row 0 lane k
-            # = sid slot k, row 1 lane k = wid slot k (k past the slot
-            # count stays -1)
-            wid_f, sid_f = cch_f[0], cch_f[1]
-            sid_row = jnp.full((1, 128), -1, i32)
-            for k in range(n_sc):
-                sid_row = jnp.where(lane_row == k, sid_f[k:k + 1, :], sid_row)
-            wid_row = jnp.full((1, 128), -1, i32)
-            for k in range(N_WC):
-                wid_row = jnp.where(lane_row == k, wid_f[k:k + 1, :], wid_row)
-            ids_o[0, 0, :] = sid_row[0]
-            ids_o[0, 1, :] = wid_row[0]
+            sr = sky_chan(f32(1.0), f32(0.03), scal_ref[31])
+            sg = sky_chan(f32(0.3), f32(0.03), scal_ref[32])
+            sb = sky_chan(f32(0.0), f32(0.03), scal_ref[33])
+            r = jnp.where(hit, cr, sr)
+            g = jnp.where(hit, cg, sg)
+            b = jnp.where(hit, cb, sb)
+            factor = jnp.clip(water * (1.0 / 14.0), 0.8, 1.0)
+            wet = water != 0.0
+            r = jnp.where(wet, r * (1.0 - factor) + 0.2 * factor, r)
+            g = jnp.where(wet, g * (1.0 - factor) + 0.5 * factor, g)
+            b = jnp.where(wet, b * (1.0 - factor) + 1.0 * factor, b)
 
-        if fused:
-            shade_store(c)
-        else:
-            fl_out = encode_flags(c)
-            st_o[0, :, :] = c[0]
-            st_o[1, :, :] = jax.lax.bitcast_convert_type(
-                fl_out + _FL_BIAS, f32)
-            st_o[2, :, :] = c[5]
-            st_o[3, :, :] = c[6]
+            def q8(cch):
+                return (
+                    jnp.clip(cch, 0.0, 1.0) * 255.0
+                ).astype(i32).astype(u32)
+
+            pk_o[s0:s0 + blk, :] = (
+                q8(r) | (q8(g) << 8) | (q8(b) << 16) | u32(0xFF000000)
+            )
+            fl_o[s0:s0 + blk, :] = encode_flags(c)
+
+        @pl.when(jnp.logical_not(any_active))
+        def _():
+            if fused:
+                shade_store((ts0, act0, hit0, ax0, vox0, wa0, we0, stp0))
+            else:
+                st_o[:, s0:s0 + blk] = st_ref[:, s0:s0 + blk]
+            if warm:
+                ids_o[sb] = warm_ref[sb]  # keep the caller's token
+
+        @pl.when(any_active)
+        def _():
+            c0 = (ts0, act0, hit0, ax0, vox0, wa0, we0, stp0)
+
+            # ---- warm start: prefetch last frame's cache IDS (contents are
+            # always re-fetched, so world edits are safe — the token carries
+            # no geometry). One batched DMA wave replaces ~most cold serve
+            # rounds on temporally coherent frames.
+            if warm and warm_pre:
+                # contents pre-gathered by XLA and pipelined in as block
+                # inputs: no DMA issue/wait at all — just merge
+                wm_w, sm_w = wm0, sm0
+                wid_w, sid_w = wid0, sid0
+                for k in range(N_WC):
+                    widk = warm_ref[sb, 1, k]
+                    okk = widk >= 0
+                    mrow = wmpw_ref[sb, k]
+                    slot8 = k * 8
+                    src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
+                    sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
+                    wm_w = jnp.where(sel, src, wm_w)
+                    wid_w = jnp.where((wrow_iota == k) & okk, widk, wid_w)
+                for k in range(n_sc):
+                    sidk = warm_ref[sb, 0, k]
+                    okk = sidk >= 0
+
+                    @pl.when(okk)
+                    def _(k=k):
+                        csol[pl.ds(k, 1)] = swcw_ref[sb, k, 0:1]
+                        cliq[pl.ds(k, 1)] = swcw_ref[sb, k, 1:2]
+                        cpid[pl.ds(k * 4, 4)] = swcw_ref[sb, k, 2:6]
+
+                    mrow = swcw_ref[sb, k, 6:7]
+                    sm_w = sm_merge(sm_w, mrow, k, okk)
+                    sid_w = jnp.where((srow_iota == k) & okk, sidk, sid_w)
+                cch_init = (wid_w, sid_w, wm_w, sm_w)
+            elif warm:
+                wm_w, sm_w = wm0, sm0
+                wid_w, sid_w = wid0, sid0
+                wpk = []
+                for k in range(N_WC):
+                    widk = warm_ref[sb, 1, k]
+                    okk = widk >= 0
+                    wpk.append((widk, okk))
+
+                    @pl.when(okk)
+                    def _(widk=widk, k=k):
+                        pltpu.make_async_copy(
+                            wmp_ref.at[widk], wstage.at[k], wsem.at[k]
+                        ).start()
+                spk = []
+                for k in range(n_sc):
+                    sidk = warm_ref[sb, 0, k]
+                    okk = sidk >= 0
+                    spk.append((sidk, okk))
+
+                    @pl.when(okk)
+                    def _(sidk=sidk, k=k):
+                        pltpu.make_async_copy(
+                            swc_ref.at[sidk], stage.at[k], ssem.at[k]
+                        ).start()
+                for k, (widk, okk) in enumerate(wpk):
+                    @pl.when(okk)
+                    def _(widk=widk, k=k):
+                        pltpu.make_async_copy(
+                            wmp_ref.at[widk], wstage.at[k], wsem.at[k]
+                        ).wait()
+
+                    mrow = wstage[k]
+                    slot8 = k * 8
+                    src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
+                    sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
+                    wm_w = jnp.where(sel, src, wm_w)
+                    wid_w = jnp.where((wrow_iota == k) & okk, widk, wid_w)
+                for k, (sidk, okk) in enumerate(spk):
+                    @pl.when(okk)
+                    def _(sidk=sidk, k=k):
+                        pltpu.make_async_copy(
+                            swc_ref.at[sidk], stage.at[k], ssem.at[k]
+                        ).wait()
+
+                    @pl.when(okk)
+                    def _(k=k):
+                        csol[pl.ds(k, 1)] = stage[k, 0:1]
+                        cliq[pl.ds(k, 1)] = stage[k, 1:2]
+                        cpid[pl.ds(k * 4, 4)] = stage[k, 2:6]
+
+                    mrow = stage[k, 6:7]
+                    sm_w = sm_merge(sm_w, mrow, k, okk)
+                    sid_w = jnp.where((srow_iota == k) & okk, sidk, sid_w)
+                cch_init = (wid_w, sid_w, wm_w, sm_w)
+            else:
+                cch_init = (wid0, sid0, wm0, sm0)
+
+            def sub_round(state):
+                sr, _, c, rows_c, cch = state
+
+                # fixed-point early exit: once no lane marches or hits, the
+                # remaining steps of this sub-round are no-ops — skip them
+                def sbody(st):
+                    i, _, cc = st
+                    cc, prog = step(cc, rows_c, cch)
+                    return i + 1, prog, cc
+
+                def scond(st):
+                    i, prog, _ = st
+                    return (i < sub_steps) & (prog != 0)
+
+                _, _, c = jax.lax.while_loop(
+                    scond, sbody, (jnp.int32(0), jnp.int32(1), c)
+                )
+                c = decode_hits(c, rows_c[1], rows_c[4], cch[3])
+                t, a, h, axm, vox, wat, wen, stp = c
+                t = jnp.minimum(t, t_exit)
+                c = (t, jnp.where(stp < step_cap, a, 0), h, axm, vox, wat,
+                     wen, stp)
+                tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(
+                    c[0], c[1], cch[0], cch[1], cch[2]
+                )
+                return sr + 1, go, c, (tsid, tslot, solid_row, liq_row,
+                                       pid_rows), cch
+
+            def inner_cond(state):
+                sr, go, _, _, _ = state
+                return (sr < sub_rounds) & (go != 0)
+
+            def round_body(carry):
+                r, c, cch, wctr, sctr = carry
+                # serve this round's stalls, then march until every lane
+                # stalls again (or the block converges)
+                cch, wctr, sctr = serve(c[0], c[1], cch, wctr, sctr)
+                rows_c = boundary(c[0], c[1], cch[0], cch[1], cch[2])
+                _, _, c, _, _ = jax.lax.while_loop(
+                    inner_cond, sub_round,
+                    (jnp.int32(0), rows_c[5], c, rows_c[:5], cch),
+                )
+                return r + 1, c, cch, wctr, sctr
+
+            def round_cond(carry):
+                r, c, _, _, _ = carry
+                return (r < rounds_cap) & jnp.any(c[1] != 0)
+
+            _, c, cch_f, _, _ = jax.lax.while_loop(
+                round_cond, round_body,
+                (jnp.int32(0), c0, cch_init, jnp.int32(0), jnp.int32(0)),
+            )
+            if warm:
+                # pack the final cache ids into the token plane: row 0 lane k
+                # = sid slot k, row 1 lane k = wid slot k (k past the slot
+                # count stays -1)
+                wid_f, sid_f = cch_f[0], cch_f[1]
+                sid_row = jnp.full((1, 128), -1, i32)
+                for k in range(n_sc):
+                    sid_row = jnp.where(lane_row == k, sid_f[k:k + 1, :], sid_row)
+                wid_row = jnp.full((1, 128), -1, i32)
+                for k in range(N_WC):
+                    wid_row = jnp.where(lane_row == k, wid_f[k:k + 1, :], wid_row)
+                ids_o[sb, 0, :] = sid_row[0]
+                ids_o[sb, 1, :] = wid_row[0]
+
+            if fused:
+                shade_store(c)
+            else:
+                fl_out = encode_flags(c)
+                st_o[0, s0:s0 + blk, :] = c[0]
+                st_o[1, s0:s0 + blk, :] = jax.lax.bitcast_convert_type(
+                    fl_out + _FL_BIAS, f32)
+                st_o[2, s0:s0 + blk, :] = c[5]
+                st_o[3, s0:s0 + blk, :] = c[6]
+
+    for sb in range(vb):
+        do_block(sb)
+
 
 
 def _march4(
@@ -942,7 +1015,7 @@ def _march4(
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
     n_sc=N_SC, gw_pair=False, lut=None, show_steps=False, T=None,
-    warm_gather=False,
+    warm_gather=False, s_seg=1, vb=1,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
@@ -972,16 +1045,19 @@ def _march4(
     assert not grouped or blk % s_ins == 0, (
         f"grouped picks need s_ins ({s_ins}) to divide the block's "
         f"{blk} tiles")
+    assert s_ins % s_seg == 0 and not (grouped and s_seg > 1), (s_ins, s_seg)
+    vb = int(vb)
+    assert T % (blk * vb) == 0, (T, blk, vb)
 
     def pspec(p):
-        return pl.BlockSpec((p, blk, 128), lambda i: (0, i, 0),
+        return pl.BlockSpec((p, blk * vb, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
 
     def vspec():
-        return pl.BlockSpec((blk, 128), lambda i: (i, 0),
+        return pl.BlockSpec((blk * vb, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    ispec = pl.BlockSpec((1, 2, 128), lambda i: (i, 0, 0),
+    ispec = pl.BlockSpec((vb, 2, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),            # scal
@@ -1025,11 +1101,11 @@ def _march4(
             nB, N_WC, 1, 128
         )
         in_specs.append(pl.BlockSpec(
-            (1, n_sc, 7, 128), lambda i: (i, 0, 0, 0),
+            (vb, n_sc, 7, 128), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM))
         args.append(swc_warm)
         in_specs.append(pl.BlockSpec(
-            (1, N_WC, 1, 128), lambda i: (i, 0, 0, 0),
+            (vb, N_WC, 1, 128), lambda i: (i, 0, 0, 0),
             memory_space=pltpu.VMEM))
         args.append(wmp_warm)
     if not fused:
@@ -1040,7 +1116,7 @@ def _march4(
         rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm, n_sc=n_sc,
         gw_pair=gw_pair, fused=fused, show_steps=show_steps,
-        warm_pre=warm_pre,
+        warm_pre=warm_pre, s_seg=s_seg, vb=vb,
     )
     u32 = jnp.uint32
     i32 = jnp.int32
@@ -1065,7 +1141,7 @@ def _march4(
     n_wstage = max(w_ins, N_WC) if (warm and not warm_pre) else w_ins
     return pl.pallas_call(
         kern,
-        grid=(T // blk,),
+        grid=(T // (blk * vb),),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1091,7 +1167,7 @@ def _march4(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
         "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk", "n_sc",
-        "warm_gather",
+        "warm_gather", "s_seg", "vb",
     ),
 )
 def _trace_frame4(
@@ -1102,7 +1178,7 @@ def _trace_frame4(
     *, width, height, sub_rounds, sub_steps, v, interpret,
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
-    blk=_BLK, n_sc=N_SC, warm_gather=False,
+    blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1, vb=1,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel).
@@ -1118,7 +1194,7 @@ def _trace_frame4(
     nsx, nsy, T = _sb_dims(tx, ty)
     # pad the tile count to the block size; padded tiles map past the
     # last superblock row, init inactive in-kernel, and are sliced off
-    T_pad = ((T + blk - 1) // blk) * blk
+    T_pad = -(-T // (blk * vb)) * (blk * vb)
     n_sub = (sw_cont_pre if prepacked else sw_solid).shape[0]
     ns = int(round(n_sub ** (1 / 3)))
     while ns * ns * ns < n_sub:
@@ -1217,7 +1293,7 @@ def _trace_frame4(
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
-        warm_gather=warm_gather,
+        warm_gather=warm_gather, s_seg=s_seg, vb=vb,
         n_sc=n_sc, gw_pair=gw_pair,
     )
     ids_out = None
@@ -1268,7 +1344,7 @@ def _trace_frame4(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "show_steps", "full_height", "warm", "with_flags",
         "s_ins", "w_ins", "grouped", "prepacked", "blk", "n_sc",
-        "warm_gather",
+        "warm_gather", "s_seg", "vb",
     ),
 )
 def _frame_fused4(
@@ -1280,7 +1356,8 @@ def _frame_fused4(
     *, width, height, sub_rounds, sub_steps, v, interpret,
     show_steps=False, full_height=None, y0=0.0, warm=False,
     with_flags=False, s_ins=S_INS, w_ins=W_INS, grouped=False,
-    prepacked=False, blk=_BLK, n_sc=N_SC, warm_gather=False,
+    prepacked=False, blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1,
+    vb=1,
 ):
     """One fused v4 frame: trace AND shade in a single kernel launch —
     the reference kernel's one-pass shape (ray_tracer.wgsl:173-316).
@@ -1294,7 +1371,7 @@ def _frame_fused4(
     tx = width // TILE_W
     ty = height // TILE_H
     nsx, nsy, T = _sb_dims(tx, ty)
-    T_pad = ((T + blk - 1) // blk) * blk
+    T_pad = -(-T // (blk * vb)) * (blk * vb)
     n_sub = (sw_cont_pre if prepacked else sw_solid).shape[0]
     ns = int(round(n_sub ** (1 / 3)))
     while ns * ns * ns < n_sub:
@@ -1349,7 +1426,7 @@ def _frame_fused4(
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
-        warm_gather=warm_gather,
+        warm_gather=warm_gather, s_seg=s_seg, vb=vb,
         n_sc=n_sc, gw_pair=gw_pair, lut=lut, show_steps=show_steps,
         T=T_pad,
     )
@@ -1420,7 +1497,7 @@ def prepare_grid4(rg: RenderGrid3) -> PreparedGrid4:
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "shadows", "show_steps", "step_cap", "full_height",
         "warm", "s_ins", "w_ins", "grouped", "prepacked", "blk", "n_sc",
-        "warm_gather",
+        "warm_gather", "s_seg", "vb",
     ),
 )
 def _render_frame4(
@@ -1431,7 +1508,7 @@ def _render_frame4(
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     shadows, show_steps, step_cap=None, full_height=None, y0=0.0,
     warm=False, s_ins=S_INS, w_ins=W_INS, grouped=False, prepacked=False,
-    blk=_BLK, n_sc=N_SC, warm_gather=False,
+    blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1, vb=1,
 ):
     """v4 frame: self-serving primary march (+ optional self-serving
     shadow march) + the v3 shade kernel. One Pallas launch per pass —
@@ -1454,7 +1531,7 @@ def _render_frame4(
         sub_steps=sub_steps, v=v, interpret=interpret, raw_out=True,
         full_height=full_height, y0=y0, warm=warm,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
-        blk=blk, n_sc=n_sc, warm_gather=warm_gather,
+        blk=blk, n_sc=n_sc, warm_gather=warm_gather, s_seg=s_seg, vb=vb,
     )
     if warm:
         ts, fl, wa, we, ids_p = tr
@@ -1494,7 +1571,7 @@ def _render_frame4(
             sub_steps=sub_steps, v=v, interpret=interpret,
             per_ray=True, raw_out=True, warm=warm,
             s_ins=s_ins, w_ins=w_ins, grouped=grouped, prepacked=prepacked,
-            blk=blk, n_sc=n_sc, warm_gather=warm_gather,
+            blk=blk, n_sc=n_sc, warm_gather=warm_gather, s_seg=s_seg, vb=vb,
         )
         if warm:
             _, fls, _, _, ids_s = trs
@@ -1632,6 +1709,8 @@ def render_frame4(
     n_sc=N_SC,
     fused=False,
     warm_gather=False,
+    s_seg=1,
+    vb=1,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -1682,6 +1761,7 @@ def render_frame4(
         warm=warm, s_ins=int(s_ins), w_ins=int(w_ins),
         grouped=bool(grouped), prepacked=prepared is not None,
         blk=int(blk), n_sc=int(n_sc), warm_gather=bool(warm_gather),
+        s_seg=int(s_seg), vb=int(vb),
     )
     planes = (rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
               rg.sw_liq, rg.sw_pid)
@@ -1699,7 +1779,7 @@ def render_frame4(
             with_flags=bool(with_flags), s_ins=int(s_ins),
             w_ins=int(w_ins), grouped=bool(grouped),
             prepacked=prepared is not None, blk=int(blk), n_sc=int(n_sc),
-            warm_gather=bool(warm_gather),
+            warm_gather=bool(warm_gather), s_seg=int(s_seg), vb=int(vb),
         )
         if not isinstance(out, tuple):
             out = (out,)
