@@ -44,7 +44,8 @@ os.environ["VOXELTPU_COMPCACHE"] = _cache_dir  # subprocess servers too
 from jax._src import compilation_cache as _cc  # noqa: E402
 
 _orig_put = _cc.put_executable_and_time
-_SERIALIZE_CRASHERS = ("frame4", "march4", "pt_frame", "path_frame")
+_SERIALIZE_CRASHERS = ("frame4", "fused4", "march4", "pt_frame",
+                       "path_frame")
 
 
 def _safe_put(cache_key, module_name, executable, backend, compile_time):
