@@ -153,6 +153,7 @@ def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
     s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC, gw_pair=False,
     fused=False, show_steps=False, warm_pre=False, s_seg=1, vb=1,
+    warm_seg=1,
 ):
     """One self-serving block program. Ref order:
 
@@ -316,6 +317,18 @@ def _march_kernel4(
         sx = (dx > 0.0).astype(f32)
         sy = (dy > 0.0).astype(f32)
         sz = (dz > 0.0).astype(f32)
+        # per-ray DDA constants hoisted out of the step loop: the signed
+        # form folds axis()'s floor/ceil select into one floor —
+        # floor((-q)) + 1 == -(ceil(q) - 1) and (-a)*(-b) == a*b are
+        # exact in IEEE, so dt is bit-identical to the selected form
+        sgfx = sx + sx - 1.0                     # ±1 exactly
+        sgfy = sy + sy - 1.0
+        sgfz = sz + sz - 1.0
+        ivsx, ivsy, ivsz = ivx * sgfx, ivy * sgfy, ivz * sgfz
+        big_iv = 0.99 * _BIG_IV
+        bigx = jnp.abs(ivx) >= big_iv            # axis-parallel guard,
+        bigy = jnp.abs(ivy) >= big_iv            # constant per ray
+        bigz = jnp.abs(ivz) >= big_iv
 
         def slab(oc, ivc):
             return jnp.maximum((0.0 - oc) * ivc, (v - oc) * ivc)
@@ -484,15 +497,14 @@ def _march_kernel4(
             )
             icell = 1.0 / cell
 
-            def axis(pc, ivc, sgn):
-                q = pc * icell
-                b = jnp.where(sgn > 0.5, jnp.floor(q) + 1.0, jnp.ceil(q) - 1.0)
-                dt = (b * cell - pc) * ivc
-                return jnp.where(jnp.abs(ivc) >= 0.99 * _BIG_IV, f32(_BIG), dt)
+            def axis(pc, sgf, ivs, bigm):
+                ps = pc * sgf
+                b = jnp.floor(ps * icell) + 1.0
+                return jnp.where(bigm, f32(_BIG), (b * cell - ps) * ivs)
 
-            dtx = axis(px, ivx, sx)
-            dty = axis(py, ivy, sy)
-            dtz = axis(pz, ivz, sz)
+            dtx = axis(px, sgfx, ivsx, bigx)
+            dty = axis(py, sgfy, ivsy, bigy)
+            dtz = axis(pz, sgfz, ivsz, bigz)
             dt = jnp.minimum(dtx, jnp.minimum(dty, dtz))
             axm = (
                 (dtx <= dt).astype(i32)
@@ -886,16 +898,51 @@ def _march_kernel4(
                             wmp_ref.at[widk], wstage.at[k], wsem.at[k]
                         ).start()
                 spk = []
-                for k in range(n_sc):
-                    sidk = warm_ref[sb, 0, k]
-                    okk = sidk >= 0
-                    spk.append((sidk, okk))
+                segs = []
+                if warm_seg > 1:
+                    # Segmented restore: the token's ids are fetched as
+                    # ``warm_seg``-consecutive-row DMAs via the same
+                    # min-chain as serve's s_seg picks. Each DMA ISSUE is
+                    # ~1 us of serialized scalar-core time, and the wave's
+                    # n_sc issues were most of the warm frame's fixed
+                    # ~23 us/program cost; segments cut issues n_sc ->
+                    # n_sc/warm_seg. Restored ids may differ from the
+                    # token's (each segment carries the picked id's +x
+                    # neighbors; spread-out ids past the slot budget fall
+                    # cold) — harmless: cache entries are id-matched and
+                    # misses re-serve, so frames stay bit-exact (pinned
+                    # by test_v4_warm_seg_matches).
+                    srow = jnp.broadcast_to(warm_ref[sb, 0:1, :], (8, 128))
+                    key = jnp.where(
+                        (lane8 < n_sc) & (srow >= 0), srow, bigi
+                    )
+                    n3cap = i32(ns * ns * ns - warm_seg)
+                    for i in range(n_sc // warm_seg):
+                        m = jnp.min(key)
+                        okk = m < bigi
+                        start = jnp.minimum(m, n3cap)
+                        segs.append((start, okk))
+                        served = (key >= start) & (key < start + warm_seg)
+                        key = jnp.where(served, bigi, key)
 
-                    @pl.when(okk)
-                    def _(sidk=sidk, k=k):
-                        pltpu.make_async_copy(
-                            swc_ref.at[sidk], stage.at[k], ssem.at[k]
-                        ).start()
+                        @pl.when(okk)
+                        def _(start=start, i=i):
+                            pltpu.make_async_copy(
+                                swc_ref.at[pl.ds(start, warm_seg)],
+                                stage.at[pl.ds(i * warm_seg, warm_seg)],
+                                ssem.at[i],
+                            ).start()
+                else:
+                    for k in range(n_sc):
+                        sidk = warm_ref[sb, 0, k]
+                        okk = sidk >= 0
+                        spk.append((sidk, okk))
+
+                        @pl.when(okk)
+                        def _(sidk=sidk, k=k):
+                            pltpu.make_async_copy(
+                                swc_ref.at[sidk], stage.at[k], ssem.at[k]
+                            ).start()
                 for k, (widk, okk) in enumerate(wpk):
                     @pl.when(okk)
                     def _(widk=widk, k=k):
@@ -909,6 +956,29 @@ def _march_kernel4(
                     sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
                     wm_w = jnp.where(sel, src, wm_w)
                     wid_w = jnp.where((wrow_iota == k) & okk, widk, wid_w)
+                for i, (start, okk) in enumerate(segs):
+                    @pl.when(okk)
+                    def _(start=start, i=i):
+                        pltpu.make_async_copy(
+                            swc_ref.at[pl.ds(start, warm_seg)],
+                            stage.at[pl.ds(i * warm_seg, warm_seg)],
+                            ssem.at[i],
+                        ).wait()
+
+                    for r in range(warm_seg):
+                        k = i * warm_seg + r
+
+                        @pl.when(okk)
+                        def _(k=k):
+                            csol[pl.ds(k, 1)] = stage[k, 0:1]
+                            cliq[pl.ds(k, 1)] = stage[k, 1:2]
+                            cpid[pl.ds(k * 4, 4)] = stage[k, 2:6]
+
+                        mrow = stage[k, 6:7]
+                        sm_w = sm_merge(sm_w, mrow, k, okk)
+                        sid_w = jnp.where(
+                            (srow_iota == k) & okk, start + r, sid_w
+                        )
                 for k, (sidk, okk) in enumerate(spk):
                     @pl.when(okk)
                     def _(sidk=sidk, k=k):
@@ -977,9 +1047,24 @@ def _march_kernel4(
                 r, c, _, _, _ = carry
                 return (r < rounds_cap) & jnp.any(c[1] != 0)
 
+            # march BEFORE the first serve: blocks whose rays converge
+            # against the warm cache (or pure sky blocks, which need no
+            # cache at all) skip the round loop — and its classify-twice
+            # + pick-chain serve pass — entirely. A cold block makes no
+            # progress here (boundary yields go=0) and falls straight
+            # into the original serve-then-march rounds, so cold frames
+            # are unchanged; marching is cache-content-deterministic, so
+            # pixels are bit-exact either way (test_v4_premarch pins it).
+            rows_c0 = boundary(
+                c0[0], c0[1], cch_init[0], cch_init[1], cch_init[2]
+            )
+            _, _, c0m, _, _ = jax.lax.while_loop(
+                inner_cond, sub_round,
+                (jnp.int32(0), rows_c0[5], c0, rows_c0[:5], cch_init),
+            )
             _, c, cch_f, _, _ = jax.lax.while_loop(
                 round_cond, round_body,
-                (jnp.int32(0), c0, cch_init, jnp.int32(0), jnp.int32(0)),
+                (jnp.int32(0), c0m, cch_init, jnp.int32(0), jnp.int32(0)),
             )
             if warm:
                 # pack the final cache ids into the token plane: row 0 lane k
@@ -1015,7 +1100,7 @@ def _march4(
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
     n_sc=N_SC, gw_pair=False, lut=None, show_steps=False, T=None,
-    warm_gather=False, s_seg=1, vb=1,
+    warm_gather=False, s_seg=1, vb=1, warm_seg=1,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
@@ -1046,6 +1131,7 @@ def _march4(
         f"grouped picks need s_ins ({s_ins}) to divide the block's "
         f"{blk} tiles")
     assert s_ins % s_seg == 0 and not (grouped and s_seg > 1), (s_ins, s_seg)
+    assert n_sc % warm_seg == 0, (n_sc, warm_seg)
     vb = int(vb)
     assert T % (blk * vb) == 0, (T, blk, vb)
 
@@ -1116,7 +1202,7 @@ def _march4(
         rounds_cap=rounds_cap, nw=nw, ns=ns, nsx=nsx, per_ray=per_ray,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm, n_sc=n_sc,
         gw_pair=gw_pair, fused=fused, show_steps=show_steps,
-        warm_pre=warm_pre, s_seg=s_seg, vb=vb,
+        warm_pre=warm_pre, s_seg=s_seg, vb=vb, warm_seg=int(warm_seg),
     )
     u32 = jnp.uint32
     i32 = jnp.int32
@@ -1167,7 +1253,7 @@ def _march4(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
         "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk", "n_sc",
-        "warm_gather", "s_seg", "vb",
+        "warm_gather", "s_seg", "vb", "warm_seg",
     ),
 )
 def _trace_frame4(
@@ -1178,7 +1264,7 @@ def _trace_frame4(
     *, width, height, sub_rounds, sub_steps, v, interpret,
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
-    blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1, vb=1,
+    blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1, vb=1, warm_seg=1,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel).
@@ -1293,7 +1379,7 @@ def _trace_frame4(
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
-        warm_gather=warm_gather, s_seg=s_seg, vb=vb,
+        warm_gather=warm_gather, s_seg=s_seg, vb=vb, warm_seg=warm_seg,
         n_sc=n_sc, gw_pair=gw_pair,
     )
     ids_out = None
@@ -1344,7 +1430,7 @@ def _trace_frame4(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "show_steps", "full_height", "warm", "with_flags",
         "s_ins", "w_ins", "grouped", "prepacked", "blk", "n_sc",
-        "warm_gather", "s_seg", "vb",
+        "warm_gather", "s_seg", "vb", "warm_seg",
     ),
 )
 def _frame_fused4(
@@ -1357,7 +1443,7 @@ def _frame_fused4(
     show_steps=False, full_height=None, y0=0.0, warm=False,
     with_flags=False, s_ins=S_INS, w_ins=W_INS, grouped=False,
     prepacked=False, blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1,
-    vb=1,
+    vb=1, warm_seg=1,
 ):
     """One fused v4 frame: trace AND shade in a single kernel launch —
     the reference kernel's one-pass shape (ray_tracer.wgsl:173-316).
@@ -1426,7 +1512,7 @@ def _frame_fused4(
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=nsx, interpret=interpret,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
-        warm_gather=warm_gather, s_seg=s_seg, vb=vb,
+        warm_gather=warm_gather, s_seg=s_seg, vb=vb, warm_seg=warm_seg,
         n_sc=n_sc, gw_pair=gw_pair, lut=lut, show_steps=show_steps,
         T=T_pad,
     )
@@ -1711,6 +1797,7 @@ def render_frame4(
     warm_gather=False,
     s_seg=1,
     vb=1,
+    warm_seg=1,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -1761,7 +1848,7 @@ def render_frame4(
         warm=warm, s_ins=int(s_ins), w_ins=int(w_ins),
         grouped=bool(grouped), prepacked=prepared is not None,
         blk=int(blk), n_sc=int(n_sc), warm_gather=bool(warm_gather),
-        s_seg=int(s_seg), vb=int(vb),
+        s_seg=int(s_seg), vb=int(vb), warm_seg=int(warm_seg),
     )
     planes = (rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
               rg.sw_liq, rg.sw_pid)
@@ -1780,6 +1867,7 @@ def render_frame4(
             w_ins=int(w_ins), grouped=bool(grouped),
             prepacked=prepared is not None, blk=int(blk), n_sc=int(n_sc),
             warm_gather=bool(warm_gather), s_seg=int(s_seg), vb=int(vb),
+            warm_seg=int(warm_seg),
         )
         if not isinstance(out, tuple):
             out = (out,)
