@@ -553,16 +553,17 @@ def config4c():
             70.0, (1920, 1080),
         )
 
-    prep = {"p": prepare_grid4(rgrid), "g": rgrid}
+    b.prepared()  # initial full pack
 
     def frame(tok, fx):
         rg = b.grid()                       # dirty-row upload if changed
-        if rg is not prep["g"]:
-            prep["p"] = prepare_grid4(rg)   # re-pack on real change only
-            prep["g"] = rg
+        # incremental packed-table maintenance: a streamed column repacks
+        # only its ~48 sw rows instead of the whole table (the old
+        # per-change full prepare_grid4 cost ~6.7 ms/frame)
+        prep = b.prepared()
         return render_frame4(
             rg, cam_at(fx), lut, rounds=64, step_cap=500,
-            steps_per_round=256, prepared=prep["p"], cache=tok,
+            steps_per_round=256, prepared=prep, cache=tok,
             return_cache=True, fused=True,
         )
 

@@ -75,6 +75,35 @@ def test_singleplayer_session(flat_root):
         app.toggle_step_heatmap()
         img2 = app.draw_frame()
         assert not np.isnan(np.asarray(img2)).any()
+
+        # scroll-wheel palette: cycles through solid voxel ids only
+        from voxelraytracing_tpu.engine.input import InputState
+
+        v0 = app.placing_voxel
+        v1 = app.cycle_placing_voxel(1)
+        assert v1 != v0 and app.game.voxels.get(v1).is_solid
+        app.cycle_placing_voxel(-1)
+        assert app.placing_voxel == v0
+
+        # InputState wiring: scroll + F9 edge through apply_input_state
+        inp = InputState()
+        inp.scroll(1.0)
+        inp.key_down("f9")
+        app.apply_input_state(inp)
+        assert app.placing_voxel != v0
+        assert app.freeze_world_anchor
+        assert inp.scroll_delta == 0.0  # edges cleared
+
+        # fps cap: a second draw inside the cap window returns the SAME
+        # frame object without re-rendering (main.rs:682-690 redraw
+        # skip). A tiny cap keeps the window wider than the interpret-
+        # mode render time, so the second call is deterministically
+        # inside it.
+        app.fps_cap = 0.01
+        a = app.draw_frame()
+        b = app.draw_frame()
+        assert b is a
+        app.fps_cap = None
     finally:
         app.close()
 
@@ -295,3 +324,44 @@ def test_engine_oversized_window_falls_back(flat_root):
         assert img2.shape == (32, 64, 3)
     finally:
         app.close()
+
+
+def test_incremental_prepared_matches_oneshot():
+    """Builder-maintained packed tables (prepared(), dirty-row repack)
+    == the one-shot prepare_grid4 packer, through install, edit, and
+    eviction."""
+    from voxelraytracing_tpu.ops import noise
+    from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
+    from voxelraytracing_tpu.world.demo import (
+        demo_chunk_grids_host,
+        demo_materials,
+    )
+    from voxelraytracing_tpu.world.render_grid import RenderGrid3Builder
+
+    w = 2
+    perm = noise.make_permutation(7)
+    grids, cells = demo_chunk_grids_host(
+        perm, np.zeros(3, np.int64), w, w * 32 * 0.45, int(w * 32 * 0.28)
+    )
+    mats = demo_materials()
+    b = RenderGrid3Builder(w, mats)
+    cell_xyz = [(int(c % w), int((c // w) % w), int(c // (w * w)))
+                for c in cells]
+
+    def check():
+        got = b.prepared()
+        ref = prepare_grid4(b.grid())
+        np.testing.assert_array_equal(
+            np.asarray(got.sw_cont), np.asarray(ref.sw_cont))
+        np.testing.assert_array_equal(
+            np.asarray(got.wmeta_pad), np.asarray(ref.wmeta_pad))
+
+    b.set_chunks(cell_xyz, grids)
+    check()                       # initial full pack
+    # incremental: replace one chunk with air-ish contents
+    edited = np.array(grids[:1])
+    edited[0, :, 16:, :] = 0
+    b.set_chunks(cell_xyz[:1], edited)
+    check()                       # dirty-row repack
+    b.clear_cells(cell_xyz[1:2])
+    check()                       # eviction repack

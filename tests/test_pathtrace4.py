@@ -142,3 +142,44 @@ def test_fused_pt_prepared_tables_are_noop(diffuse_scene):
     prep = prepare_grid4(rg3)
     b = np.asarray(path_trace_fused4(rg3, CAM, mats, prepared=prep, **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pt_compact_retry_matches_uncapped(diffuse_scene):
+    """Straggler re-batching (bounce_rounds cap + tile-compacted resume,
+    wavefront4._bounce_retry4) is bit-exact vs a plain high-rounds leg
+    when the compaction capacity covers every straggler tile: marching
+    is cache-content-deterministic, so capping + resuming equals one
+    uncapped march, and the RNG draws are leg-structure-independent."""
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(3),
+              bounces=1, step_cap=500, v4=True)
+    a = np.asarray(path_trace3(rg3, CAM, mats, rounds=64, **kw))
+    b = np.asarray(path_trace3(rg3, CAM, mats, rounds=64,
+                               bounce_rounds=2, compact_tiles=64, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pt_compact_retry_specular_two_bounces(mirror_scene):
+    """Multi-leg: every bounce leg gets the cap+compact treatment."""
+    rg3, mats = mirror_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(0),
+              bounces=2, step_cap=500, v4=True)
+    a = np.asarray(path_trace3(rg3, CAM, mats, rounds=64, **kw))
+    b = np.asarray(path_trace3(rg3, CAM, mats, rounds=64,
+                               bounce_rounds=2, compact_tiles=64, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pt_compact_partial_capacity_shapes(diffuse_scene):
+    """A compaction capacity smaller than the tile count exercises the
+    partial gather/scatter path; with an uncapped first leg the retry is
+    a structural no-op, so the frame must stay bit-exact."""
+    rg3, mats = diffuse_scene
+    cam = CamData.create((30.0, 45.0, 0.0), (32.0, 40.0, 32.0), 70.0,
+                         (256, 64))
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(1),
+              bounces=1, step_cap=500, v4=True)
+    a = np.asarray(path_trace3(rg3, cam, mats, rounds=64, **kw))
+    b = np.asarray(path_trace3(rg3, cam, mats, rounds=64,
+                               compact_tiles=64, **kw))
+    np.testing.assert_array_equal(a, b)

@@ -158,6 +158,39 @@ def test_web_viewer_serves_frames_and_input(tmp_path_factory):
         s1 = json.loads(
             urllib.request.urlopen(base + "/stats", timeout=10).read())
         assert s1["pos"] != s0["pos"]
+
+        def act(body):
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    base + "/act", data=json.dumps(body).encode(),
+                    method="POST"), timeout=10)
+
+        # scroll-wheel palette + live visuals controls (ui.rs:163-168,
+        # main.rs scroll palette) round-trip through the HTTP layer
+        placing0 = s1["placing"]
+        act({"scroll": 1})
+        act({"crosshair": {"style": "dot", "size": 12}})
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            s2 = json.loads(urllib.request.urlopen(
+                base + "/stats", timeout=10).read())
+            if s2["placing"] != placing0:
+                break
+            time.sleep(0.2)
+        assert s2["placing"] != placing0
+        assert app.crosshair.style == "dot" and app.crosshair.size == 12
+        assert s2["world_size"] == 4
+
+        # deliberate panic (Shift+F7 analog, main.rs:374-376): the pump
+        # crashes, surfaces the error in /stats, and shutdown still works
+        act({"panic": True})
+        deadline = time.time() + 20
+        while state.running and time.time() < deadline:
+            time.sleep(0.2)
+        assert not state.running
+        s3 = json.loads(urllib.request.urlopen(
+            base + "/stats", timeout=10).read())
+        assert "panic" in s3.get("error", "")
     finally:
         httpd.shutdown()
         state.stop()

@@ -57,6 +57,7 @@ CAMS = [
 
 
 @pytest.mark.parametrize("cam_cfg", CAMS)
+@pytest.mark.historical
 def test_agrees_with_svo_reference(scene, cam_cfg):
     rgrid, world, mats, _, _ = scene
     cam = CamData.create(cam_cfg[0], cam_cfg[1], 70.0, (64, 32))
@@ -90,6 +91,7 @@ def test_agrees_with_svo_reference(scene, cam_cfg):
     assert np.median(wd) < 0.05
 
 
+@pytest.mark.historical
 def test_camera_outside_world_sees_nothing(scene):
     rgrid, _, mats, _, _ = scene
     cam = CamData.create((30.0, 45.0, 0.0), (-50.0, 75.0, 64.0), 70.0, (32, 16))
@@ -136,6 +138,7 @@ def test_render_id_maps_roundtrip():
         assert to_pack[to_render[pack_id]] == pack_id
 
 
+@pytest.mark.historical
 def test_step_heatmap_counts(scene):
     rgrid, _, mats, _, _ = scene
     cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0, (32, 16))

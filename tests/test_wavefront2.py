@@ -20,6 +20,10 @@ from voxelraytracing_tpu.ops.wavefront2 import trace_wavefront2
 from voxelraytracing_tpu.world.assemble import assemble_world_slice
 from voxelraytracing_tpu.world.demo import demo_chunk_grids, demo_materials
 
+# v2 is a superseded tracer generation (the production surface is
+# traverse + v3 + v4); its suite runs only under `-m historical`.
+pytestmark = pytest.mark.historical
+
 
 @pytest.fixture(scope="module")
 def scene():

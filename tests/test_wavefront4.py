@@ -484,3 +484,45 @@ def test_v4_prepared_tables_bit_exact(scene):
     np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
     np.testing.assert_array_equal(np.asarray(a.voxel), np.asarray(b.voxel))
     np.testing.assert_array_equal(np.asarray(a.t), np.asarray(b.t))
+
+
+def test_v4_shadow_compact_retry_matches_uncapped(scene):
+    """Shadow-leg straggler re-batching (shadow_rounds cap + compacted
+    resume launch, _bounce_retry4) is bit-exact vs the plain leg when
+    the capacity covers every straggler tile."""
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+    rg3, _, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), shadows=True, rounds=64,
+              step_cap=500)
+    a = render_frame4(rg3, cam, mats.color, **kw)
+    b = render_frame4(rg3, cam, mats.color, shadow_rounds=2,
+                      compact_tiles=64, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_v4_fused_shadow_matches_split(scene):
+    """The fused shadow leg (primary march + in-kernel sun re-march +
+    shade, ONE launch) is bit-exact vs the split march|shadow|shade
+    dispatches: same ray construction as _shadow_prep4, same per-ray
+    init as _trace_frame4, same shade op order as _shade_kernel."""
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+    rg3, _, mats = scene
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), shadows=True, rounds=64,
+              step_cap=500)
+    for cfg in CAMS[:2]:
+        cam = CamData.create(cfg[0], cfg[1], 70.0, (64, 32))
+        a = render_frame4(rg3, cam, mats.color, **kw)
+        b = render_frame4(rg3, cam, mats.color, fused=True, **kw)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(cfg))
+    # warm-token round trip through the fused-shadow program
+    cam = CamData.create(*CAMS[0], 70.0, (64, 32))
+    img0, tok = render_frame4(rg3, cam, mats.color, fused=True,
+                              return_cache=True, **kw)
+    img1, _ = render_frame4(rg3, cam, mats.color, fused=True, cache=tok,
+                            return_cache=True, **kw)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))

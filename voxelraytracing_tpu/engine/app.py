@@ -126,6 +126,12 @@ class EngineApp:
         self.freeze_world_anchor = False  # F9 analog
         self.timers = Timers()
         self.placing_voxel = 1  # scroll-wheel palette analog
+        # redraw cap (frames/s) — the reference skips the redraw when
+        # <1000/60 ms have elapsed (main.rs:682-690); None = uncapped.
+        # A capped draw_frame() returns the previous frame unchanged.
+        self.fps_cap = None
+        self._last_draw_t = 0.0
+        self._last_img = None
         self._styles = styles or {}
         self.materials = self._build_materials()
         self.tracer = RayTracer(self.materials)
@@ -354,7 +360,19 @@ class EngineApp:
         The crosshair is composited blit-stage, as the reference's screen
         shader does (screen_shader.wgsl:43-65); style comes from the UI's
         Visuals page state when attached (ui.rs crosshair editor).
+
+        With ``fps_cap`` set, calls arriving before 1/cap seconds have
+        elapsed return the previous frame without re-rendering — the
+        reference's redraw skip (main.rs:682-690).
         """
+        if self.fps_cap:
+            now = time.monotonic()
+            if (
+                self._last_img is not None
+                and now - self._last_draw_t < 1.0 / float(self.fps_cap)
+            ):
+                return self._last_img
+            self._last_draw_t = now
         if self.fast_path and not getattr(self, "_fast_path_suspended",
                                           False):
             img, rs = self._draw_fast()
@@ -369,9 +387,47 @@ class EngineApp:
             )
         self.timers.tick()
         self._last_trace = rs
+        self._last_img = img
         return img
 
     # ------------------------------------------------------------ interaction
+
+    def cycle_placing_voxel(self, delta):
+        """Scroll-wheel palette: step ``placing_voxel`` through the solid
+        voxel ids (main.rs scroll handling, ~:330-340). ``delta``: signed
+        wheel notches."""
+        solids = [
+            vid for vid in range(1, len(self.game.voxels))
+            if (vd := self.game.voxels.get(vid)) is not None and vd.is_solid
+        ]
+        if not solids:
+            return self.placing_voxel
+        cur = (
+            solids.index(self.placing_voxel)
+            if self.placing_voxel in solids else 0
+        )
+        self.placing_voxel = solids[(cur + int(delta)) % len(solids)]
+        return self.placing_voxel
+
+    def apply_input_state(self, inp, t_delta=1.0):
+        """Drive one input frame from an :class:`~..engine.input.InputState`:
+        scroll -> palette, clicks -> break/place, keys/cursor -> player
+        physics (the reference's update_input, main.rs:299-396). Clears
+        the per-frame edges afterwards."""
+        if inp.scroll_delta:
+            self.cycle_placing_voxel(
+                1 if inp.scroll_delta > 0 else -1
+            )
+        if inp.button_pressed("left"):
+            self.break_voxel()
+        if inp.button_pressed("right"):
+            self.place_voxel()
+        if inp.key_pressed("f2"):
+            self.toggle_step_heatmap()
+        if inp.key_pressed("f9"):
+            self.freeze_world_anchor = not self.freeze_world_anchor
+        self.update_input(inp.to_player_input(), t_delta)
+        inp.finish_frame()
 
     def pick(self):
         """Voxel the player is looking at -> (pos, face) or None
@@ -409,17 +465,17 @@ class EngineApp:
         import jax.numpy as jnp
         from types import SimpleNamespace
 
-        rg = self._fast_builder().grid()
+        b = self._fast_builder()
+        rg = b.grid()
         s = self.settings
         if self.fast_tracer == "v4":
-            from ..ops.wavefront4 import prepare_grid4, render_frame4
+            from ..ops.wavefront4 import render_frame4
 
-            # packed-table token: grid() is identity-stable while clean,
-            # so this re-packs only after actual world changes (repacking
-            # per frame costs ~6.7 ms at 1080p on the v5e)
-            if self._v4_prepared_for is not rg:
-                self._v4_prepared = prepare_grid4(rg)
-                self._v4_prepared_for = rg
+            # packed-table token, maintained INCREMENTALLY by the
+            # builder: a world change repacks only its dirty rows
+            # (full prepare_grid4 costs ~6.7 ms/frame at 1080p —
+            # the old flythrough bottleneck)
+            self._v4_prepared = b.prepared()
             key = self.resolution + (bool(s.shadows),)
             cache = self._v4_cache if self._v4_cache_key == key else None
             packed, fl, tok = render_frame4(

@@ -1,4 +1,11 @@
-"""Windowed wavefront tracer — the engine's fast path on TPU.
+"""Windowed wavefront tracer (v1) — HISTORICAL tier.
+
+Superseded by the v3/v4 fused pipelines (ops/wavefront3.py /
+wavefront4.py); kept because (a) its host-side grid builders
+(build_render_grid_host, render_id_maps) and tile constants are still
+the production data path, and (b) its host-driven march is the most
+introspectable executable history of the dispatch-cost findings below.
+Its tracer-specific tests run under ``pytest -m historical`` only.
 
 The reference GPU kernel leans on hardware caches to survive per-ray random
 access into the SVO pool (ray_tracer.wgsl:220-291). TPUs have no such cache:

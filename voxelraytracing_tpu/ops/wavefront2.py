@@ -1,4 +1,9 @@
-"""Fused wavefront tracer — one compiled program per frame (TPU fast path).
+"""Fused wavefront tracer (v2) — HISTORICAL tier.
+
+Superseded by v3 (per-round Pallas service) and v4 (in-kernel DMA
+service); kept as the bridge generation between the host-driven v1 and
+the fused designs. Selectable via WavefrontRenderer(tracer="v2"); its
+tests run under ``pytest -m historical`` only.
 
 Round 1's tracer (ops/wavefront.py) dispatched 4 micro-programs per march
 step from a host loop, based on throughput numbers that turned out to be

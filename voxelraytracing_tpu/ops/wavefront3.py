@@ -2378,6 +2378,8 @@ def material_lut_rows(color, emission, scatter):
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "bounces", "samples", "full_height", "step_cap",
         "v4", "prepacked", "return_cache", "bounce_sub_rounds",
+        "bounce_rounds", "compact_tiles", "retry_s_ins", "retry_n_sc",
+        "retry_sub_rounds",
     ),
 )
 def _path_frame(
@@ -2389,6 +2391,8 @@ def _path_frame(
     *, width, height, rounds, sub_rounds, sub_steps, v, interpret,
     bounces, samples, full_height=None, y0=0.0, step_cap=None, v4=False,
     prepacked=False, return_cache=False, bounce_sub_rounds=None,
+    bounce_rounds=None, compact_tiles=0, retry_s_ins=32, retry_n_sc=64,
+    retry_sub_rounds=None,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average).
 
@@ -2405,7 +2409,16 @@ def _path_frame(
       * ``bounce_sub_rounds``: smaller in-kernel spin budget for the
         incoherent bounce legs (scattered rays stall early and want
         frequent serves; measured 118 -> 140 ms/frame when bounces spin
-        256 steps/round like the coherent primary likes).
+        256 steps/round like the coherent primary likes);
+      * ``bounce_rounds`` + ``compact_tiles``: straggler re-batching —
+        cap each bounce leg at ``bounce_rounds`` in-kernel serve rounds
+        (most rays converge in a few), then row-compact the tiles still
+        holding active rays into a dense ``compact_tiles``-tile resume
+        launch (:func:`~.wavefront4._bounce_retry4`). Without this, a
+        handful of deep stragglers pin whole 8K-ray blocks for the full
+        ``rounds`` budget. Bit-exact vs an uncapped leg whenever the
+        stragglers fit ``compact_tiles`` (marching is cache-content-
+        deterministic); overflow keeps the old capped behavior.
     ``return_cache``: also return the primary leg's ids token for the
     next frame."""
     full_height = height if full_height is None else full_height
@@ -2473,6 +2486,18 @@ def _path_frame(
         b_sub_rounds = (
             sub_rounds if bounce_sub_rounds is None else bounce_sub_rounds
         )
+        comp_t = int(compact_tiles)
+        b_rounds = rounds if bounce_rounds is None else int(bounce_rounds)
+        if comp_t:
+            from .wavefront4 import _bounce_retry4, _pack_tables4
+
+            comp_t = -(-comp_t // 64) * 64
+            if prepacked:
+                swc_r, wmp_r = sw_cont_pre, wmeta_pre
+            else:
+                swc_r, wmp_r = _pack_tables4(
+                    wmeta, sw_meta, sw_solid, sw_liq, sw_pid
+                )
     else:
         prim = _trace_frame(
             *args, origin, inv_view, inv_proj, z, z, z,
@@ -2504,11 +2529,26 @@ def _path_frame(
                 dt3 = jnp.stack([dX, dY, dZ], axis=-1)
                 ts, fl, wa, we, ids_prev = _trace_frame4(
                     *a4, jnp.zeros(3, f32), inv_view, inv_proj,
-                    ot, dt3, alive, rounds, cap4,
+                    ot, dt3, alive, b_rounds, cap4,
                     warm_ids=ids_prev, sw_cont_pre=sw_cont_pre,
                     wmeta_pre=wmeta_pre, sub_rounds=b_sub_rounds,
                     per_ray=True, **k4,
                 )
+                if comp_t:
+                    # the retry is tiny (comp_t/64 blocks), so its round
+                    # budget is raised to full convergence — stragglers
+                    # actually finish instead of shading as the rounds-
+                    # cap sky (the on-chip PT correctness gap's source)
+                    ts, fl, wa, we = _bounce_retry4(
+                        ts, fl, wa, we, ot, dt3, gw_jump, gw_liq,
+                        swc_r, wmp_r, cap4,
+                        t_c=comp_t, rounds=max(rounds, 64),
+                        sub_rounds=(b_sub_rounds if retry_sub_rounds
+                                    is None else retry_sub_rounds),
+                        sub_steps=sub_steps,
+                        v=v, interpret=interpret,
+                        s_ins=retry_s_ins, n_sc=retry_n_sc,
+                    )
             else:
                 ot = jnp.stack([oX, oY, oZ], axis=-1)
                 dt3 = jnp.stack([dX, dY, dZ], axis=-1)
@@ -2580,8 +2620,40 @@ def _path_frame(
             ny = jnp.where(degen, -dY, ny)
             nz = jnp.where(degen, -dZ, nz)
 
+            # Counter-hash normals (murmur3 finalizer -> Box-Muller),
+            # keyed on (ray id, bounce-derived key): the previous
+            # jax.random.normal drew 6M threefry elements per leg at
+            # 1080p — measured ~7 ms/frame of pure RNG; this is a few
+            # int ops per lane, same estimator, still deterministic per
+            # key and key-sensitive (the same construction as the fused
+            # kernel's on-core RNG, ops/pathtrace4.py rand_u01).
             bkey = jax.random.fold_in(skey, bounce)
-            rv = jax.random.normal(bkey, shape + (3,), f32)
+            kd = bkey
+            if jnp.issubdtype(jnp.asarray(kd).dtype, jax.dtypes.prng_key):
+                kd = jax.random.key_data(kd)
+            kd = jnp.asarray(kd, jnp.uint32).reshape(-1)
+            sbase = kd[0] ^ (kd[-1] * jnp.uint32(0x9E3779B9))
+            rid = (tile_i * 128 + lane_i).astype(jnp.uint32)
+
+            def u01(j):
+                h = rid ^ sbase ^ jnp.uint32((j * 0x632BE5AB) & 0xFFFFFFFF)
+                h = h ^ (h >> 16)
+                h = h * jnp.uint32(0x85EBCA6B)
+                h = h ^ (h >> 13)
+                h = h * jnp.uint32(0xC2B2AE35)
+                h = h ^ (h >> 16)
+                # 23 mantissa-exact bits in (0,1): never 0 -> ln finite
+                return (h >> 9).astype(f32) * f32(1.0 / (1 << 23)) \
+                    + f32(1.0 / (1 << 24))
+
+            u1, u2, u3, u4 = u01(0), u01(1), u01(2), u01(3)
+            r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+            a1 = f32(2.0 * np.pi) * u2
+            r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+            a2 = f32(2.0 * np.pi) * u4
+            rv = jnp.stack([
+                r1 * jnp.cos(a1), r1 * jnp.sin(a1), r2 * jnp.cos(a2),
+            ], axis=-1)
             rn = jnp.sqrt(jnp.sum(rv * rv, axis=-1))
             rn = jnp.maximum(rn, 1e-6)
             vx_ = rv[..., 0] / rn
@@ -2656,6 +2728,11 @@ def path_trace3(
     rounds=16,
     steps_per_round=48,
     bounce_steps_per_round=None,
+    bounce_rounds=None,
+    compact_tiles=0,
+    retry_s_ins=32,
+    retry_n_sc=64,
+    retry_steps_per_round=None,
     step_cap=None,
     interpret=None,
     v4=False,
@@ -2672,7 +2749,10 @@ def path_trace3(
     packed tables; ``cache``/``return_cache`` = the previous frame's
     warm-start ids token (carried like render_frame4's);
     ``bounce_steps_per_round`` = in-kernel spin budget for the incoherent
-    bounce legs (default: same as ``steps_per_round``).
+    bounce legs (default: same as ``steps_per_round``);
+    ``bounce_rounds``/``compact_tiles`` = straggler re-batching: cap each
+    bounce leg's in-kernel serve rounds, then compact the tiles still
+    carrying active rays into one dense resume launch (see _path_frame).
 
     ``materials``: a MaterialTable (color/emission/scatter used). The
     reference's path tracer was never dispatched (path_tracer.wgsl, stale
@@ -2716,5 +2796,11 @@ def path_trace3(
         v4=bool(v4), prepacked=prepared is not None,
         return_cache=bool(return_cache),
         bounce_sub_rounds=bounce_sub_rounds,
+        bounce_rounds=bounce_rounds, compact_tiles=int(compact_tiles),
+        retry_s_ins=int(retry_s_ins), retry_n_sc=int(retry_n_sc),
+        retry_sub_rounds=(
+            None if retry_steps_per_round is None
+            else max(int(retry_steps_per_round) // sub_steps, 1)
+        ),
     )
     return out

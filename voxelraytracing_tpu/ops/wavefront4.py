@@ -153,7 +153,7 @@ def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
     s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC, gw_pair=False,
     fused=False, show_steps=False, warm_pre=False, s_seg=1, vb=1,
-    warm_seg=1,
+    warm_seg=1, fused_flags=True, fused_shadow=False,
 ):
     """One self-serving block program. Ref order:
 
@@ -185,6 +185,7 @@ def _march_kernel4(
     per-ray bundles), no shadows.
     """
     assert not (fused and per_ray), "fused shade is primary-only"
+    assert not (fused_shadow and not fused), "fused_shadow needs fused"
     refs = list(refs)
     scal_ref = refs.pop(0)
     gw_ref = refs.pop(0)
@@ -202,7 +203,7 @@ def _march_kernel4(
     st_ref = None if fused else refs.pop(0)
     if fused:
         pk_o = refs.pop(0)
-        fl_o = refs.pop(0)
+        fl_o = refs.pop(0) if fused_flags else None
         st_o = None
     else:
         pk_o = fl_o = None
@@ -309,403 +310,423 @@ def _march_kernel4(
             scal_v = [scal_ref[i] for i in range(24)]
             dx, dy, dz = _ray_dirs(scal_v, tg, lanes, nsx)
 
-        def inv(c):
-            c2 = jnp.where(c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
-            return 1.0 / c2
+        cap_f = scal_ref[23]
+        step_cap = jnp.where(cap_f > 0.5, cap_f, jnp.float32(1e9)).astype(i32)
 
-        ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
-        sx = (dx > 0.0).astype(f32)
-        sy = (dy > 0.0).astype(f32)
-        sz = (dz > 0.0).astype(f32)
+        # ---- march machinery, parameterized by the leg's rays --------
+        # (a second call builds the fused SHADOW leg's closures over the
+        # same cache scratch — rays differ, the service cache carries)
+        def leg_ctx(ox, oy, oz, dx, dy, dz):
+            return _make_leg(ox, oy, oz, dx, dy, dz)
+
+        def _make_leg(ox, oy, oz, dx, dy, dz):
+            def inv(c):
+                c2 = jnp.where(
+                    c >= 0, jnp.maximum(c, 1e-7), jnp.minimum(c, -1e-7))
+                return 1.0 / c2
+
+            ivx, ivy, ivz = inv(dx), inv(dy), inv(dz)
+            sx = (dx > 0.0).astype(f32)
+            sy = (dy > 0.0).astype(f32)
+            sz = (dz > 0.0).astype(f32)
         # per-ray DDA constants hoisted out of the step loop: the signed
         # form folds axis()'s floor/ceil select into one floor —
         # floor((-q)) + 1 == -(ceil(q) - 1) and (-a)*(-b) == a*b are
         # exact in IEEE, so dt is bit-identical to the selected form
-        sgfx = sx + sx - 1.0                     # ±1 exactly
-        sgfy = sy + sy - 1.0
-        sgfz = sz + sz - 1.0
-        ivsx, ivsy, ivsz = ivx * sgfx, ivy * sgfy, ivz * sgfz
-        big_iv = 0.99 * _BIG_IV
-        bigx = jnp.abs(ivx) >= big_iv            # axis-parallel guard,
-        bigy = jnp.abs(ivy) >= big_iv            # constant per ray
-        bigz = jnp.abs(ivz) >= big_iv
+            sgfx = sx + sx - 1.0                     # ±1 exactly
+            sgfy = sy + sy - 1.0
+            sgfz = sz + sz - 1.0
+            ivsx, ivsy, ivsz = ivx * sgfx, ivy * sgfy, ivz * sgfz
+            big_iv = 0.99 * _BIG_IV
+            bigx = jnp.abs(ivx) >= big_iv            # axis-parallel guard,
+            bigy = jnp.abs(ivy) >= big_iv            # constant per ray
+            bigz = jnp.abs(ivz) >= big_iv
 
-        def slab(oc, ivc):
-            return jnp.maximum((0.0 - oc) * ivc, (v - oc) * ivc)
+            def slab(oc, ivc):
+                return jnp.maximum((0.0 - oc) * ivc, (v - oc) * ivc)
 
-        t_cap = 4.0 * v + 16.0
-        t_exit = jnp.minimum(
-            jnp.minimum(slab(ox, ivx), jnp.minimum(slab(oy, ivy), slab(oz, ivz))),
-            t_cap,
-        )
-
-        def classify(t, wid_all, sid_all, wm_row, need_sslot=True):
-            px = ox + dx * t
-            py = oy + dy * t
-            pz = oz + dz * t
-            vx = jnp.floor(px).astype(i32)
-            vy = jnp.floor(py).astype(i32)
-            vz = jnp.floor(pz).astype(i32)
-
-            w = (vx >> 6) + (vy >> 6) * nw + (vz >> 6) * nw * nw
-            if gs:
-                # >16-window worlds: global-plane bits are 2^gs-window
-                # super-cells (wavefront3._gs_for) on a 16³-capped grid
-                wg = (
-                    (vx >> (6 + gs)) + (vy >> (6 + gs)) * nwg
-                    + (vz >> (6 + gs)) * nwg * nwg
-                )
-            else:
-                wg = w
-            if gw_pair:
-                g_bits = pair_of(gj_row, wg >> 4, (wg & 15) * 2)
-                g_jump = (g_bits & 1) != 0
-                g_liq = (g_bits & 2) != 0
-            else:
-                g_jump = bit_of(gj_row, wg >> 5, wg & 31) != 0
-                g_liq = bit_of(gl_row, wg >> 5, wg & 31) != 0
-
-            wslot = jnp.full((blk, 128), -1, i32)
-            for k in range(N_WC):
-                wid_k = wid_all[k:k + 1, :]
-                wslot = jnp.where((w == wid_k) & (wid_k >= 0), i32(k), wslot)
-
-            s_loc = (
-                ((vx >> 4) & 3) + ((vy >> 4) & 3) * 4 + ((vz >> 4) & 3) * 16
+            t_cap = 4.0 * v + 16.0
+            t_exit = jnp.minimum(
+                jnp.minimum(slab(ox, ivx), jnp.minimum(slab(oy, ivy), slab(oz, ivz))),
+                t_cap,
             )
-            # interleaved meta (see _interleave_meta): bit 2i jump, 2i+1 liq
-            # of subwindow i — one gather for both flags. mbase <= 7*8+3 < 128
-            # structurally (wslot < N_WC, s_loc < 64), so the clip is skipped.
-            mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 4)
-            wm_b = jnp.broadcast_to(wm_row, (blk, 128))
-            sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2, bounded=True)
-            sw_jump = (sw_pair & 1) != 0
-            sw_liq = (sw_pair & 2) != 0
 
-            s = (vx >> 4) + (vy >> 4) * ns + (vz >> 4) * ns * ns
-            sslot = jnp.full((blk, 128), -1, i32)
-            if need_sslot:
+            def classify(t, wid_all, sid_all, wm_row, need_sslot=True):
+                px = ox + dx * t
+                py = oy + dy * t
+                pz = oz + dz * t
+                vx = jnp.floor(px).astype(i32)
+                vy = jnp.floor(py).astype(i32)
+                vz = jnp.floor(pz).astype(i32)
+
+                w = (vx >> 6) + (vy >> 6) * nw + (vz >> 6) * nw * nw
+                if gs:
+                    # >16-window worlds: global-plane bits are 2^gs-window
+                    # super-cells (wavefront3._gs_for) on a 16³-capped grid
+                    wg = (
+                        (vx >> (6 + gs)) + (vy >> (6 + gs)) * nwg
+                        + (vz >> (6 + gs)) * nwg * nwg
+                    )
+                else:
+                    wg = w
+                if gw_pair:
+                    g_bits = pair_of(gj_row, wg >> 4, (wg & 15) * 2)
+                    g_jump = (g_bits & 1) != 0
+                    g_liq = (g_bits & 2) != 0
+                else:
+                    g_jump = bit_of(gj_row, wg >> 5, wg & 31) != 0
+                    g_liq = bit_of(gl_row, wg >> 5, wg & 31) != 0
+
+                wslot = jnp.full((blk, 128), -1, i32)
+                for k in range(N_WC):
+                    wid_k = wid_all[k:k + 1, :]
+                    wslot = jnp.where((w == wid_k) & (wid_k >= 0), i32(k), wslot)
+
+                s_loc = (
+                    ((vx >> 4) & 3) + ((vy >> 4) & 3) * 4 + ((vz >> 4) & 3) * 16
+                )
+                # interleaved meta (see _interleave_meta): bit 2i jump, 2i+1 liq
+                # of subwindow i — one gather for both flags. mbase <= 7*8+3 < 128
+                # structurally (wslot < N_WC, s_loc < 64), so the clip is skipped.
+                mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 4)
+                wm_b = jnp.broadcast_to(wm_row, (blk, 128))
+                sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2, bounded=True)
+                sw_jump = (sw_pair & 1) != 0
+                sw_liq = (sw_pair & 2) != 0
+
+                s = (vx >> 4) + (vy >> 4) * ns + (vz >> 4) * ns * ns
+                sslot = jnp.full((blk, 128), -1, i32)
+                if need_sslot:
+                    for k in range(n_sc):
+                        sid_k = sid_all[k:k + 1, :]
+                        sslot = jnp.where((s == sid_k) & (sid_k >= 0), i32(k), sslot)
+
+                return (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
+                        sw_jump, sw_liq, s, sslot)
+
+            def boundary(t, active_i, wid_all, sid_all, wm_row):
+                """Pick each tile's subwindow (min cached id) and compose its rows
+                from the VMEM cache planes."""
+                active = active_i != 0
+                (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
+                    classify(t, wid_all, sid_all, wm_row)
+                need = active & ~g_jump & (wslot >= 0) & ~sw_jump
+                skey = jnp.where(need & (sslot >= 0), s, bigi)
+                smin = jnp.min(skey, axis=1, keepdims=True)      # [BLK,1]
+                tsid = jnp.where(smin < bigi, smin, -1)
+                tslot = jnp.zeros((blk, 1), i32)
+                solid_row = jnp.zeros((blk, 128), u32)
+                liq_row = jnp.zeros((blk, 128), u32)
+                pid_rows = [jnp.zeros((blk, 128), u32) for _ in range(4)]
                 for k in range(n_sc):
-                    sid_k = sid_all[k:k + 1, :]
-                    sslot = jnp.where((s == sid_k) & (sid_k >= 0), i32(k), sslot)
-
-            return (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
-                    sw_jump, sw_liq, s, sslot)
-
-        def boundary(t, active_i, wid_all, sid_all, wm_row):
-            """Pick each tile's subwindow (min cached id) and compose its rows
-            from the VMEM cache planes."""
-            active = active_i != 0
-            (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
-                classify(t, wid_all, sid_all, wm_row)
-            need = active & ~g_jump & (wslot >= 0) & ~sw_jump
-            skey = jnp.where(need & (sslot >= 0), s, bigi)
-            smin = jnp.min(skey, axis=1, keepdims=True)      # [BLK,1]
-            tsid = jnp.where(smin < bigi, smin, -1)
-            tslot = jnp.zeros((blk, 1), i32)
-            solid_row = jnp.zeros((blk, 128), u32)
-            liq_row = jnp.zeros((blk, 128), u32)
-            pid_rows = [jnp.zeros((blk, 128), u32) for _ in range(4)]
-            for k in range(n_sc):
-                sid_k = sid_all[k:k + 1, :1]                 # [1,1]
-                eq = (tsid == sid_k) & (sid_k >= 0)          # [BLK,1]
-                tslot = jnp.where(eq, i32(k), tslot)
-                solid_row = jnp.where(
-                    eq, jnp.broadcast_to(csol[k:k + 1, :], (blk, 128)), solid_row
-                )
-                liq_row = jnp.where(
-                    eq, jnp.broadcast_to(cliq[k:k + 1, :], (blk, 128)), liq_row
-                )
-                for b in range(4):
-                    pid_rows[b] = jnp.where(
-                        eq,
-                        jnp.broadcast_to(
-                            cpid[k * 4 + b:k * 4 + b + 1, :], (blk, 128)
-                        ),
-                        pid_rows[b],
+                    sid_k = sid_all[k:k + 1, :1]                 # [1,1]
+                    eq = (tsid == sid_k) & (sid_k >= 0)          # [BLK,1]
+                    tslot = jnp.where(eq, i32(k), tslot)
+                    solid_row = jnp.where(
+                        eq, jnp.broadcast_to(csol[k:k + 1, :], (blk, 128)), solid_row
                     )
-            can = active & (
-                g_jump
-                | ((wslot >= 0) & sw_jump)
-                | (need & (s == tsid))
-            )
-            go = jnp.any(can).astype(i32)
-            return tsid, tslot, solid_row, liq_row, tuple(pid_rows), go
-
-        cap_f = scal_ref[23]
-        step_cap = jnp.where(cap_f > 0.5, cap_f, jnp.float32(1e9)).astype(i32)
-
-        def step(c, rows_c, cch):
-            wid_all, sid_all, wm_row, sm_row = cch
-            tsid, tslot, solid_row, liq_row, pid_rows = rows_c
-            t, active_i, hit_i, axmask, vox, water, wenter, stp = c
-            active = (active_i != 0) & (t < t_exit)
-            hit = hit_i != 0
-
-            (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
-             sw_jump, sw_liq, s, _) = classify(
-                t, wid_all, sid_all, wm_row, need_sslot=False)
-
-            inw = (
-                (px >= 0.0) & (py >= 0.0) & (pz >= 0.0)
-                & (px < v) & (py < v) & (pz < v)
-            )
-            active = active & inw & (stp < step_cap)
-
-            at_ts = s == tsid
-            # bbase <= 15*8+3 < 128 and l >> 5 <= 4095 >> 5 = 127 structurally
-            # (even for garbage lanes: every term is &-masked), so the gather
-            # clips are skipped (bounded=True).
-            b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
-            bbase = (tslot & 15) * 8 + (b_loc >> 4)
-            sm_b = sm_sel(sm_row, tslot)
-            br_pair = pair_of(sm_b, bbase, (b_loc & 15) * 2, bounded=True)
-            br_jump = (br_pair & 1) != 0
-            br_liq = (br_pair & 2) != 0
-
-            l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
-            vsolid = bit_of(solid_row, l >> 5, l & 31, bounded=True) != 0
-            vliq = bit_of(liq_row, l >> 5, l & 31, bounded=True) != 0
-
-            case1 = active & g_jump
-            case2 = active & ~g_jump & (wslot >= 0) & sw_jump
-            case3 = active & ~g_jump & (wslot >= 0) & ~sw_jump & at_ts
-            in_br = case3 & br_jump
-            in_vox = case3 & ~br_jump
-            hit_now = in_vox & vsolid
-            march = case1 | case2 | in_br | (in_vox & ~vsolid)
-
-            liq_i = jnp.where(
-                case1, g_liq.astype(i32),
-                jnp.where(
-                    case2, sw_liq.astype(i32),
-                    jnp.where(in_br, br_liq.astype(i32), vliq.astype(i32)),
-                ),
-            )
-            liquid = liq_i != 0
-
-            in_w = wenter >= 0.0
-            consider = march | hit_now
-            leave = consider & in_w & ~liquid
-            water = water + jnp.where(leave, t - wenter, 0.0)
-            wenter = jnp.where(leave, -1.0, wenter)
-            wenter = jnp.where(march & liquid & (wenter < 0.0), t, wenter)
-
-            cell = jnp.where(
-                case1, f32(WIN << gs),
-                jnp.where(case2, f32(SW), jnp.where(in_br, f32(BRICK), f32(1.0))),
-            )
-            icell = 1.0 / cell
-
-            def axis(pc, sgf, ivs, bigm):
-                ps = pc * sgf
-                b = jnp.floor(ps * icell) + 1.0
-                return jnp.where(bigm, f32(_BIG), (b * cell - ps) * ivs)
-
-            dtx = axis(px, sgfx, ivsx, bigx)
-            dty = axis(py, sgfy, ivsy, bigy)
-            dtz = axis(pz, sgfz, ivsz, bigz)
-            dt = jnp.minimum(dtx, jnp.minimum(dty, dtz))
-            axm = (
-                (dtx <= dt).astype(i32)
-                | ((dty <= dt).astype(i32) << 1)
-                | ((dtz <= dt).astype(i32) << 2)
-            )
-
-            t = jnp.where(march, t + dt + EPS_T, t)
-            axmask = jnp.where(march, axm, axmask)
-            hit = hit | hit_now
-            active = active & ~hit_now
-            stp = stp + (march | hit_now).astype(i32)
-
-            progressed = jnp.any(march | hit_now).astype(i32)
-            return (t, active.astype(i32), hit.astype(i32), axmask, vox, water,
-                    wenter, stp), progressed
-
-        def decode_hits(c, tslot, pid_rows, sm_row):
-            t, active_i, hit_i, axmask, vox, water, wenter, stp = c
-            undec = (hit_i != 0) & (vox == 0)
-            vx = jnp.floor(ox + dx * t).astype(i32)
-            vy = jnp.floor(oy + dy * t).astype(i32)
-            vz = jnp.floor(oz + dz * t).astype(i32)
-            l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
-            li, lsh = l >> 5, l & 31  # l <= 4095 structurally -> bounded gathers
-            pidx = bit_of(pid_rows[0], li, lsh, bounded=True)
-            pidx = pidx | (bit_of(pid_rows[1], li, lsh, bounded=True) << 1)
-            pidx = pidx | (bit_of(pid_rows[2], li, lsh, bounded=True) << 2)
-            pidx = pidx | (bit_of(pid_rows[3], li, lsh, bounded=True) << 3)
-            sm_b = sm_sel(sm_row, tslot)
-            pal_w = jnp.take_along_axis(
-                sm_b, jnp.clip((tslot & 15) * 8 + 4 + (pidx >> 2), 0, 127),
-                axis=1,
-            )
-            pid = ((pal_w >> ((pidx & 3).astype(u32) * 8)) & 0xFF).astype(i32)
-            vox = jnp.where(undec, pid, vox)
-            return (t, active_i, hit_i, axmask, vox, water, wenter, stp)
-
-        # ---- in-kernel service --------------------------------------------
-        def serve(t, active_i, cch, wctr, sctr):
-            """Fetch up to W_INS window metas + S_INS subwindow rows for the
-            block's stalled rays, window metas FIRST: subwindow stalls are
-            re-derived against the freshly merged window metas, so a ray cold
-            on both levels is fully served in ONE round (the meta row is 512 B
-            — its DMA wait costs ~nothing next to saving a whole round)."""
-            wid_all, sid_all, wm_row, sm_row = cch
-            (_, _, _, _, _, _, w, g_jump, _, wslot, _, _, _, _) = \
-                classify(t, wid_all, sid_all, wm_row, need_sslot=False)
-            alive = (active_i != 0) & (t < t_exit)
-            wstall = alive & ~g_jump & (wslot < 0)
-            wkey = jnp.where(wstall, w, bigi)
-
-            # distinct-min picks (scalar chains) + batched DMA starts
-            wpicks = []
-            for j in range(w_ins):
-                wj = jnp.min(wkey)
-                ok = wj < bigi
-                wpicks.append((wj, ok))
-                wkey = jnp.where(wkey == wj, bigi, wkey)
-
-                @pl.when(ok)
-                def _(wj=wj, j=j):
-                    cp = pltpu.make_async_copy(
-                        wmp_ref.at[wj], wstage.at[j], wsem.at[j]
+                    liq_row = jnp.where(
+                        eq, jnp.broadcast_to(cliq[k:k + 1, :], (blk, 128)), liq_row
                     )
-                    cp.start()
+                    for b in range(4):
+                        pid_rows[b] = jnp.where(
+                            eq,
+                            jnp.broadcast_to(
+                                cpid[k * 4 + b:k * 4 + b + 1, :], (blk, 128)
+                            ),
+                            pid_rows[b],
+                        )
+                can = active & (
+                    g_jump
+                    | ((wslot >= 0) & sw_jump)
+                    | (need & (s == tsid))
+                )
+                go = jnp.any(can).astype(i32)
+                return tsid, tslot, solid_row, liq_row, tuple(pid_rows), go
 
-            # wait + merge window metas (FIFO slot rotation; invalid picks
-            # leave the slot's previous content in place)
-            for j, (wj, ok) in enumerate(wpicks):
-                slot = (wctr + j) % N_WC
+            def step(c, rows_c, cch):
+                wid_all, sid_all, wm_row, sm_row = cch
+                tsid, tslot, solid_row, liq_row, pid_rows = rows_c
+                t, active_i, hit_i, axmask, vox, water, wenter, stp = c
+                active = (active_i != 0) & (t < t_exit)
+                hit = hit_i != 0
 
-                @pl.when(ok)
-                def _(wj=wj, j=j, slot=slot):
-                    pltpu.make_async_copy(
-                        wmp_ref.at[wj], wstage.at[j], wsem.at[j]
-                    ).wait()
+                (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
+                 sw_jump, sw_liq, s, _) = classify(
+                    t, wid_all, sid_all, wm_row, need_sslot=False)
 
-                mrow = wstage[j]                             # [1,128] u32
-                slot8 = slot * 8
-                src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
-                sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & ok
-                wm_row = jnp.where(sel, src, wm_row)
-                wid_all = jnp.where(
-                    (wrow_iota == slot) & ok, wj, wid_all
+                inw = (
+                    (px >= 0.0) & (py >= 0.0) & (pz >= 0.0)
+                    & (px < v) & (py < v) & (pz < v)
+                )
+                active = active & inw & (stp < step_cap)
+
+                at_ts = s == tsid
+                # bbase <= 15*8+3 < 128 and l >> 5 <= 4095 >> 5 = 127 structurally
+                # (even for garbage lanes: every term is &-masked), so the gather
+                # clips are skipped (bounded=True).
+                b_loc = ((vx >> 2) & 3) + ((vy >> 2) & 3) * 4 + ((vz >> 2) & 3) * 16
+                bbase = (tslot & 15) * 8 + (b_loc >> 4)
+                sm_b = sm_sel(sm_row, tslot)
+                br_pair = pair_of(sm_b, bbase, (b_loc & 15) * 2, bounded=True)
+                br_jump = (br_pair & 1) != 0
+                br_liq = (br_pair & 2) != 0
+
+                l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
+                vsolid = bit_of(solid_row, l >> 5, l & 31, bounded=True) != 0
+                vliq = bit_of(liq_row, l >> 5, l & 31, bounded=True) != 0
+
+                case1 = active & g_jump
+                case2 = active & ~g_jump & (wslot >= 0) & sw_jump
+                case3 = active & ~g_jump & (wslot >= 0) & ~sw_jump & at_ts
+                in_br = case3 & br_jump
+                in_vox = case3 & ~br_jump
+                hit_now = in_vox & vsolid
+                march = case1 | case2 | in_br | (in_vox & ~vsolid)
+
+                liq_i = jnp.where(
+                    case1, g_liq.astype(i32),
+                    jnp.where(
+                        case2, sw_liq.astype(i32),
+                        jnp.where(in_br, br_liq.astype(i32), vliq.astype(i32)),
+                    ),
+                )
+                liquid = liq_i != 0
+
+                in_w = wenter >= 0.0
+                consider = march | hit_now
+                leave = consider & in_w & ~liquid
+                water = water + jnp.where(leave, t - wenter, 0.0)
+                wenter = jnp.where(leave, -1.0, wenter)
+                wenter = jnp.where(march & liquid & (wenter < 0.0), t, wenter)
+
+                cell = jnp.where(
+                    case1, f32(WIN << gs),
+                    jnp.where(case2, f32(SW), jnp.where(in_br, f32(BRICK), f32(1.0))),
+                )
+                icell = 1.0 / cell
+
+                def axis(pc, sgf, ivs, bigm):
+                    ps = pc * sgf
+                    b = jnp.floor(ps * icell) + 1.0
+                    return jnp.where(bigm, f32(_BIG), (b * cell - ps) * ivs)
+
+                dtx = axis(px, sgfx, ivsx, bigx)
+                dty = axis(py, sgfy, ivsy, bigy)
+                dtz = axis(pz, sgfz, ivsz, bigz)
+                dt = jnp.minimum(dtx, jnp.minimum(dty, dtz))
+                axm = (
+                    (dtx <= dt).astype(i32)
+                    | ((dty <= dt).astype(i32) << 1)
+                    | ((dtz <= dt).astype(i32) << 2)
                 )
 
-            # re-classify against the merged window metas, then fetch
-            # subwindow content for every remaining stall
-            (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
-                classify(t, wid_all, sid_all, wm_row)
-            sstall = (
-                alive & ~g_jump & (wslot >= 0) & ~sw_jump & (sslot < 0)
-            )
-            skey = jnp.where(sstall, s, bigi)
-            if s_seg > 1:
-                # Segmented fetch: each DMA brings s_seg CONSECUTIVE rows
-                # starting at the picked stall id. Subwindow ids are x-major
-                # (s = X + Y*ns + Z*ns²), so stalled neighbors along +x are
-                # consecutive rows and one issue serves them all — the DMA
-                # ISSUE cost (~1 us each on this runtime, serialized on the
-                # scalar core) was the serve round's dominant term. Every id
-                # in a fetched segment clears from the stall pool; duplicate
-                # cache entries from overlapping segments are harmless (the
-                # cache is id-matched, copies carry identical content).
-                n3 = ns * ns * ns
-                spicks = []
-                for i in range(s_ins // s_seg):
-                    sj = jnp.min(skey)
-                    ok = sj < bigi
-                    start = jnp.minimum(sj, i32(n3 - s_seg))
-                    spicks.append((start, ok))
-                    served = (skey >= start) & (skey < start + s_seg)
-                    skey = jnp.where(served, bigi, skey)
+                t = jnp.where(march, t + dt + EPS_T, t)
+                axmask = jnp.where(march, axm, axmask)
+                hit = hit | hit_now
+                active = active & ~hit_now
+                stp = stp + (march | hit_now).astype(i32)
+
+                progressed = jnp.any(march | hit_now).astype(i32)
+                return (t, active.astype(i32), hit.astype(i32), axmask, vox, water,
+                        wenter, stp), progressed
+
+            def decode_hits(c, tslot, pid_rows, sm_row):
+                t, active_i, hit_i, axmask, vox, water, wenter, stp = c
+                undec = (hit_i != 0) & (vox == 0)
+                vx = jnp.floor(ox + dx * t).astype(i32)
+                vy = jnp.floor(oy + dy * t).astype(i32)
+                vz = jnp.floor(oz + dz * t).astype(i32)
+                l = (vx & 15) + (vy & 15) * 16 + (vz & 15) * 256
+                li, lsh = l >> 5, l & 31  # l <= 4095 structurally -> bounded gathers
+                pidx = bit_of(pid_rows[0], li, lsh, bounded=True)
+                pidx = pidx | (bit_of(pid_rows[1], li, lsh, bounded=True) << 1)
+                pidx = pidx | (bit_of(pid_rows[2], li, lsh, bounded=True) << 2)
+                pidx = pidx | (bit_of(pid_rows[3], li, lsh, bounded=True) << 3)
+                sm_b = sm_sel(sm_row, tslot)
+                pal_w = jnp.take_along_axis(
+                    sm_b, jnp.clip((tslot & 15) * 8 + 4 + (pidx >> 2), 0, 127),
+                    axis=1,
+                )
+                pid = ((pal_w >> ((pidx & 3).astype(u32) * 8)) & 0xFF).astype(i32)
+                vox = jnp.where(undec, pid, vox)
+                return (t, active_i, hit_i, axmask, vox, water, wenter, stp)
+
+            # ---- in-kernel service --------------------------------------------
+            def serve(t, active_i, cch, wctr, sctr):
+                """Fetch up to W_INS window metas + S_INS subwindow rows for the
+                block's stalled rays, window metas FIRST: subwindow stalls are
+                re-derived against the freshly merged window metas, so a ray cold
+                on both levels is fully served in ONE round (the meta row is 512 B
+                — its DMA wait costs ~nothing next to saving a whole round)."""
+                wid_all, sid_all, wm_row, sm_row = cch
+                (_, _, _, _, _, _, w, g_jump, _, wslot, _, _, _, _) = \
+                    classify(t, wid_all, sid_all, wm_row, need_sslot=False)
+                alive = (active_i != 0) & (t < t_exit)
+                wstall = alive & ~g_jump & (wslot < 0)
+                wkey = jnp.where(wstall, w, bigi)
+
+                # distinct-min picks (scalar chains) + batched DMA starts
+                wpicks = []
+                for j in range(w_ins):
+                    wj = jnp.min(wkey)
+                    ok = wj < bigi
+                    wpicks.append((wj, ok))
+                    wkey = jnp.where(wkey == wj, bigi, wkey)
 
                     @pl.when(ok)
-                    def _(start=start, i=i):
-                        pltpu.make_async_copy(
-                            swc_ref.at[pl.ds(start, s_seg)],
-                            stage.at[pl.ds(i * s_seg, s_seg)], ssem.at[i],
-                        ).start()
+                    def _(wj=wj, j=j):
+                        cp = pltpu.make_async_copy(
+                            wmp_ref.at[wj], wstage.at[j], wsem.at[j]
+                        )
+                        cp.start()
 
-                for i, (start, ok) in enumerate(spicks):
+                # wait + merge window metas (FIFO slot rotation; invalid picks
+                # leave the slot's previous content in place)
+                for j, (wj, ok) in enumerate(wpicks):
+                    slot = (wctr + j) % N_WC
 
                     @pl.when(ok)
-                    def _(start=start, i=i):
+                    def _(wj=wj, j=j, slot=slot):
                         pltpu.make_async_copy(
-                            swc_ref.at[pl.ds(start, s_seg)],
-                            stage.at[pl.ds(i * s_seg, s_seg)], ssem.at[i],
+                            wmp_ref.at[wj], wstage.at[j], wsem.at[j]
                         ).wait()
 
-                    for r in range(s_seg):
-                        j = i * s_seg + r
-                        slot = (sctr + j) % n_sc
+                    mrow = wstage[j]                             # [1,128] u32
+                    slot8 = slot * 8
+                    src = _gather8(mrow, jnp.clip(lane_row - slot8, 0, 127))
+                    sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & ok
+                    wm_row = jnp.where(sel, src, wm_row)
+                    wid_all = jnp.where(
+                        (wrow_iota == slot) & ok, wj, wid_all
+                    )
+
+                # re-classify against the merged window metas, then fetch
+                # subwindow content for every remaining stall
+                (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
+                    classify(t, wid_all, sid_all, wm_row)
+                sstall = (
+                    alive & ~g_jump & (wslot >= 0) & ~sw_jump & (sslot < 0)
+                )
+                skey = jnp.where(sstall, s, bigi)
+                if s_seg > 1:
+                    # Segmented fetch: each DMA brings s_seg CONSECUTIVE rows
+                    # starting at the picked stall id. Subwindow ids are x-major
+                    # (s = X + Y*ns + Z*ns²), so stalled neighbors along +x are
+                    # consecutive rows and one issue serves them all — the DMA
+                    # ISSUE cost (~1 us each on this runtime, serialized on the
+                    # scalar core) was the serve round's dominant term. Every id
+                    # in a fetched segment clears from the stall pool; duplicate
+                    # cache entries from overlapping segments are harmless (the
+                    # cache is id-matched, copies carry identical content).
+                    n3 = ns * ns * ns
+                    spicks = []
+                    for i in range(s_ins // s_seg):
+                        sj = jnp.min(skey)
+                        ok = sj < bigi
+                        start = jnp.minimum(sj, i32(n3 - s_seg))
+                        spicks.append((start, ok))
+                        served = (skey >= start) & (skey < start + s_seg)
+                        skey = jnp.where(served, bigi, skey)
 
                         @pl.when(ok)
-                        def _(j=j, slot=slot):
-                            csol[pl.ds(slot, 1)] = stage[j, 0:1]
-                            cliq[pl.ds(slot, 1)] = stage[j, 1:2]
-                            cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
+                        def _(start=start, i=i):
+                            pltpu.make_async_copy(
+                                swc_ref.at[pl.ds(start, s_seg)],
+                                stage.at[pl.ds(i * s_seg, s_seg)], ssem.at[i],
+                            ).start()
 
-                        mrow = stage[j, 6:7]
-                        sm_row = sm_merge(sm_row, mrow, slot, ok)
-                        sid_all = jnp.where(
-                            (srow_iota == slot) & ok, start + r, sid_all
+                    for i, (start, ok) in enumerate(spicks):
+
+                        @pl.when(ok)
+                        def _(start=start, i=i):
+                            pltpu.make_async_copy(
+                                swc_ref.at[pl.ds(start, s_seg)],
+                                stage.at[pl.ds(i * s_seg, s_seg)], ssem.at[i],
+                            ).wait()
+
+                        for r in range(s_seg):
+                            j = i * s_seg + r
+                            slot = (sctr + j) % n_sc
+
+                            @pl.when(ok)
+                            def _(j=j, slot=slot):
+                                csol[pl.ds(slot, 1)] = stage[j, 0:1]
+                                cliq[pl.ds(slot, 1)] = stage[j, 1:2]
+                                cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
+
+                            mrow = stage[j, 6:7]
+                            sm_row = sm_merge(sm_row, mrow, slot, ok)
+                            sid_all = jnp.where(
+                                (srow_iota == slot) & ok, start + r, sid_all
+                            )
+
+                    return (
+                        (wid_all, sid_all, wm_row, sm_row),
+                        wctr + w_ins, sctr + s_ins,
+                    )
+                spicks = []
+                if grouped:
+                    # grouped pick: one vectorized per-tile-group min instead of
+                    # s_ins sequential whole-array reductions — spatially fair
+                    # (adjacent tiles share a group) and ~s_ins× cheaper to pick;
+                    # duplicate ids across groups waste the odd slot, which the
+                    # next round's re-pick absorbs.
+                    gmin = jnp.min(
+                        skey.reshape(s_ins, (blk // s_ins) * 128), axis=1
+                    )                                             # [s_ins]
+                    for j in range(s_ins):
+                        sj = gmin[j]
+                        spicks.append((sj, sj < bigi))
+                else:
+                    for j in range(s_ins):
+                        sj = jnp.min(skey)
+                        spicks.append((sj, sj < bigi))
+                        skey = jnp.where(skey == sj, bigi, skey)
+                for j, (sj, ok) in enumerate(spicks):
+
+                    @pl.when(ok)
+                    def _(sj=sj, j=j):
+                        cp = pltpu.make_async_copy(
+                            swc_ref.at[sj], stage.at[j], ssem.at[j]
                         )
+                        cp.start()
+
+                for j, (sj, ok) in enumerate(spicks):
+                    slot = (sctr + j) % n_sc
+
+                    @pl.when(ok)
+                    def _(sj=sj, j=j):
+                        pltpu.make_async_copy(
+                            swc_ref.at[sj], stage.at[j], ssem.at[j]
+                        ).wait()
+
+                    @pl.when(ok)
+                    def _(j=j, slot=slot):
+                        csol[pl.ds(slot, 1)] = stage[j, 0:1]
+                        cliq[pl.ds(slot, 1)] = stage[j, 1:2]
+                        cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
+
+                    mrow = stage[j, 6:7]                         # [1,128] u32
+                    sm_row = sm_merge(sm_row, mrow, slot, ok)
+                    sid_all = jnp.where((srow_iota == slot) & ok, sj, sid_all)
 
                 return (
                     (wid_all, sid_all, wm_row, sm_row),
                     wctr + w_ins, sctr + s_ins,
                 )
-            spicks = []
-            if grouped:
-                # grouped pick: one vectorized per-tile-group min instead of
-                # s_ins sequential whole-array reductions — spatially fair
-                # (adjacent tiles share a group) and ~s_ins× cheaper to pick;
-                # duplicate ids across groups waste the odd slot, which the
-                # next round's re-pick absorbs.
-                gmin = jnp.min(
-                    skey.reshape(s_ins, (blk // s_ins) * 128), axis=1
-                )                                             # [s_ins]
-                for j in range(s_ins):
-                    sj = gmin[j]
-                    spicks.append((sj, sj < bigi))
-            else:
-                for j in range(s_ins):
-                    sj = jnp.min(skey)
-                    spicks.append((sj, sj < bigi))
-                    skey = jnp.where(skey == sj, bigi, skey)
-            for j, (sj, ok) in enumerate(spicks):
 
-                @pl.when(ok)
-                def _(sj=sj, j=j):
-                    cp = pltpu.make_async_copy(
-                        swc_ref.at[sj], stage.at[j], ssem.at[j]
-                    )
-                    cp.start()
-
-            for j, (sj, ok) in enumerate(spicks):
-                slot = (sctr + j) % n_sc
-
-                @pl.when(ok)
-                def _(sj=sj, j=j):
-                    pltpu.make_async_copy(
-                        swc_ref.at[sj], stage.at[j], ssem.at[j]
-                    ).wait()
-
-                @pl.when(ok)
-                def _(j=j, slot=slot):
-                    csol[pl.ds(slot, 1)] = stage[j, 0:1]
-                    cliq[pl.ds(slot, 1)] = stage[j, 1:2]
-                    cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
-
-                mrow = stage[j, 6:7]                         # [1,128] u32
-                sm_row = sm_merge(sm_row, mrow, slot, ok)
-                sid_all = jnp.where((srow_iota == slot) & ok, sj, sid_all)
-
-            return (
-                (wid_all, sid_all, wm_row, sm_row),
-                wctr + w_ins, sctr + s_ins,
+            return dict(
+                classify=classify, boundary=boundary, step=step,
+                decode_hits=decode_hits, serve=serve, t_exit=t_exit,
+                sx=sx, sy=sy, sz=sz, dx=dx, dy=dy, dz=dz,
+                ox=ox, oy=oy, oz=oz,
             )
+
+
+        L = leg_ctx(ox, oy, oz, dx, dy, dz)
+        t_exit = L["t_exit"]
+        sx, sy, sz = L["sx"], L["sy"], L["sz"]
 
         # ---- state init (primary: synthesized in-kernel, as v3) -----------
         if not per_ray:
@@ -764,10 +785,12 @@ def _march_kernel4(
                 | (sgn_bits << _FL_SGN)
             )
 
-        def shade_store(c):
+        def shade_store(c, sh=None):
             """In-kernel shade epilogue (fused mode): same op order as the v3
             _shade_kernel (wavefront3.py:1849) so the packed RGBA8 is
-            bit-exact vs the split march|shade dispatches."""
+            bit-exact vs the split march|shade dispatches. ``sh``: the
+            fused shadow leg's hit plane (i32), shadowing hits by the
+            ambient factor exactly as the split shade does."""
             t, _a, hit_i, axm, vox, wat, wen, stp = c
             hit = hit_i != 0
             t_stop = jnp.minimum(t, t_exit)
@@ -798,6 +821,15 @@ def _march_kernel4(
                 cr = fstep
                 cg = fstep
                 cb = fstep
+
+            if sh is not None:
+                # same position in the op order as _shade_kernel's
+                # shadows block (after step-heatmap, before sky)
+                amb = scal_ref[37]
+                shm = jnp.where((sh != 0) & hit, amb, f32(1.0))
+                cr = cr * shm
+                cg = cg * shm
+                cb = cb * shm
 
             def sstep(e0, e1, x):
                 q = jnp.clip((x - e0) * (1.0 / (e1 - e0)), 0.0, 1.0)
@@ -836,7 +868,8 @@ def _march_kernel4(
             pk_o[s0:s0 + blk, :] = (
                 q8(r) | (q8(g) << 8) | (q8(b) << 16) | u32(0xFF000000)
             )
-            fl_o[s0:s0 + blk, :] = encode_flags(c)
+            if fl_o is not None:
+                fl_o[s0:s0 + blk, :] = encode_flags(c)
 
         @pl.when(jnp.logical_not(any_active))
         def _():
@@ -999,53 +1032,64 @@ def _march_kernel4(
             else:
                 cch_init = (wid0, sid0, wm0, sm0)
 
-            def sub_round(state):
-                sr, _, c, rows_c, cch = state
+            def mk_round_fns(LG):
+                def sub_round(state):
+                    sr, _, c, rows_c, cch = state
 
-                # fixed-point early exit: once no lane marches or hits, the
-                # remaining steps of this sub-round are no-ops — skip them
-                def sbody(st):
-                    i, _, cc = st
-                    cc, prog = step(cc, rows_c, cch)
-                    return i + 1, prog, cc
+                    # fixed-point early exit: once no lane marches or
+                    # hits, the remaining steps of this sub-round are
+                    # no-ops — skip them
+                    def sbody(st):
+                        i, _, cc = st
+                        cc, prog = LG["step"](cc, rows_c, cch)
+                        return i + 1, prog, cc
 
-                def scond(st):
-                    i, prog, _ = st
-                    return (i < sub_steps) & (prog != 0)
+                    def scond(st):
+                        i, prog, _ = st
+                        return (i < sub_steps) & (prog != 0)
 
-                _, _, c = jax.lax.while_loop(
-                    scond, sbody, (jnp.int32(0), jnp.int32(1), c)
-                )
-                c = decode_hits(c, rows_c[1], rows_c[4], cch[3])
-                t, a, h, axm, vox, wat, wen, stp = c
-                t = jnp.minimum(t, t_exit)
-                c = (t, jnp.where(stp < step_cap, a, 0), h, axm, vox, wat,
-                     wen, stp)
-                tsid, tslot, solid_row, liq_row, pid_rows, go = boundary(
-                    c[0], c[1], cch[0], cch[1], cch[2]
-                )
-                return sr + 1, go, c, (tsid, tslot, solid_row, liq_row,
-                                       pid_rows), cch
+                    _, _, c = jax.lax.while_loop(
+                        scond, sbody, (jnp.int32(0), jnp.int32(1), c)
+                    )
+                    c = LG["decode_hits"](c, rows_c[1], rows_c[4], cch[3])
+                    t, a, h, axm, vox, wat, wen, stp = c
+                    t = jnp.minimum(t, LG["t_exit"])
+                    c = (t, jnp.where(stp < step_cap, a, 0), h, axm, vox,
+                         wat, wen, stp)
+                    (tsid, tslot, solid_row, liq_row, pid_rows,
+                     go) = LG["boundary"](
+                        c[0], c[1], cch[0], cch[1], cch[2]
+                    )
+                    return sr + 1, go, c, (tsid, tslot, solid_row,
+                                           liq_row, pid_rows), cch
 
-            def inner_cond(state):
-                sr, go, _, _, _ = state
-                return (sr < sub_rounds) & (go != 0)
+                def inner_cond(state):
+                    sr, go, _, _, _ = state
+                    return (sr < sub_rounds) & (go != 0)
 
-            def round_body(carry):
-                r, c, cch, wctr, sctr = carry
-                # serve this round's stalls, then march until every lane
-                # stalls again (or the block converges)
-                cch, wctr, sctr = serve(c[0], c[1], cch, wctr, sctr)
-                rows_c = boundary(c[0], c[1], cch[0], cch[1], cch[2])
-                _, _, c, _, _ = jax.lax.while_loop(
-                    inner_cond, sub_round,
-                    (jnp.int32(0), rows_c[5], c, rows_c[:5], cch),
-                )
-                return r + 1, c, cch, wctr, sctr
+                def round_body(carry):
+                    r, c, cch, wctr, sctr = carry
+                    # serve this round's stalls, then march until every
+                    # lane stalls again (or the block converges)
+                    cch, wctr, sctr = LG["serve"](
+                        c[0], c[1], cch, wctr, sctr)
+                    rows_c = LG["boundary"](
+                        c[0], c[1], cch[0], cch[1], cch[2])
+                    _, _, c, _, _ = jax.lax.while_loop(
+                        inner_cond, sub_round,
+                        (jnp.int32(0), rows_c[5], c, rows_c[:5], cch),
+                    )
+                    return r + 1, c, cch, wctr, sctr
 
-            def round_cond(carry):
-                r, c, _, _, _ = carry
-                return (r < rounds_cap) & jnp.any(c[1] != 0)
+                def round_cond(carry):
+                    r, c, _, _, _ = carry
+                    return (r < rounds_cap) & jnp.any(c[1] != 0)
+
+                return sub_round, inner_cond, round_body, round_cond
+
+            sub_round, inner_cond, round_body, round_cond = \
+                mk_round_fns(L)
+            boundary = L["boundary"]
 
             # march BEFORE the first serve: blocks whose rays converge
             # against the warm cache (or pure sky blocks, which need no
@@ -1066,6 +1110,66 @@ def _march_kernel4(
                 round_cond, round_body,
                 (jnp.int32(0), c0m, cch_init, jnp.int32(0), jnp.int32(0)),
             )
+            sh = None
+            if fused_shadow:
+                # ---- fused shadow leg: rebase converged HIT rays toward
+                # the sun and re-run the round loop on the SAME warm
+                # cache (shadow origins are the primary hit points, so
+                # the primary leg's cache is the ideal round-0 cache).
+                # Ray construction mirrors _shadow_prep4 op-for-op and
+                # the per-ray leg's init mirrors _trace_frame4, so the
+                # shadow-hit plane is bit-exact vs the split dispatches.
+                tp, _ap, hitp, axp = c[0], c[1], c[2], c[3]
+                hitm = hitp != 0
+                nxs = -jnp.sign(dx) * ((axp >> 0) & 1).astype(f32)
+                nys = -jnp.sign(dy) * ((axp >> 1) & 1).astype(f32)
+                nzs = -jnp.sign(dz) * ((axp >> 2) & 1).astype(f32)
+                hx = ox + dx * tp + nxs * 1e-3
+                hy = oy + dy * tp + nys * 1e-3
+                hz = oz + dz * tp + nzs * 1e-3
+                svx = scal_ref[34] - hx
+                svy = scal_ref[35] - hy
+                svz = scal_ref[36] - hz
+                sn = jnp.sqrt(svx * svx + svy * svy + svz * svz)
+                S = leg_ctx(hx, hy, hz, svx / sn, svy / sn, svz / sn)
+                ts0s = jnp.full((blk, 128), EPS_T, f32)
+                ins0 = (
+                    (hx > 0.0) & (hx < v)
+                    & (hy > 0.0) & (hy < v)
+                    & (hz > 0.0) & (hz < v)
+                )
+                acts = (hitm & ins0).astype(i32)
+                pxs = hx + (svx / sn) * ts0s
+                pys = hy + (svy / sn) * ts0s
+                pzs = hz + (svz / sn) * ts0s
+                inws = (
+                    (pxs >= 0.0) & (pys >= 0.0) & (pzs >= 0.0)
+                    & (pxs < v) & (pys < v) & (pzs < v)
+                )
+                acts = jnp.where(
+                    inws & (ts0s < S["t_exit"]), acts, 0)
+                cs0 = (
+                    ts0s, acts, jnp.zeros((blk, 128), i32),
+                    jnp.zeros((blk, 128), i32),
+                    jnp.zeros((blk, 128), i32),
+                    jnp.zeros((blk, 128), f32),
+                    jnp.full((blk, 128), -1.0, f32),
+                    jnp.zeros((blk, 128), i32),
+                )
+                s_sub, s_icond, s_rbody, s_rcond = mk_round_fns(S)
+                rows_s0 = S["boundary"](
+                    cs0[0], cs0[1], cch_f[0], cch_f[1], cch_f[2]
+                )
+                _, _, cs0m, _, _ = jax.lax.while_loop(
+                    s_icond, s_sub,
+                    (jnp.int32(0), rows_s0[5], cs0, rows_s0[:5], cch_f),
+                )
+                _, cs, cch_f, _, _ = jax.lax.while_loop(
+                    s_rcond, s_rbody,
+                    (jnp.int32(0), cs0m, cch_f, jnp.int32(0),
+                     jnp.int32(0)),
+                )
+                sh = cs[2]
             if warm:
                 # pack the final cache ids into the token plane: row 0 lane k
                 # = sid slot k, row 1 lane k = wid slot k (k past the slot
@@ -1081,7 +1185,7 @@ def _march_kernel4(
                 ids_o[sb, 1, :] = wid_row[0]
 
             if fused:
-                shade_store(c)
+                shade_store(c, sh)
             else:
                 fl_out = encode_flags(c)
                 st_o[0, s0:s0 + blk, :] = c[0]
@@ -1100,7 +1204,8 @@ def _march4(
     *, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, interpret, rays=None,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
     n_sc=N_SC, gw_pair=False, lut=None, show_steps=False, T=None,
-    warm_gather=False, s_seg=1, vb=1, warm_seg=1,
+    warm_gather=False, s_seg=1, vb=1, warm_seg=1, fused_flags=True,
+    fused_shadow=False,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
@@ -1203,13 +1308,16 @@ def _march4(
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm, n_sc=n_sc,
         gw_pair=gw_pair, fused=fused, show_steps=show_steps,
         warm_pre=warm_pre, s_seg=s_seg, vb=vb, warm_seg=int(warm_seg),
+        fused_flags=fused_flags, fused_shadow=fused_shadow,
     )
     u32 = jnp.uint32
     i32 = jnp.int32
     if fused:
-        out_specs = (vspec(), vspec())
-        out_shape = (jax.ShapeDtypeStruct((T, 128), u32),
-                     jax.ShapeDtypeStruct((T, 128), i32))
+        out_specs = (vspec(),)
+        out_shape = (jax.ShapeDtypeStruct((T, 128), u32),)
+        if fused_flags:
+            out_specs = out_specs + (vspec(),)
+            out_shape = out_shape + (jax.ShapeDtypeStruct((T, 128), i32),)
         if warm:
             out_specs = out_specs + (ispec,)
             out_shape = out_shape + (
@@ -1427,10 +1535,102 @@ def _trace_frame4(
 @partial(
     jax.jit,
     static_argnames=(
+        "t_c", "rounds", "sub_rounds", "sub_steps", "v", "interpret",
+        "s_ins", "w_ins", "n_sc", "s_seg",
+    ),
+)
+def _bounce_retry4(
+    ts, fl, wa, we, ot, dt3, gw_jump, gw_liq, sw_cont, wmeta_pad,
+    step_cap,
+    *, t_c, rounds, sub_rounds, sub_steps, v, interpret,
+    s_ins=32, w_ins=W_INS, n_sc=64, s_seg=1,
+):
+    """Compact-and-resume pass for rays left unconverged by a capped leg.
+
+    The v4 per-block round loop runs until the block's LAST ray
+    converges; on incoherent (bounce) legs a handful of deep-crevice
+    stragglers pin whole 8K-ray blocks for dozens of serve rounds — the
+    reason the in-kernel path tracer measured slower than the per-leg
+    XLA route (ops/pathtrace4.py docstring). This pass is the global
+    re-batching barrier done ON DEVICE at tile granularity:
+
+      * tiles (128-ray rows) containing any still-active ray are row-
+        gathered to the front (argsort of the per-tile any-active key —
+        row gathers run at ~HBM speed on this runtime, unlike element
+        gathers, docs/TPU_NOTES.md), up to a static ``t_c`` capacity;
+      * the compacted tiles — now DENSE straggler work, every lane deep
+        mid-flight — resume marching in a small per-ray launch
+        (``t_c``/64 blocks instead of T/64) with a bigger subwindow
+        cache (``n_sc``) and serve width (``s_ins``), sized for
+        incoherent wants;
+      * results row-scatter back over the full-frame planes.
+
+    Marching is cache-content-deterministic, so resume-after-cap equals
+    one uncapped march bit-exactly (pinned by tests/test_pathtracer.py).
+    Overflow beyond ``t_c`` keeps its capped state (rare; shades as the
+    rounds-cap miss, same as before this pass existed).
+    """
+    f32, i32 = jnp.float32, jnp.int32
+    act = (fl & 1) != 0
+    tile_bad = jnp.any(act, axis=1)
+    order = jnp.argsort(
+        jnp.where(tile_bad, 0, 1).astype(i32), stable=True
+    )
+    sel = order[:t_c]
+
+    def g(x):
+        return jnp.take(x, sel, axis=0)
+
+    state0 = jnp.stack([
+        g(ts),
+        jax.lax.bitcast_convert_type(g(fl) + _FL_BIAS, f32),
+        g(wa),
+        g(we),
+    ])
+    ot_s, dt_s = g(ot), g(dt3)
+    rays = jnp.stack([
+        ot_s[..., 0], ot_s[..., 1], ot_s[..., 2],
+        dt_s[..., 0], dt_s[..., 1], dt_s[..., 2],
+    ])
+
+    n_sub = sw_cont.shape[0]
+    ns = int(round(n_sub ** (1 / 3)))
+    while ns * ns * ns < n_sub:
+        ns += 1
+    nw = ns // 4
+    nwg = (nw + (1 << _gs_for(nw)) - 1) >> _gs_for(nw)
+    gw_pair = nwg ** 3 <= 2048
+    if gw_pair:
+        gw2 = _interleave_gw(gw_jump, gw_liq)
+    else:
+        gw2 = jnp.concatenate([gw_jump, gw_liq], axis=0)
+
+    scal = jnp.zeros(27, f32).at[3].set(jnp.float32(v)).at[23].set(
+        jnp.asarray(step_cap, f32)
+    )
+    st = _march4(
+        scal, gw2, sw_cont, wmeta_pad, state0,
+        sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
+        nw=nw, ns=ns, nsx=1, interpret=interpret, rays=rays,
+        s_ins=s_ins, w_ins=w_ins, n_sc=n_sc, gw_pair=gw_pair,
+        s_seg=s_seg,
+    )
+    fl2 = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
+    return (
+        ts.at[sel].set(st[0]),
+        fl.at[sel].set(fl2),
+        wa.at[sel].set(st[2]),
+        we.at[sel].set(st[3]),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "show_steps", "full_height", "warm", "with_flags",
         "s_ins", "w_ins", "grouped", "prepacked", "blk", "n_sc",
-        "warm_gather", "s_seg", "vb", "warm_seg",
+        "warm_gather", "s_seg", "vb", "warm_seg", "fused_shadow",
     ),
 )
 def _frame_fused4(
@@ -1439,11 +1639,12 @@ def _frame_fused4(
     sky_color, sun_pos_local, sun_intensity,
     rounds=64, step_cap=None, warm_ids=None,
     sw_cont_pre=None, wmeta_pre=None,
+    shadow_ambient=0.4,
     *, width, height, sub_rounds, sub_steps, v, interpret,
     show_steps=False, full_height=None, y0=0.0, warm=False,
     with_flags=False, s_ins=S_INS, w_ins=W_INS, grouped=False,
     prepacked=False, blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1,
-    vb=1, warm_seg=1,
+    vb=1, warm_seg=1, fused_shadow=False,
 ):
     """One fused v4 frame: trace AND shade in a single kernel launch —
     the reference kernel's one-pass shape (ray_tracer.wgsl:173-316).
@@ -1484,7 +1685,11 @@ def _frame_fused4(
         sun_dir,
         jnp.asarray(sun_intensity, f32).reshape(1),
         jnp.asarray(sky_color, f32),
-        jnp.zeros(9, f32),
+        # 34-36 sun POSITION (world-local) + 37 shadow ambient: the
+        # fused shadow leg rebases hit rays toward the sun in-kernel
+        jnp.asarray(sun_pos_local, f32).reshape(3),
+        jnp.asarray(shadow_ambient, f32).reshape(1),
+        jnp.zeros(5, f32),
     ])
 
     nwg = (nw + (1 << _gs_for(nw)) - 1) >> _gs_for(nw)
@@ -1514,16 +1719,15 @@ def _frame_fused4(
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
         warm_gather=warm_gather, s_seg=s_seg, vb=vb, warm_seg=warm_seg,
         n_sc=n_sc, gw_pair=gw_pair, lut=lut, show_steps=show_steps,
-        T=T_pad,
+        T=T_pad, fused_flags=with_flags, fused_shadow=fused_shadow,
     )
-    if warm:
-        pk, fl, ids_out = out
-    else:
-        pk, fl = out
-        ids_out = None
+    out = list(out)
+    pk = out.pop(0)
+    fl = out.pop(0) if with_flags else None
+    ids_out = out.pop(0) if warm else None
     if T_pad != T:
         pk = pk[:T]
-        fl = fl[:T]
+        fl = fl[:T] if with_flags else None
     img = _untile_hw(pk, tx, ty, width, height)
     ret = (img,)
     if with_flags:
@@ -1798,6 +2002,8 @@ def render_frame4(
     s_seg=1,
     vb=1,
     warm_seg=1,
+    shadow_rounds=None,
+    compact_tiles=0,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -1807,10 +2013,18 @@ def render_frame4(
     (primary, shadow) of per-block cache-ID planes — see
     :func:`trace_wavefront4`. ``prepared``: a :func:`prepare_grid4`
     token; skips the ~6.7 ms/frame table packing for static worlds.
-    ``fused`` (primary-only; requires ``shadows=False``): shade inside
-    the march kernel itself — ONE launch for the whole frame, the
-    reference kernel's shape (ray_tracer.wgsl:173-316); bit-exact vs
-    the split dispatches."""
+    ``fused``: shade inside the march kernel itself — ONE launch for
+    the whole frame, the reference kernel's shape
+    (ray_tracer.wgsl:173-316); bit-exact vs the split dispatches. With
+    ``shadows=True`` the shadow leg ALSO runs inside that launch: hit
+    rays rebase toward the sun and re-march on the primary leg's warm
+    cache (the reference shades shadows in the same pass too).
+
+    ``shadow_rounds``/``compact_tiles``: straggler re-batching for the
+    shadow leg — cap its in-kernel serve rounds, then resume the tiles
+    still carrying active rays in one dense compacted launch
+    (:func:`_bounce_retry4`). Bit-exact whenever stragglers fit the
+    capacity; grazing-sun terrain rays otherwise pin whole blocks."""
     from .wavefront3 import color_lut_rows
 
     width, height = cam.proj_size
@@ -1854,12 +2068,18 @@ def render_frame4(
               rg.sw_liq, rg.sw_pid)
 
     if fused:
-        assert not shadows, "fused shade is primary-only (shadows=False)"
+        # shadows=True runs the fused SHADOW leg in the same launch:
+        # after the primary march converges, hit rays rebase toward the
+        # sun and re-run the round loop on the same warm cache; shading
+        # applies the ambient factor in-kernel. ONE launch per frame,
+        # bit-exact vs the split dispatches
+        # (tests/test_wavefront4.py::test_v4_fused_shadow_matches_split).
         out = _frame_fused4(
             *planes, origin, iv, ip, lut,
             jnp.asarray(sky_color, f32), sun_local,
             jnp.float32(sun_intensity),
             rounds, capf, wc_p, spre, wpre,
+            jnp.float32(shadow_ambient), fused_shadow=bool(shadows),
             width=width, height=height, sub_rounds=sub_rounds,
             sub_steps=sub_steps, v=v, interpret=bool(interpret),
             show_steps=bool(show_steps), warm=warm,
@@ -1896,15 +2116,31 @@ def render_frame4(
             ts, fl, origin, iv, ip, sun_local,
             width=width, height=height, full_height=height, v=v, nsx=nsx,
         )
+        s_rounds = rounds if shadow_rounds is None else int(shadow_rounds)
         trs = _trace_frame4(
             *planes, jnp.zeros(3, f32), iv, ip, ot, dt3, hitm,
-            rounds, capf, wc_s, spre, wpre, per_ray=True, **common,
+            s_rounds, capf, wc_s, spre, wpre, per_ray=True, **common,
         )
         if warm:
-            _, sh_fl, _, _, ids_s = trs
+            ts_s, sh_fl, wa_s, we_s, ids_s = trs
         else:
-            _, sh_fl, _, _ = trs
+            ts_s, sh_fl, wa_s, we_s = trs
             ids_s = None
+        if compact_tiles:
+            if prepared is not None:
+                swc_r, wmp_r = spre, wpre
+            else:
+                swc_r, wmp_r = _pack_tables4(
+                    rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq,
+                    rg.sw_pid,
+                )
+            _, sh_fl, _, _ = _bounce_retry4(
+                ts_s, sh_fl, wa_s, we_s, ot, dt3, rg.gw_jump, rg.gw_liq,
+                swc_r, wmp_r, capf,
+                t_c=-(-int(compact_tiles) // 64) * 64, rounds=rounds,
+                sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
+                interpret=bool(interpret),
+            )
     else:
         ids_s = wc_s  # no shadow pass: pass the caller's token through
 

@@ -35,8 +35,18 @@ kbd { background:#333; padding:1px 5px; border-radius:3px }
 <div id=hud><h3>BlockWorld / TPU</h3>
 <div id=stats>connecting…</div>
 <p><kbd>WASD</kbd> move · <kbd>Space</kbd> jump · <kbd>F</kbd> fly ·
-<kbd>Shift</kbd> sprint · drag = look ·
+<kbd>Shift</kbd> sprint · drag = look · wheel = palette ·
 <kbd>B</kbd> break · <kbd>P</kbd> place · <kbd>H</kbd> heatmap</p>
+<h4>Visuals</h4>
+<label>crosshair
+<select id=chstyle onchange="visuals()">
+<option>cross</option><option>dot</option><option>off</option>
+</select></label>
+<label> size <input id=chsize type=range min=2 max=24 value=8
+ onchange="visuals()"></label><br>
+<label>world size <input id=wsize type=range min=10 max=80 value=30
+ onchange="post('/act',{world_size:+this.value})"></label>
+<span id=wsizev>30</span> chunks
 </div></div>
 <script>
 const keys = {};
@@ -48,6 +58,7 @@ onkeydown = e => { if (e.repeat) return; const k = e.key.toLowerCase();
   else if (k === 'b') post('/act', {break_voxel: true});
   else if (k === 'p') post('/act', {place_voxel: true});
   else if (k === 'h') post('/act', {heatmap: true});
+  else if (k === 'f7' && e.shiftKey) post('/act', {panic: true});
   else if (map[k]) keys[map[k]] = true; };
 onkeyup = e => { const k = e.key.toLowerCase();
   if (map[k]) keys[map[k]] = false; };
@@ -57,10 +68,14 @@ onmouseup = () => drag = null;
 onmousemove = e => { if (drag) {
   look[0] += e.clientX - drag[0]; look[1] += e.clientY - drag[1];
   drag = [e.clientX, e.clientY]; } };
+onwheel = e => post('/act', {scroll: e.deltaY < 0 ? 1 : -1});
+function visuals() {
+  post('/act', {crosshair: {style: chstyle.value, size: +chsize.value}}); }
 function post(u, body) { fetch(u, {method:'POST', body:JSON.stringify(body)}); }
 setInterval(() => { post('/input', {keys, look}); look = [0, 0]; }, 50);
 setInterval(async () => {
   const s = await (await fetch('/stats')).json();
+  document.getElementById('wsizev').textContent = s.world_size;
   document.getElementById('stats').innerHTML =
     `fps ${s.fps.toFixed(1)}<br>pos ${s.pos.map(x=>x.toFixed(1)).join(', ')}`
     + `<br>chunks ${s.chunks}<br>node pool ${s.pool_pct.toFixed(1)}%`
@@ -116,6 +131,17 @@ class ViewerState:
         self.thread = threading.Thread(target=self._loop, daemon=True)
 
     def _loop(self):
+        # crash-only: a pump exception (including the deliberate panic
+        # action) stops frame production and surfaces in /stats; the
+        # owner's shutdown path (server stop, app.close) still runs.
+        try:
+            self._pump()
+        except Exception as e:  # noqa: BLE001 — crash path by design
+            with self.lock:
+                self.stats = dict(self.stats or {}, error=str(e))
+            self.running = False
+
+    def _pump(self):
         app = self.app
         while self.running:
             t0 = time.monotonic()
@@ -138,6 +164,23 @@ class ViewerState:
                     app.place_voxel()
                 if act.get("heatmap"):
                     app.toggle_step_heatmap()
+                if act.get("scroll"):
+                    app.cycle_placing_voxel(int(act["scroll"]))
+                if act.get("crosshair"):
+                    ch = act["crosshair"]
+                    if ch.get("style") in ("off", "dot", "cross"):
+                        app.crosshair.style = ch["style"]
+                    if "size" in ch:
+                        app.crosshair.size = max(1, int(ch["size"]))
+                if act.get("world_size"):
+                    app.resize_world(int(act["world_size"]))
+                if act.get("panic"):
+                    # the reference's deliberate Shift+F7 panic
+                    # (main.rs:374-376): crash the frame pump on purpose
+                    # to exercise the shutdown path
+                    raise RuntimeError(
+                        "deliberate panic (Shift+F7 crash-path test)"
+                    )
             app.update(net_budget_s=0.02)
             app.update_input(
                 self._PlayerInput(
@@ -166,6 +209,7 @@ class ViewerState:
                     "chunks": int(ov["chunks_populated"]),
                     "pool_pct": 100.0 * float(ov["node_space_used_frac"]),
                     "placing": int(ov["placing_voxel"]),
+                    "world_size": int(ov["world_size_chunks"]),
                 }
             dt = time.monotonic() - t0
             wait = 1.0 / self.max_fps - dt
@@ -197,7 +241,8 @@ def make_handler(state: ViewerState):
                 with state.lock:
                     body = json.dumps(state.stats or {
                         "fps": 0.0, "pos": [0, 0, 0], "chunks": 0,
-                        "pool_pct": 0.0, "placing": 0}).encode()
+                        "pool_pct": 0.0, "placing": 0,
+                        "world_size": 0}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

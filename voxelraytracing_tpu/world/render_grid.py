@@ -45,6 +45,39 @@ def _scatter_rows(dst, rows, vals):
     return dst.at[rows].set(vals)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_pack_sw(dst, rows, solid, liq, pid, meta):
+    """Pack + scatter dirty subwindow rows of the v4 wire table
+    (sw_cont [Ns³,7,128]) in place — row i is a pure function of the
+    raw planes' row i, so a world change repacks ONLY its rows instead
+    of the whole table (prepare_grid4's full repack costs ~6.7 ms/frame
+    at 1080p-scale windows)."""
+    from ..ops.wavefront4 import _interleave_meta
+
+    meta_i = _interleave_meta(meta)
+    cont = jnp.concatenate(
+        [
+            solid[:, None, :],
+            liq[:, None, :],
+            pid,
+            jnp.pad(
+                meta_i, ((0, 0), (0, 128 - meta_i.shape[1]))
+            )[:, None, :],
+        ],
+        axis=1,
+    )
+    return dst.at[rows].set(cont)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_pack_w(dst, rows, meta):
+    from ..ops.wavefront4 import _interleave_meta
+
+    meta_i = _interleave_meta(meta)
+    pad = jnp.pad(meta_i, ((0, 0), (0, 128 - meta_i.shape[1])))[:, None, :]
+    return dst.at[rows].set(pad)
+
+
 def chunk_batch_sw_data(rgrids, n_liquid, to_pack):
     """Vectorized per-subwindow data for a batch of chunks.
 
@@ -142,6 +175,12 @@ class RenderGrid3Builder:
         self._dev = None  # cached device arrays
         self._cached_rg = None  # identity-stable RenderGrid3 when clean
         self.palettes_ok = True
+        # v4 packed-table twin (prepare_grid4's wire layout), maintained
+        # incrementally by prepared(); separate dirty sets because grid()
+        # clears the raw ones
+        self._dirty_sw_pack = set()
+        self._dirty_w_pack = set()
+        self._prep = None
 
     # ------------------------------------------------------------ updates
 
@@ -186,10 +225,11 @@ class RenderGrid3Builder:
         self.s_all_liq[sids] = data["all_liq"]
         self.s_any_liq[sids] = data["any_liq"]
         self._dirty_sw.update(sids.tolist())
+        self._dirty_sw_pack.update(sids.tolist())
         for cx, cy, cz in cells:
-            self._dirty_w.add(
-                (cx // 2) + (cy // 2) * self.nw + (cz // 2) * self.nw ** 2
-            )
+            w = (cx // 2) + (cy // 2) * self.nw + (cz // 2) * self.nw ** 2
+            self._dirty_w.add(w)
+            self._dirty_w_pack.add(w)
 
     def clear_cells(self, cells):
         """Evicted chunks become air."""
@@ -203,10 +243,11 @@ class RenderGrid3Builder:
                 self.s_all_liq[sid] = False
                 self.s_any_liq[sid] = False
                 self._dirty_sw.add(sid)
+                self._dirty_sw_pack.add(sid)
             cx, cy, cz = cell
-            self._dirty_w.add(
-                (cx // 2) + (cy // 2) * self.nw + (cz // 2) * self.nw ** 2
-            )
+            w = (cx // 2) + (cy // 2) * self.nw + (cz // 2) * self.nw ** 2
+            self._dirty_w.add(w)
+            self._dirty_w_pack.add(w)
 
     # ------------------------------------------------------------ windows
 
@@ -323,3 +364,42 @@ class RenderGrid3Builder:
             palettes_ok=self.palettes_ok,
         )
         return self._cached_rg
+
+    def prepared(self):
+        """Incrementally-maintained v4 packed tables (PreparedGrid4).
+
+        The one-shot :func:`~..ops.wavefront4.prepare_grid4` repacks the
+        WHOLE sw_cont table on any world change (~6.7 ms/frame at
+        1080p-scale windows — the flythrough bottleneck, config4c). Each
+        packed row is a pure function of the same raw row, so this twin
+        repacks only the rows a chunk install/edit/eviction touched and
+        scatters them in place (donated buffers). Bit-identical to the
+        one-shot packer (tests/test_engine_app.py pins it)."""
+        from ..ops.wavefront4 import PreparedGrid4, prepare_grid4
+
+        rg = self.grid()  # refresh window metas before packing them
+        if self._prep is None:
+            self._prep = prepare_grid4(rg)
+            self._dirty_sw_pack.clear()
+            self._dirty_w_pack.clear()
+            return self._prep
+        sw_cont, wmeta_pad = self._prep
+        if self._dirty_sw_pack:
+            rows = np.asarray(sorted(self._dirty_sw_pack), np.int32)
+            sw_cont = _scatter_pack_sw(
+                sw_cont, jnp.asarray(rows),
+                jnp.asarray(self.sw_solid[rows]),
+                jnp.asarray(self.sw_liq[rows]),
+                jnp.asarray(self.sw_pid[rows]),
+                jnp.asarray(self.sw_meta[rows]),
+            )
+            self._dirty_sw_pack.clear()
+        if self._dirty_w_pack:
+            rows = np.asarray(sorted(self._dirty_w_pack), np.int32)
+            wmeta_pad = _scatter_pack_w(
+                wmeta_pad, jnp.asarray(rows),
+                jnp.asarray(self.wmeta[rows]),
+            )
+            self._dirty_w_pack.clear()
+        self._prep = PreparedGrid4(sw_cont, wmeta_pad)
+        return self._prep
