@@ -493,6 +493,41 @@ def config4b():
     mem_mb = (
         g.sw_solid.size + g.sw_liq.size + g.sw_pid.size
     ) * 4 / 1e6 + g.sw_meta.size * 4 / 1e6
+
+    # W=80 — the reference slider's ceiling (ui.rs:165): SPARSE packed
+    # tables (dense would be ~15 GB). Same streaming step, measured on
+    # set_chunks + incremental sparse repack (prepared()).
+    w8 = 80
+    b8 = RenderGrid3Builder(w8, mats)      # auto-sparse past 32
+    assert b8.sparse
+    cells8 = [(i % w8, 1, (i // 16) % w8) for i in range(batch)]
+    b8.set_chunks(cells8, grids)
+    p = b8.prepared()
+    jax.block_until_ready(p.sw_cont)
+
+    def one_step8(col):
+        cs = [((col + i) % w8, 1, j % w8) for i in range(16)
+              for j in range(8)]
+        b8.set_chunks(cs, grids)
+        return b8.prepared()
+
+    for s in range(2):
+        p = one_step8(2 + 2 * s)
+    jax.block_until_ready(p.sw_cont)
+    times8 = []
+    col = 6
+    for s in range(8):
+        col = (col + 2) % (w8 - 2)
+        t0 = time.perf_counter()
+        p = one_step8(col)
+        jax.block_until_ready(p.sw_cont)
+        times8.append(time.perf_counter() - t0)
+    times8.sort()
+    dt8 = times8[len(times8) // 2]
+    _report("config4_rgrid_update_w80", batch / dt8, "chunks/s",
+            window_chunks=w8,
+            tables_mb=round(b8.sparse_tables_mb(), 1))
+
     _report("config4_rgrid_update", batch / dt, "chunks/s",
             window_chunks=w, tables_mb=round(mem_mb, 1))
 
@@ -592,6 +627,50 @@ def config4c():
         "config4_flythrough", frames / dt, "frames/s",
         chunks_per_s=round(chunks / dt, 1),
         mrays_per_s=round(1920 * 1080 * frames / dt / 1e6, 1),
+    )
+
+    # Same fly-through at the reference slider's 80-chunk ceiling
+    # (ui.rs:165) on SPARSE packed tables — the dense tables would be
+    # ~15 GB and never fit the chip.
+    W8 = 80
+    b8 = RenderGrid3Builder(W8, mats, world_min=np.asarray(mn) * 32)
+    assert b8.sparse
+    for i in range(8):
+        c, gg = col_cells(i)
+        b8.set_chunks(c, gg)
+    p8 = b8.prepared()
+    jax.block_until_ready(p8.sw_cont)
+
+    def frame8(tok, fx):
+        rg = b8.grid()
+        return render_frame4(
+            rg, cam_at(fx), lut, rounds=64, step_cap=500,
+            steps_per_round=256, prepared=b8.prepared(), cache=tok,
+            return_cache=True, fused=True,
+        )
+
+    img, tok = frame8(None, 1.0)
+    img, tok = frame8(tok, 1.0)
+    jax.block_until_ready(img)
+    chunks = frames = 0
+    t0 = time.perf_counter()
+    fx = 1.0
+    last = img
+    for col in range(8, 8 + n_cols):
+        cells, gg = col_cells(col)
+        b8.set_chunks(cells, gg)
+        chunks += len(cells)
+        for f in range(frames_per_col):
+            fx += 0.25
+            last, tok = frame8(tok, fx)
+            frames += 1
+        jax.block_until_ready(last)
+    dt = time.perf_counter() - t0
+    _report(
+        "config4_flythrough_w80", frames / dt, "frames/s",
+        chunks_per_s=round(chunks / dt, 1),
+        mrays_per_s=round(1920 * 1080 * frames / dt / 1e6, 1),
+        tables_mb=round(b8.sparse_tables_mb(), 1),
     )
 
 

@@ -63,6 +63,8 @@ def main():
               f"({1920 * 1080 / (el / frames) / 1e6:.1f} Mrays/s)",
               flush=True)
 
+    split = dict(rounds=64, step_cap=500, steps_per_round=256,
+                 prepared=prep, return_cache=True, s_seg=4)
     for label, kw, c in [
         ("ship (s_seg4)", dict(base), cam),
         ("vb2", dict(base, vb=2), cam),
@@ -71,6 +73,11 @@ def main():
         ("blk128+vb2", dict(base, blk=128, vb=2), cam),
         ("n_sc32", dict(base, n_sc=32, s_ins=32), cam),
         ("warm_seg4", dict(base, warm_seg=4), cam),
+        ("split", dict(split), cam),
+        ("split cap2+c512", dict(split, primary_rounds=2,
+                                 compact_tiles=512), cam),
+        ("split cap1+c1024", dict(split, primary_rounds=1,
+                                  compact_tiles=1024), cam),
         ("sky ship", dict(base), sky_cam),
         ("sky vb4", dict(base, vb=4), sky_cam),
         ("sky blk256", dict(base, blk=256), sky_cam),

@@ -19,27 +19,15 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+BEST = dict(bounce_steps_per_round=16, bounce_rounds=2,
+            prim_steps_per_round=256, prim_s_seg=4)
 VARIANTS = [
     # (label, kwargs for path_trace3 on top of the shipped config3 set)
     ("ship r16", dict()),
-    ("spr16 cap2+c1024",
-     dict(bounce_steps_per_round=16, bounce_rounds=2, compact_tiles=1024)),
-    ("spr16 cap2+c512",
-     dict(bounce_steps_per_round=16, bounce_rounds=2, compact_tiles=512)),
-    ("spr8 cap2+c1024",
-     dict(bounce_steps_per_round=8, bounce_rounds=2, compact_tiles=1024)),
-    ("spr16 cap3+c512",
-     dict(bounce_steps_per_round=16, bounce_rounds=3, compact_tiles=512)),
-    ("spr16 cap2+c1024 r32/32",
-     dict(bounce_steps_per_round=16, bounce_rounds=2, compact_tiles=1024,
-          retry_s_ins=32, retry_n_sc=32)),
-    ("spr16 cap2+c1024 r16/64/spr64",
-     dict(bounce_steps_per_round=16, bounce_rounds=2, compact_tiles=1024,
-          retry_s_ins=16, retry_n_sc=64, retry_steps_per_round=64)),
-    ("spr16 cap2+c1024 r64/64",
-     dict(bounce_steps_per_round=16, bounce_rounds=2, compact_tiles=1024,
-          retry_s_ins=64, retry_n_sc=64)),
-    ("b0 primary only", dict(bounces=0)),
+    ("cand c512", dict(BEST, compact_tiles=512)),
+    ("cand c256", dict(BEST, compact_tiles=256)),
+    ("cand c128", dict(BEST, compact_tiles=128)),
+    ("cand c256 cap1", dict(BEST, compact_tiles=256, bounce_rounds=1)),
 ]
 
 

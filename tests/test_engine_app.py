@@ -283,10 +283,10 @@ def test_engine_resize(flat_root):
 
 
 def test_engine_oversized_window_falls_back(flat_root):
-    """Resizing past the fused path's 64-chunk table budget must degrade
-    to the SVO tracer, not crash (reference slider max is 80,
-    ui.rs:163-168); 33..64 chunks stay on the fast path via the
-    super-cell global plane (wavefront3._gs_for)."""
+    """The fused path now covers the reference slider's FULL range
+    (10..80, ui.rs:163-168): dense tables to 32 chunks, sparse tables
+    beyond (world/render_grid.py). resize_world clamps at 80, so the
+    SVO fallback only guards hypothetical over-cap embedders."""
     import time
 
     from voxelraytracing_tpu.engine import EngineApp
@@ -311,16 +311,19 @@ def test_engine_oversized_window_falls_back(flat_root):
         app.game.request_missing_chunks = lambda: None
         app.resize_world(34)
         assert not app._fast_path_suspended
-        app.resize_world(64)
-        assert not app._fast_path_suspended
-        app.resize_world(68)
-        assert app._fast_path_suspended
-        img = app.draw_frame()  # SVO fallback
+        assert app._fast_builder().sparse  # >32 -> sparse tables
+        img = app.draw_frame()             # sparse fast path renders
         assert img.shape == (32, 64, 3)
+        app.resize_world(80)               # the slider's ceiling
+        assert not app._fast_path_suspended
+        app.resize_world(999)              # clamped at 80, stays fast
+        assert app.game.world.size_in_chunks == 80
+        assert not app._fast_path_suspended
         app.game.request_missing_chunks = real_req
         app.resize_world(4)
         assert not app._fast_path_suspended
-        img2 = app.draw_frame()  # fast path again
+        assert not app._fast_builder().sparse
+        img2 = app.draw_frame()  # dense fast path again
         assert img2.shape == (32, 64, 3)
     finally:
         app.close()

@@ -526,3 +526,19 @@ def test_v4_fused_shadow_matches_split(scene):
     img1, _ = render_frame4(rg3, cam, mats.color, fused=True, cache=tok,
                             return_cache=True, **kw)
     np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+
+
+def test_v4_primary_compact_retry_matches_uncapped(scene):
+    """Primary-leg cap + compacted resume (split path) is bit-exact vs
+    the plain full-rounds march when the capacity covers every
+    straggler tile (_primary_retry4 re-derives the camera rays)."""
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
+
+    rg3, _, mats = scene
+    cam = CamData.create((30.0, 45.0, 0.0), (64.0, 75.0, 64.0), 70.0,
+                         (64, 32))
+    kw = dict(sun_pos=(1000.0, 2500.0, 500.0), rounds=64, step_cap=500)
+    a = render_frame4(rg3, cam, mats.color, **kw)
+    b = render_frame4(rg3, cam, mats.color, primary_rounds=1,
+                      compact_tiles=64, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -94,14 +94,35 @@ def render_probe(out_path):
             rg3, cam, mats.color, sun_pos=(1000.0, 2500.0, 500.0),
             rounds=2 * ROUNDS, fused=True,
         )
-        # 1-bounce path trace on the v4 route (the north-star metric's
-        # kernel, BASELINE.md config 3)
+        # 1-bounce path trace on the v4 route with the config-3 ship
+        # knobs (capped bounce + compact straggler resume — the resume
+        # runs stragglers to full convergence, which CLOSED the round-3
+        # cam0 unconverged-exit gap)
         pt = path_trace3(
             rg3, cam, mats, sun_pos=(1000.0, 2500.0, 500.0),
             bounces=1, samples=1, key=jax.random.PRNGKey(0),
             rounds=2 * ROUNDS, v4=True,
+            bounce_steps_per_round=16, bounce_rounds=2,
+            compact_tiles=512,
         )
         results.append((ci, wf, img, img4, pt))
+    # orbit sweep over the fused route: warm tokens chained frame to
+    # frame exactly as bench.py's moving-camera metric drives it
+    orbit = []
+    tok = None
+    for oi in range(6):
+        ang = np.deg2rad(60.0 * oi)
+        eye = (128.0 + 90.0 * np.cos(ang), 185.0,
+               128.0 + 90.0 * np.sin(ang))
+        cam = CamData.create(
+            (30.0, (np.degrees(ang) + 180.0) % 360.0, 0.0), eye, 70.0,
+            (W, H),
+        )
+        io, tok = render_frame4(
+            rg3, cam, mats.color, sun_pos=(1000.0, 2500.0, 500.0),
+            rounds=2 * ROUNDS, fused=True, cache=tok, return_cache=True,
+        )
+        orbit.append(io)
     # ONE D2H at the very end of the process
     for ci, wf, img, img4, pt in results:
         outs[f"hit{ci}"] = np.asarray(wf.hit)
@@ -110,6 +131,8 @@ def render_probe(out_path):
         outs[f"img{ci}"] = np.asarray(img)
         outs[f"img4_{ci}"] = np.asarray(img4)
         outs[f"pt{ci}"] = np.asarray(pt)
+    for oi, io in enumerate(orbit):
+        outs[f"orb{oi}"] = np.asarray(io)
     outs["backend"] = np.asarray(jax.default_backend())
     np.savez(out_path, **outs)
 
@@ -168,6 +191,24 @@ def compare(tpu_path, cpu_path):
                 "ok": cam_ok,
             }
         )
+    # warm-chained orbit frames through the fused route
+    orb = []
+    for oi in range(6):
+        key = f"orb{oi}"
+        if key not in a or key not in b:
+            break
+        oa = a[key].view(np.uint32).reshape(H, W)
+        ob = b[key].view(np.uint32).reshape(H, W)
+        dda = np.stack(
+            [((oa >> s) & 0xFF).astype(np.int32) for s in (0, 8, 16)], -1
+        )
+        ddb = np.stack(
+            [((ob >> s) & 0xFF).astype(np.int32) for s in (0, 8, 16)], -1
+        )
+        frac = float((np.abs(dda - ddb).max(axis=-1) <= 2).mean())
+        orb.append(round(frac, 6))
+        ok &= frac >= 0.998
+    report["orbit_frac_within_2"] = orb
     report["ok"] = bool(ok)
     return report
 

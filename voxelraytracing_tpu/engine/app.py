@@ -35,8 +35,11 @@ from ..ops.traverse import WorldSlice
 
 DEFAULT_MAX_NODES = 1 << 24  # 16M nodes ≈ 64 MB host mirror
 PICK_DISTANCE = 10.0  # voxel-edit reach (clientdesktop/src/main.rs:320-325)
-FAST_PATH_MAX_W = 64  # fused-path window cap (chunks): table-memory line,
-#                       not a format limit (plane scales to 128 chunks)
+FAST_PATH_MAX_W = 80  # fused-path window cap = the reference UI slider's
+#                       ceiling (ui.rs:165). Past 32 chunks the builder
+#                       switches to SPARSE packed tables (dense would be
+#                       ~15 GB at 80; sparse is tens of MB on terrain) —
+#                       world/render_grid.py RenderGrid3Builder.sparse.
 
 
 class Timers:
@@ -148,13 +151,12 @@ class EngineApp:
         # its host round loop is easier to introspect per round)
         assert fast_tracer in ("v3", "v4"), fast_tracer
         self.fast_tracer = fast_tracer
-        # a window beyond the fused path's practical table budget starts
-        # (not crashes) on the SVO tracer; resize_world() re-enables.
-        # The global plane itself scales to 128 chunks via super-cells
-        # (wavefront3._gs_for); 64 chunks is the memory line — the flat
-        # bit tables are dense, ~3.1 KB per 16³ subwindow, ~6.5 GB at 64³
-        # chunks (plus the packed v4 twin), past which a 16 GB chip can't
-        # also hold frame state.
+        # a window beyond the fused path's cap starts (not crashes) on
+        # the SVO tracer; resize_world() re-enables. The cap is the
+        # reference slider's 80 (ui.rs:165): the global plane scales to
+        # 128 chunks via super-cells (wavefront3._gs_for) and past 32
+        # chunks the builder maintains SPARSE packed tables (dense would
+        # be ~15 GB at 80; sparse is tens of MB on terrain worlds).
         self._fast_path_suspended = (
             self.fast_path and game.world.size_in_chunks > FAST_PATH_MAX_W
         )
@@ -476,7 +478,9 @@ class EngineApp:
             # (full prepare_grid4 costs ~6.7 ms/frame at 1080p —
             # the old flythrough bottleneck)
             self._v4_prepared = b.prepared()
-            key = self.resolution + (bool(s.shadows),)
+            # token shape depends on resolution, shadow legs, and the
+            # builder's dense/sparse mode (sparse tokens carry 3 rows)
+            key = self.resolution + (bool(s.shadows), b.w, b.sparse)
             cache = self._v4_cache if self._v4_cache_key == key else None
             packed, fl, tok = render_frame4(
                 rg, self.camera(), self.materials.color,
@@ -537,10 +541,10 @@ class EngineApp:
 
     def resize_world(self, size_in_chunks):
         """Live window resize, 10..80 (ui.rs:163-168). The fused path
-        covers up to 64 chunks (super-cell global plane past 32,
-        wavefront3._gs_for); beyond that the dense tables outgrow chip
-        memory and frames fall back to the SVO tracer; shrinking back
-        re-enables it."""
+        covers the full reference slider range: dense packed tables to
+        32 chunks, SPARSE tables beyond (super-cell global plane past
+        32, wavefront3._gs_for; sparse content rows,
+        world/render_grid.py)."""
         size_in_chunks = max(2, min(80, int(size_in_chunks)))
         self.game.world.resize(size_in_chunks)
         if self.fast_path and size_in_chunks > FAST_PATH_MAX_W:

@@ -2379,7 +2379,7 @@ def material_lut_rows(color, emission, scatter):
         "interpret", "bounces", "samples", "full_height", "step_cap",
         "v4", "prepacked", "return_cache", "bounce_sub_rounds",
         "bounce_rounds", "compact_tiles", "retry_s_ins", "retry_n_sc",
-        "retry_sub_rounds",
+        "retry_sub_rounds", "prim_s_seg",
     ),
 )
 def _path_frame(
@@ -2392,7 +2392,7 @@ def _path_frame(
     bounces, samples, full_height=None, y0=0.0, step_cap=None, v4=False,
     prepacked=False, return_cache=False, bounce_sub_rounds=None,
     bounce_rounds=None, compact_tiles=0, retry_s_ins=32, retry_n_sc=64,
-    retry_sub_rounds=None,
+    retry_sub_rounds=None, prim_s_seg=1,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average).
 
@@ -2479,7 +2479,8 @@ def _path_frame(
         prim = _trace_frame4(
             *a4, origin, inv_view, inv_proj, z, z, z, rounds, cap4,
             warm_ids=warm_ids, sw_cont_pre=sw_cont_pre,
-            wmeta_pre=wmeta_pre, sub_rounds=sub_rounds, **k4,
+            wmeta_pre=wmeta_pre, sub_rounds=sub_rounds,
+            s_seg=prim_s_seg, **k4,
         )
         ids_prim = prim[4]
         prim = prim[:4]
@@ -2621,12 +2622,14 @@ def _path_frame(
             nz = jnp.where(degen, -dZ, nz)
 
             # Counter-hash normals (murmur3 finalizer -> Box-Muller),
-            # keyed on (ray id, bounce-derived key): the previous
-            # jax.random.normal drew 6M threefry elements per leg at
-            # 1080p — measured ~7 ms/frame of pure RNG; this is a few
-            # int ops per lane, same estimator, still deterministic per
-            # key and key-sensitive (the same construction as the fused
-            # kernel's on-core RNG, ops/pathtrace4.py rand_u01).
+            # keyed on (ray id, bounce-derived key) — the same
+            # construction as the fused kernel's on-core RNG
+            # (ops/pathtrace4.py rand_u01). Replaces 6M threefry draws
+            # per leg with a few int ops per lane; measured NEUTRAL on
+            # 1080p frame time (the threefry was pipeline-hidden), kept
+            # for the 2D shape (no [.,128,3] minor-dim materialization)
+            # and the shared construction. Same estimator; still
+            # deterministic per key and key-sensitive.
             bkey = jax.random.fold_in(skey, bounce)
             kd = bkey
             if jnp.issubdtype(jnp.asarray(kd).dtype, jax.dtypes.prng_key):
@@ -2733,6 +2736,8 @@ def path_trace3(
     retry_s_ins=32,
     retry_n_sc=64,
     retry_steps_per_round=None,
+    prim_steps_per_round=None,
+    prim_s_seg=1,
     step_cap=None,
     interpret=None,
     v4=False,
@@ -2772,6 +2777,12 @@ def path_trace3(
         key = jax.random.PRNGKey(0)
     sub_steps = 8
     sub_rounds = max(steps_per_round // sub_steps, 1)
+    if prim_steps_per_round is not None:
+        # a bigger in-kernel spin budget for the COHERENT primary leg
+        # only (the incoherent bounce legs keep steps_per_round)
+        if bounce_steps_per_round is None:
+            bounce_steps_per_round = steps_per_round
+        sub_rounds = max(int(prim_steps_per_round) // sub_steps, 1)
     bounce_sub_rounds = (
         None if bounce_steps_per_round is None
         else max(int(bounce_steps_per_round) // sub_steps, 1)
@@ -2802,5 +2813,6 @@ def path_trace3(
             None if retry_steps_per_round is None
             else max(int(retry_steps_per_round) // sub_steps, 1)
         ),
+        prim_s_seg=int(prim_s_seg),
     )
     return out

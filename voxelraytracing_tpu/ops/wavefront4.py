@@ -153,7 +153,7 @@ def _march_kernel4(
     *refs, sub_rounds, sub_steps, rounds_cap, nw, ns, nsx, per_ray,
     s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC, gw_pair=False,
     fused=False, show_steps=False, warm_pre=False, s_seg=1, vb=1,
-    warm_seg=1, fused_flags=True, fused_shadow=False,
+    warm_seg=1, fused_flags=True, fused_shadow=False, sparse=False,
 ):
     """One self-serving block program. Ref order:
 
@@ -209,7 +209,7 @@ def _march_kernel4(
         pk_o = fl_o = None
         st_o = refs.pop(0)
     ids_o = refs.pop(0) if warm else None
-    stage, wstage, ssem, wsem, csol, cliq, cpid = refs
+    stage, wstage, ssem, wsem, csol, cliq, cpid, widx = refs
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     v = scal_ref[3]
     bigi = jnp.int32(_BIGI)
@@ -402,14 +402,14 @@ def _march_kernel4(
                         sslot = jnp.where((s == sid_k) & (sid_k >= 0), i32(k), sslot)
 
                 return (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
-                        sw_jump, sw_liq, s, sslot)
+                        sw_jump, sw_liq, s, sslot, s_loc)
 
             def boundary(t, active_i, wid_all, sid_all, wm_row):
                 """Pick each tile's subwindow (min cached id) and compose its rows
                 from the VMEM cache planes."""
                 active = active_i != 0
-                (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
-                    classify(t, wid_all, sid_all, wm_row)
+                (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s,
+                 sslot, _) = classify(t, wid_all, sid_all, wm_row)
                 need = active & ~g_jump & (wslot >= 0) & ~sw_jump
                 skey = jnp.where(need & (sslot >= 0), s, bigi)
                 smin = jnp.min(skey, axis=1, keepdims=True)      # [BLK,1]
@@ -452,7 +452,7 @@ def _march_kernel4(
                 hit = hit_i != 0
 
                 (px, py, pz, vx, vy, vz, w, g_jump, g_liq, wslot,
-                 sw_jump, sw_liq, s, _) = classify(
+                 sw_jump, sw_liq, s, _, _) = classify(
                     t, wid_all, sid_all, wm_row, need_sslot=False)
 
                 inw = (
@@ -560,7 +560,7 @@ def _march_kernel4(
                 on both levels is fully served in ONE round (the meta row is 512 B
                 — its DMA wait costs ~nothing next to saving a whole round)."""
                 wid_all, sid_all, wm_row, sm_row = cch
-                (_, _, _, _, _, _, w, g_jump, _, wslot, _, _, _, _) = \
+                (_, _, _, _, _, _, w, g_jump, _, wslot, _, _, _, _, _) = \
                     classify(t, wid_all, sid_all, wm_row, need_sslot=False)
                 alive = (active_i != 0) & (t < t_exit)
                 wstall = alive & ~g_jump & (wslot < 0)
@@ -600,11 +600,17 @@ def _march_kernel4(
                     wid_all = jnp.where(
                         (wrow_iota == slot) & ok, wj, wid_all
                     )
+                    if sparse:
+                        # keep the FULL window row (index lanes 64-127
+                        # carry the subwindow content-row table)
+                        @pl.when(ok)
+                        def _(j=j, slot=slot):
+                            widx[pl.ds(slot, 1)] = wstage[j]
 
                 # re-classify against the merged window metas, then fetch
                 # subwindow content for every remaining stall
-                (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s, sslot) = \
-                    classify(t, wid_all, sid_all, wm_row)
+                (_, _, _, _, _, _, _, g_jump, _, wslot, sw_jump, _, s,
+                 sslot, s_loc) = classify(t, wid_all, sid_all, wm_row)
                 sstall = (
                     alive & ~g_jump & (wslot >= 0) & ~sw_jump & (sslot < 0)
                 )
@@ -678,11 +684,66 @@ def _march_kernel4(
                     for j in range(s_ins):
                         sj = gmin[j]
                         spicks.append((sj, sj < bigi))
+                elif sparse:
+                    # sparse tables: picked sids translate to content-
+                    # row indices through the cached full window rows
+                    # (lanes 64-127 of widx[wslot] = the window's 64
+                    # subwindow row indices; sstall implies wslot >= 0
+                    # and a non-jump subwindow, which by construction
+                    # has a content row)
+                    idx_lane = 64 + s_loc
+                    ridx = jnp.full((blk, 128), -1, i32)
+                    for k in range(N_WC):
+                        row_k = jnp.broadcast_to(
+                            widx[k:k + 1], (blk, 128))
+                        cand = jnp.take_along_axis(
+                            row_k, idx_lane, axis=1).astype(i32)
+                        ridx = jnp.where(wslot == k, cand, ridx)
+                    rkey = jnp.where(
+                        sstall & (ridx >= 0), ridx, bigi)
+                    for j in range(s_ins):
+                        sj = jnp.min(skey)
+                        rj = jnp.min(jnp.where(skey == sj, rkey, bigi))
+                        spicks.append((sj, (sj < bigi) & (rj < bigi), rj))
+                        skey = jnp.where(skey == sj, bigi, skey)
                 else:
                     for j in range(s_ins):
                         sj = jnp.min(skey)
                         spicks.append((sj, sj < bigi))
                         skey = jnp.where(skey == sj, bigi, skey)
+                if sparse and not grouped:
+                    for j, (sj, ok, rj) in enumerate(spicks):
+
+                        @pl.when(ok)
+                        def _(rj=rj, j=j):
+                            pltpu.make_async_copy(
+                                swc_ref.at[rj], stage.at[j], ssem.at[j]
+                            ).start()
+
+                    for j, (sj, ok, rj) in enumerate(spicks):
+                        slot = (sctr + j) % n_sc
+
+                        @pl.when(ok)
+                        def _(rj=rj, j=j):
+                            pltpu.make_async_copy(
+                                swc_ref.at[rj], stage.at[j], ssem.at[j]
+                            ).wait()
+
+                        @pl.when(ok)
+                        def _(j=j, slot=slot):
+                            csol[pl.ds(slot, 1)] = stage[j, 0:1]
+                            cliq[pl.ds(slot, 1)] = stage[j, 1:2]
+                            cpid[pl.ds(slot * 4, 4)] = stage[j, 2:6]
+
+                        mrow = stage[j, 6:7]
+                        sm_row = sm_merge(sm_row, mrow, slot, ok)
+                        sid_all = jnp.where(
+                            (srow_iota == slot) & ok, sj, sid_all)
+
+                    return (
+                        (wid_all, sid_all, wm_row, sm_row),
+                        wctr + w_ins, sctr + s_ins,
+                    )
                 for j, (sj, ok) in enumerate(spicks):
 
                     @pl.when(ok)
@@ -965,11 +1026,29 @@ def _march_kernel4(
                                 stage.at[pl.ds(i * warm_seg, warm_seg)],
                                 ssem.at[i],
                             ).start()
+                elif sparse:
+                    # token row 2 carries content-ROW indices; row 0 the
+                    # sids. Rows are verified against the sid stamped in
+                    # the fetched content (meta plane lane 8) so a stale
+                    # token (sparse table re-laid-out under it) degrades
+                    # to a cold slot instead of wrong geometry.
+                    for k in range(n_sc):
+                        sidk = warm_ref[sb, 0, k]
+                        ridxk = warm_ref[sb, 2, k]
+                        okk = (sidk >= 0) & (ridxk >= 0)
+                        spk.append((sidk, okk, ridxk))
+
+                        @pl.when(okk)
+                        def _(ridxk=ridxk, k=k):
+                            pltpu.make_async_copy(
+                                swc_ref.at[ridxk], stage.at[k],
+                                ssem.at[k],
+                            ).start()
                 else:
                     for k in range(n_sc):
                         sidk = warm_ref[sb, 0, k]
                         okk = sidk >= 0
-                        spk.append((sidk, okk))
+                        spk.append((sidk, okk, None))
 
                         @pl.when(okk)
                         def _(sidk=sidk, k=k):
@@ -989,6 +1068,10 @@ def _march_kernel4(
                     sel = (lane_row >= slot8) & (lane_row < slot8 + 8) & okk
                     wm_w = jnp.where(sel, src, wm_w)
                     wid_w = jnp.where((wrow_iota == k) & okk, widk, wid_w)
+                    if sparse:
+                        @pl.when(okk)
+                        def _(k=k):
+                            widx[pl.ds(k, 1)] = wstage[k]
                 for i, (start, okk) in enumerate(segs):
                     @pl.when(okk)
                     def _(start=start, i=i):
@@ -1012,15 +1095,23 @@ def _march_kernel4(
                         sid_w = jnp.where(
                             (srow_iota == k) & okk, start + r, sid_w
                         )
-                for k, (sidk, okk) in enumerate(spk):
+                for k, (sidk, okk, ridxk) in enumerate(spk):
                     @pl.when(okk)
-                    def _(sidk=sidk, k=k):
+                    def _(sidk=sidk, k=k, ridxk=ridxk):
                         pltpu.make_async_copy(
-                            swc_ref.at[sidk], stage.at[k], ssem.at[k]
+                            swc_ref.at[sidk if ridxk is None else ridxk],
+                            stage.at[k], ssem.at[k],
                         ).wait()
 
+                    if sparse:
+                        # verify the fetched row still belongs to the
+                        # token's sid (meta plane lane 8)
+                        vrow = stage[k, 6:7].astype(i32)
+                        okk = okk & jnp.any(
+                            (lane_row == 8) & (vrow == sidk))
+
                     @pl.when(okk)
-                    def _(k=k):
+                    def _(k=k, okk=okk):
                         csol[pl.ds(k, 1)] = stage[k, 0:1]
                         cliq[pl.ds(k, 1)] = stage[k, 1:2]
                         cpid[pl.ds(k * 4, 4)] = stage[k, 2:6]
@@ -1183,6 +1274,36 @@ def _march_kernel4(
                     wid_row = jnp.where(lane_row == k, wid_f[k:k + 1, :], wid_row)
                 ids_o[sb, 0, :] = sid_row[0]
                 ids_o[sb, 1, :] = wid_row[0]
+                if sparse:
+                    # row 2: each cached sid's CONTENT-ROW index, read
+                    # back through the cached window rows (verified on
+                    # restore, so staleness is safe)
+                    rid_row = jnp.full((1, 128), -1, i32)
+                    for k in range(n_sc):
+                        sidk = sid_f[k, 0]
+                        sxs = sidk % ns
+                        sys_ = (sidk // ns) % ns
+                        szs = sidk // (ns * ns)
+                        wk_of = (
+                            (sxs >> 2) + (sys_ >> 2) * nw
+                            + (szs >> 2) * nw * nw
+                        )
+                        lloc = (sxs & 3) + (sys_ & 3) * 4 + (szs & 3) * 16
+                        idxv = jnp.broadcast_to(
+                            jnp.clip(64 + lloc, 0, 127).reshape(1, 1),
+                            (1, 128),
+                        )
+                        rk = jnp.full((1, 128), -1, i32)
+                        for k2 in range(N_WC):
+                            cand = _gather8(
+                                widx[k2:k2 + 1], idxv).astype(i32)
+                            rk = jnp.where(
+                                (wid_f[k2, 0] == wk_of)
+                                & (wid_f[k2, 0] >= 0) & (sidk >= 0),
+                                cand, rk,
+                            )
+                        rid_row = jnp.where(lane_row == k, rk, rid_row)
+                    ids_o[sb, 2, :] = rid_row[0]
 
             if fused:
                 shade_store(c, sh)
@@ -1205,7 +1326,7 @@ def _march4(
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
     n_sc=N_SC, gw_pair=False, lut=None, show_steps=False, T=None,
     warm_gather=False, s_seg=1, vb=1, warm_seg=1, fused_flags=True,
-    fused_shadow=False,
+    fused_shadow=False, sparse=False,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
@@ -1239,6 +1360,12 @@ def _march4(
     assert n_sc % warm_seg == 0, (n_sc, warm_seg)
     vb = int(vb)
     assert T % (blk * vb) == 0, (T, blk, vb)
+    if sparse:
+        # sparse v1 constraints: row translation needs plain per-pick
+        # fetches and in-kernel warm restore
+        assert s_seg == 1 and not grouped, (s_seg, grouped)
+        assert warm_seg == 1 and not warm_gather, (warm_seg, warm_gather)
+    ids_rows = 3 if sparse else 2
 
     def pspec(p):
         return pl.BlockSpec((p, blk * vb, 128), lambda i: (0, i, 0),
@@ -1248,7 +1375,7 @@ def _march4(
         return pl.BlockSpec((blk * vb, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
 
-    ispec = pl.BlockSpec((vb, 2, 128), lambda i: (i, 0, 0),
+    ispec = pl.BlockSpec((vb, ids_rows, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),            # scal
@@ -1308,7 +1435,7 @@ def _march4(
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm=warm, n_sc=n_sc,
         gw_pair=gw_pair, fused=fused, show_steps=show_steps,
         warm_pre=warm_pre, s_seg=s_seg, vb=vb, warm_seg=int(warm_seg),
-        fused_flags=fused_flags, fused_shadow=fused_shadow,
+        fused_flags=fused_flags, fused_shadow=fused_shadow, sparse=sparse,
     )
     u32 = jnp.uint32
     i32 = jnp.int32
@@ -1321,14 +1448,15 @@ def _march4(
         if warm:
             out_specs = out_specs + (ispec,)
             out_shape = out_shape + (
-                jax.ShapeDtypeStruct((T // blk, 2, 128), i32),)
+                jax.ShapeDtypeStruct((T // blk, ids_rows, 128), i32),)
     else:
         out_specs = pspec(4)
         out_shape = jax.ShapeDtypeStruct((4, T, 128), f32)
         if warm:
             out_specs = (out_specs, ispec)
             out_shape = (out_shape,
-                         jax.ShapeDtypeStruct((T // blk, 2, 128), i32))
+                         jax.ShapeDtypeStruct((T // blk, ids_rows, 128),
+                                              i32))
     # the in-kernel warm prefetch stages a full cache wave; with the
     # hoisted (warm_pre) path the staging only serves mid-frame rounds
     n_stage = max(s_ins, n_sc) if (warm and not warm_pre) else s_ins
@@ -1347,6 +1475,7 @@ def _march4(
             pltpu.VMEM((n_sc, 128), u32),                 # csol
             pltpu.VMEM((n_sc, 128), u32),                 # cliq
             pltpu.VMEM((4 * n_sc, 128), u32),             # cpid
+            pltpu.VMEM((N_WC, 128), u32),                 # widx (sparse)
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1361,7 +1490,7 @@ def _march4(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "per_ray", "raw_out", "full_height",
         "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk", "n_sc",
-        "warm_gather", "s_seg", "vb", "warm_seg",
+        "warm_gather", "s_seg", "vb", "warm_seg", "sparse_ns",
     ),
 )
 def _trace_frame4(
@@ -1373,6 +1502,7 @@ def _trace_frame4(
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
     blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1, vb=1, warm_seg=1,
+    sparse_ns=0,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel).
@@ -1389,10 +1519,13 @@ def _trace_frame4(
     # pad the tile count to the block size; padded tiles map past the
     # last superblock row, init inactive in-kernel, and are sliced off
     T_pad = -(-T // (blk * vb)) * (blk * vb)
-    n_sub = (sw_cont_pre if prepacked else sw_solid).shape[0]
-    ns = int(round(n_sub ** (1 / 3)))
-    while ns * ns * ns < n_sub:
-        ns += 1
+    if sparse_ns:
+        ns = int(sparse_ns)   # sparse table: row count is NOT ns cubed
+    else:
+        n_sub = (sw_cont_pre if prepacked else sw_solid).shape[0]
+        ns = int(round(n_sub ** (1 / 3)))
+        while ns * ns * ns < n_sub:
+            ns += 1
     nw = ns // 4
 
     origin = jnp.asarray(origin, f32)
@@ -1478,7 +1611,8 @@ def _trace_frame4(
     if warm:
         wtok = (
             warm_ids if warm_ids is not None
-            else jnp.full((T_pad // blk, 2, 128), -1, i32)
+            else jnp.full(
+                (T_pad // blk, 3 if sparse_ns else 2, 128), -1, i32)
         )
     else:
         wtok = None
@@ -1488,7 +1622,7 @@ def _trace_frame4(
         nw=nw, ns=ns, nsx=nsx, interpret=interpret, rays=rays,
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
         warm_gather=warm_gather, s_seg=s_seg, vb=vb, warm_seg=warm_seg,
-        n_sc=n_sc, gw_pair=gw_pair,
+        n_sc=n_sc, gw_pair=gw_pair, sparse=bool(sparse_ns),
     )
     ids_out = None
     if warm:
@@ -1627,10 +1761,52 @@ def _bounce_retry4(
 @partial(
     jax.jit,
     static_argnames=(
+        "t_c", "rounds", "sub_rounds", "sub_steps", "v", "interpret",
+        "width", "height", "s_ins", "w_ins", "n_sc",
+    ),
+)
+def _primary_retry4(
+    ts, fl, wa, we, origin, inv_view, inv_proj, gw_jump, gw_liq,
+    sw_cont, wmeta_pad, step_cap,
+    *, t_c, rounds, sub_rounds, sub_steps, v, interpret, width, height,
+    s_ins=32, w_ins=W_INS, n_sc=64,
+):
+    """Primary-leg flavor of :func:`_bounce_retry4`: the primary march
+    synthesizes rays in-kernel, so the resume launch re-derives them
+    from the camera at the XLA level first."""
+    f32, i32 = jnp.float32, jnp.int32
+    tx = width // TILE_W
+    ty = height // TILE_H
+    nsx, _, T = _sb_dims(tx, ty)
+    origin = jnp.asarray(origin, f32)
+    scal = _cam_scal(origin, inv_view, inv_proj, v, width, height, 0.0)
+    shape = (T, 128)
+    tile_i = jax.lax.broadcasted_iota(i32, shape, 0)
+    lane_i = jax.lax.broadcasted_iota(i32, shape, 1)
+    dx, dy, dz = _ray_dirs(
+        [scal[i] for i in range(24)], tile_i, lane_i, nsx)
+    ot = jnp.stack([
+        jnp.broadcast_to(origin[0], shape),
+        jnp.broadcast_to(origin[1], shape),
+        jnp.broadcast_to(origin[2], shape),
+    ], axis=-1)
+    dt3 = jnp.stack([dx, dy, dz], axis=-1)
+    return _bounce_retry4(
+        ts, fl, wa, we, ot, dt3, gw_jump, gw_liq, sw_cont, wmeta_pad,
+        step_cap, t_c=t_c, rounds=rounds, sub_rounds=sub_rounds,
+        sub_steps=sub_steps, v=v, interpret=interpret, s_ins=s_ins,
+        w_ins=w_ins, n_sc=n_sc,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
         "width", "height", "rounds", "sub_rounds", "sub_steps", "v",
         "interpret", "show_steps", "full_height", "warm", "with_flags",
         "s_ins", "w_ins", "grouped", "prepacked", "blk", "n_sc",
         "warm_gather", "s_seg", "vb", "warm_seg", "fused_shadow",
+        "sparse_ns",
     ),
 )
 def _frame_fused4(
@@ -1644,7 +1820,7 @@ def _frame_fused4(
     show_steps=False, full_height=None, y0=0.0, warm=False,
     with_flags=False, s_ins=S_INS, w_ins=W_INS, grouped=False,
     prepacked=False, blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1,
-    vb=1, warm_seg=1, fused_shadow=False,
+    vb=1, warm_seg=1, fused_shadow=False, sparse_ns=0,
 ):
     """One fused v4 frame: trace AND shade in a single kernel launch —
     the reference kernel's one-pass shape (ray_tracer.wgsl:173-316).
@@ -1659,10 +1835,13 @@ def _frame_fused4(
     ty = height // TILE_H
     nsx, nsy, T = _sb_dims(tx, ty)
     T_pad = -(-T // (blk * vb)) * (blk * vb)
-    n_sub = (sw_cont_pre if prepacked else sw_solid).shape[0]
-    ns = int(round(n_sub ** (1 / 3)))
-    while ns * ns * ns < n_sub:
-        ns += 1
+    if sparse_ns:
+        ns = int(sparse_ns)   # sparse table: row count is NOT ns cubed
+    else:
+        n_sub = (sw_cont_pre if prepacked else sw_solid).shape[0]
+        ns = int(round(n_sub ** (1 / 3)))
+        while ns * ns * ns < n_sub:
+            ns += 1
     nw = ns // 4
 
     origin = jnp.asarray(origin, f32)
@@ -1708,7 +1887,8 @@ def _frame_fused4(
     if warm:
         wtok = (
             warm_ids if warm_ids is not None
-            else jnp.full((T_pad // blk, 2, 128), -1, i32)
+            else jnp.full(
+                (T_pad // blk, 3 if sparse_ns else 2, 128), -1, i32)
         )
     else:
         wtok = None
@@ -1720,6 +1900,7 @@ def _frame_fused4(
         warm_gather=warm_gather, s_seg=s_seg, vb=vb, warm_seg=warm_seg,
         n_sc=n_sc, gw_pair=gw_pair, lut=lut, show_steps=show_steps,
         T=T_pad, fused_flags=with_flags, fused_shadow=fused_shadow,
+        sparse=bool(sparse_ns),
     )
     out = list(out)
     pk = out.pop(0)
@@ -1744,6 +1925,24 @@ class PreparedGrid4(NamedTuple):
 
     sw_cont: jax.Array    # u32[Ns³,7,128] solid|liquid|pid×4|meta
     wmeta_pad: jax.Array  # u32[Nw³,1,128] interleaved window metas
+
+
+class PreparedGrid4Sparse(NamedTuple):
+    """SPARSE packed tables: content rows exist only for subwindows that
+    actually need voxel bits (non-jump), with uniform-solid subwindows
+    deduplicated to one canonical row per voxel id — the dense table at
+    the reference's 80-chunk window would be ~15 GB (ui.rs:165), the
+    sparse one is tens of MB on terrain worlds. The window-meta rows
+    carry each window's 64 subwindow content-row indices in lanes
+    64-127 (fetched and cached with the meta anyway), so the kernel's
+    serve translates sid -> row through VMEM it already holds; content
+    rows carry their sid at meta-plane lane 8 so warm tokens (which
+    store row indices) verify on restore. Maintained incrementally by
+    :meth:`~...world.render_grid.RenderGrid3Builder.prepared_sparse`."""
+
+    sw_cont: jax.Array    # u32[R,7,128] sparse content rows
+    wmeta_pad: jax.Array  # u32[Nw³,1,128] metas + index lanes 64-127
+    ns: int               # subwindows per axis (can't be derived from R)
 
 
 @jax.jit
@@ -2004,6 +2203,7 @@ def render_frame4(
     warm_seg=1,
     shadow_rounds=None,
     compact_tiles=0,
+    primary_rounds=None,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -2056,6 +2256,14 @@ def render_frame4(
     nsx, _, _ = _sb_dims(tx, ty)
     spre = None if prepared is None else prepared.sw_cont
     wpre = None if prepared is None else prepared.wmeta_pad
+    sparse_ns = (
+        int(prepared.ns)
+        if isinstance(prepared, PreparedGrid4Sparse) else 0
+    )
+    if sparse_ns:
+        assert s_seg == 1 and warm_seg == 1 and not warm_gather \
+            and not grouped and not compact_tiles, \
+            "sparse tables: v1 supports plain serve + in-kernel warm"
     common = dict(
         width=width, height=height, sub_rounds=sub_rounds,
         sub_steps=sub_steps, v=v, interpret=bool(interpret), raw_out=True,
@@ -2063,6 +2271,7 @@ def render_frame4(
         grouped=bool(grouped), prepacked=prepared is not None,
         blk=int(blk), n_sc=int(n_sc), warm_gather=bool(warm_gather),
         s_seg=int(s_seg), vb=int(vb), warm_seg=int(warm_seg),
+        sparse_ns=sparse_ns,
     )
     planes = (rg.gw_jump, rg.gw_liq, rg.wmeta, rg.sw_meta, rg.sw_solid,
               rg.sw_liq, rg.sw_pid)
@@ -2080,6 +2289,7 @@ def render_frame4(
             jnp.float32(sun_intensity),
             rounds, capf, wc_p, spre, wpre,
             jnp.float32(shadow_ambient), fused_shadow=bool(shadows),
+            sparse_ns=sparse_ns,
             width=width, height=height, sub_rounds=sub_rounds,
             sub_steps=sub_steps, v=v, interpret=bool(interpret),
             show_steps=bool(show_steps), warm=warm,
@@ -2100,15 +2310,33 @@ def render_frame4(
             ret = ret + ((ids_p, wc_s),)
         return ret if len(ret) > 1 else ret[0]
 
+    p_rounds = rounds if primary_rounds is None else int(primary_rounds)
     tr = _trace_frame4(
-        *planes, origin, iv, ip, z, z, z, rounds, capf, wc_p, spre, wpre,
-        **common,
+        *planes, origin, iv, ip, z, z, z, p_rounds, capf, wc_p, spre,
+        wpre, **common,
     )
     if warm:
         ts, fl, wa, we, ids_p = tr
     else:
         ts, fl, wa, we = tr
         ids_p = None
+
+    if primary_rounds is not None and compact_tiles and not sparse_ns:
+        # cap + compact-resume for the PRIMARY leg (same straggler
+        # re-batching as the bounce/shadow legs; rays re-derived from
+        # the camera since the primary synthesizes them in-kernel)
+        if prepared is not None:
+            swc_r, wmp_r = spre, wpre
+        else:
+            swc_r, wmp_r = _pack_tables4(
+                rg.wmeta, rg.sw_meta, rg.sw_solid, rg.sw_liq, rg.sw_pid)
+        ts, fl, wa, we = _primary_retry4(
+            ts, fl, wa, we, origin, iv, ip, rg.gw_jump, rg.gw_liq,
+            swc_r, wmp_r, capf,
+            t_c=-(-int(compact_tiles) // 64) * 64, rounds=rounds,
+            sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
+            interpret=bool(interpret), width=width, height=height,
+        )
 
     sh_fl = fl  # unused when shadows=False (static in _shade_fin4)
     if shadows:
@@ -2228,6 +2456,8 @@ def trace_wavefront4(
         grouped=bool(grouped),
         warm=bool(return_cache or cache is not None),
         prepacked=prepared is not None, blk=int(blk), n_sc=int(n_sc),
+        sparse_ns=(int(prepared.ns)
+                   if isinstance(prepared, PreparedGrid4Sparse) else 0),
     )
     if return_cache:
         return out

@@ -78,6 +78,41 @@ def _scatter_pack_w(dst, rows, meta):
     return dst.at[rows].set(pad)
 
 
+def _spread16_np(v):
+    v = v.astype(np.uint32) & np.uint32(0xFFFF)
+    v = (v | (v << 8)) & np.uint32(0x00FF00FF)
+    v = (v | (v << 4)) & np.uint32(0x0F0F0F0F)
+    v = (v | (v << 2)) & np.uint32(0x33333333)
+    return (v | (v << 1)) & np.uint32(0x55555555)
+
+
+def _interleave_meta_np(m):
+    """NumPy twin of ops.wavefront4._interleave_meta (equality pinned by
+    tests/test_engine_app.py sparse tests)."""
+    j, l = m[:, 0:2], m[:, 2:4]
+    out = np.stack(
+        [
+            _spread16_np(j[:, 0]) | (_spread16_np(l[:, 0]) << 1),
+            _spread16_np(j[:, 0] >> 16) | (_spread16_np(l[:, 0] >> 16) << 1),
+            _spread16_np(j[:, 1]) | (_spread16_np(l[:, 1]) << 1),
+            _spread16_np(j[:, 1] >> 16) | (_spread16_np(l[:, 1] >> 16) << 1),
+        ],
+        axis=1,
+    )
+    return np.concatenate([out, m[:, 4:]], axis=1)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_rows3(dst, rows, vals):
+    return dst.at[rows].set(vals)
+
+
+_CANON_STAMP = 0xFFFFFFFE  # sid stamp for shared canonical rows: never
+#                            matches a real sid, so warm restores skip
+#                            them (they re-serve; buried rows are rarely
+#                            in view anyway)
+
+
 def chunk_batch_sw_data(rgrids, n_liquid, to_pack):
     """Vectorized per-subwindow data for a batch of chunks.
 
@@ -144,9 +179,18 @@ def chunk_batch_sw_data(rgrids, n_liquid, to_pack):
 
 
 class RenderGrid3Builder:
-    """Host-side RenderGrid3 with incremental chunk updates + uploads."""
+    """Host-side RenderGrid3 with incremental chunk updates + uploads.
 
-    def __init__(self, size_in_chunks, materials, world_min=(0, 0, 0)):
+    ``sparse``: maintain the v4 packed tables SPARSELY (content rows only
+    for non-jump subwindows, uniform-solid rows deduplicated) instead of
+    densely. Auto-enabled past 32 chunks, where the dense table no
+    longer fits a chip (~15 GB at the reference's 80-chunk window,
+    ui.rs:165). Sparse mode skips the dense device planes entirely;
+    render through :meth:`prepared` (which returns the sparse token) —
+    the raw-plane fallback paths are unavailable."""
+
+    def __init__(self, size_in_chunks, materials, world_min=(0, 0, 0),
+                 sparse=None):
         self.w = int(size_in_chunks)
         v = self.w * CHUNK_SIZE
         self.v = v
@@ -181,6 +225,22 @@ class RenderGrid3Builder:
         self._dirty_sw_pack = set()
         self._dirty_w_pack = set()
         self._prep = None
+        # sparse twin state (see class docstring)
+        self.sparse = (self.w > 32) if sparse is None else bool(sparse)
+        self._sp_row = np.full(ns3, -1, np.int64)   # sid -> content row
+        self._sp_own = np.zeros(ns3, bool)          # row owned (not canon)
+        self._sp_free = []
+        self._sp_next = 0
+        self._sp_cap = 0
+        self._sp_host = None                        # u32[cap,7,128] mirror
+        self._sp_canon = {}                         # row bytes -> row
+        self._sp_dirty_rows = set()
+        self._sp_dirty_sids = set()
+        self._sp_dirty_w = set()
+        self._sp_widx = np.zeros((nw3, 128), np.uint32)
+        self._sp_widx[:, 64:] = 0xFFFFFFFF
+        self._sp_dev = None
+        self._sp_wdev = None
 
     # ------------------------------------------------------------ updates
 
@@ -226,10 +286,12 @@ class RenderGrid3Builder:
         self.s_any_liq[sids] = data["any_liq"]
         self._dirty_sw.update(sids.tolist())
         self._dirty_sw_pack.update(sids.tolist())
+        self._sp_dirty_sids.update(sids.tolist())
         for cx, cy, cz in cells:
             w = (cx // 2) + (cy // 2) * self.nw + (cz // 2) * self.nw ** 2
             self._dirty_w.add(w)
             self._dirty_w_pack.add(w)
+            self._sp_dirty_w.add(w)
 
     def clear_cells(self, cells):
         """Evicted chunks become air."""
@@ -244,10 +306,12 @@ class RenderGrid3Builder:
                 self.s_any_liq[sid] = False
                 self._dirty_sw.add(sid)
                 self._dirty_sw_pack.add(sid)
+                self._sp_dirty_sids.add(sid)
             cx, cy, cz = cell
             w = (cx // 2) + (cy // 2) * self.nw + (cz // 2) * self.nw ** 2
             self._dirty_w.add(w)
             self._dirty_w_pack.add(w)
+            self._sp_dirty_w.add(w)
 
     # ------------------------------------------------------------ windows
 
@@ -317,6 +381,32 @@ class RenderGrid3Builder:
             self._rebuild_all_windows = False
         gw_jump, gw_liq = self._global_planes()
 
+        if self.sparse:
+            # sparse mode: the dense device planes would be ~15 GB at an
+            # 80-chunk window — never materialize them. Consumers render
+            # through prepared() (sparse token); raw planes are tiny
+            # placeholders that prepacked executables prune.
+            self._dirty_sw.clear()
+            self._dirty_w.clear()
+            z128 = jnp.zeros((1, 128), jnp.uint32)
+            self._cached_rg = RenderGrid3(
+                gw_jump=jnp.asarray(gw_jump),
+                gw_liq=jnp.asarray(gw_liq),
+                wmeta=jnp.zeros((1, 8), jnp.uint32),
+                sw_meta=jnp.zeros((1, 8), jnp.uint32),
+                sw_solid=z128,
+                sw_liq=z128,
+                sw_pid=jnp.zeros((1, 4, 128), jnp.uint32),
+                brick_dir=jnp.zeros(1, jnp.int32),
+                bricks=jnp.zeros((1, 16), jnp.uint32),
+                world_min=jnp.asarray(self.world_min, jnp.int32),
+                to_pack=jnp.asarray(self.to_pack),
+                n_liquid=jnp.asarray(np.int32(self.n_liquid)),
+                size_voxels=self.v,
+                palettes_ok=self.palettes_ok,
+            )
+            return self._cached_rg
+
         if self._dev is None:
             self._dev = dict(
                 sw_solid=jnp.asarray(self.sw_solid),
@@ -365,6 +455,126 @@ class RenderGrid3Builder:
         )
         return self._cached_rg
 
+    # --------------------------------------------------- sparse twin
+
+    def _sp_alloc(self):
+        if self._sp_free:
+            return self._sp_free.pop()
+        r = self._sp_next
+        self._sp_next += 1
+        if r >= self._sp_cap:
+            new_cap = max(self._sp_cap * 2, 4096)
+            host = np.zeros((new_cap, 7, 128), np.uint32)
+            if self._sp_host is not None:
+                host[: self._sp_cap] = self._sp_host
+            self._sp_host = host
+            self._sp_cap = new_cap
+            self._sp_dev = None      # full re-upload on next prepared()
+        return r
+
+    def _sp_row_content(self, sid):
+        row = np.zeros((7, 128), np.uint32)
+        row[0] = self.sw_solid[sid]
+        row[1] = self.sw_liq[sid]
+        row[2:6] = self.sw_pid[sid]
+        row[6, :8] = _interleave_meta_np(self.sw_meta[sid:sid + 1])[0]
+        return row
+
+    def prepared_sparse(self):
+        """Sparse v4 packed tables (PreparedGrid4Sparse) — see the class
+        docstring. Content rows: one per non-jump subwindow, with
+        all-solid rows deduplicated to shared canonical rows (buried
+        volume collapses to ~#distinct materials); window-meta rows
+        carry the 64 member subwindows' row indices in lanes 64-127."""
+        from ..ops.wavefront4 import PreparedGrid4Sparse
+
+        self.grid()  # refresh window metas + per-sw flags first
+        ns, nw = self.ns, self.nw
+        for sid in sorted(self._sp_dirty_sids):
+            jump = (not self.s_any_solid[sid]) and (
+                self.s_all_liq[sid] or not self.s_any_liq[sid])
+            old = int(self._sp_row[sid])
+            owned = bool(self._sp_own[sid])
+            if jump:
+                new, own = -1, False
+            else:
+                row = self._sp_row_content(sid)
+                all_solid = bool((row[0] == 0xFFFFFFFF).all())
+                key = row.tobytes() if all_solid else None
+                if key is not None and (
+                    key in self._sp_canon or len(self._sp_canon) < 4096
+                ):
+                    r = self._sp_canon.get(key)
+                    if r is None:
+                        r = self._sp_alloc()
+                        c = row.copy()
+                        c[6, 8] = np.uint32(_CANON_STAMP)
+                        self._sp_host[r] = c
+                        self._sp_dirty_rows.add(r)
+                        self._sp_canon[key] = r
+                    new, own = r, False
+                else:
+                    r = old if (owned and old >= 0) else self._sp_alloc()
+                    row[6, 8] = np.uint32(sid)
+                    self._sp_host[r] = row
+                    self._sp_dirty_rows.add(r)
+                    new, own = r, True
+            if new != old or own != owned:
+                if owned and old >= 0 and old != new:
+                    self._sp_free.append(old)
+                self._sp_row[sid] = new
+                self._sp_own[sid] = own
+                sx, sy, sz = sid % ns, (sid // ns) % ns, sid // (ns * ns)
+                self._sp_dirty_w.add(
+                    (sx >> 2) + (sy >> 2) * nw + (sz >> 2) * nw * nw
+                )
+        self._sp_dirty_sids.clear()
+
+        l = np.arange(64)
+        for w in sorted(self._sp_dirty_w):
+            self._sp_widx[w, :8] = _interleave_meta_np(
+                self.wmeta[w:w + 1])[0]
+            self._sp_widx[w, 8:64] = 0
+            wx, wy, wz = w % nw, (w // nw) % nw, w // (nw * nw)
+            X = wx * 4 + (l & 3)
+            Y = wy * 4 + ((l >> 2) & 3)
+            Z = wz * 4 + (l >> 4)
+            rows = self._sp_row[X + Y * ns + Z * ns * ns]
+            self._sp_widx[w, 64:] = np.where(
+                rows >= 0, rows, 0xFFFFFFFF
+            ).astype(np.uint32)
+        dirty_w = sorted(self._sp_dirty_w)
+        self._sp_dirty_w.clear()
+
+        if self._sp_host is None:
+            self._sp_cap = 16
+            self._sp_host = np.zeros((16, 7, 128), np.uint32)
+        if self._sp_dev is None:
+            self._sp_dev = jnp.asarray(self._sp_host)
+            self._sp_dirty_rows.clear()
+            self._sp_wdev = jnp.asarray(self._sp_widx[:, None, :])
+        else:
+            if self._sp_dirty_rows:
+                rows = np.asarray(sorted(self._sp_dirty_rows), np.int32)
+                self._sp_dev = _scatter_rows3(
+                    self._sp_dev, jnp.asarray(rows),
+                    jnp.asarray(self._sp_host[rows]),
+                )
+                self._sp_dirty_rows.clear()
+            if dirty_w:
+                rows = np.asarray(dirty_w, np.int32)
+                self._sp_wdev = _scatter_rows3(
+                    self._sp_wdev, jnp.asarray(rows),
+                    jnp.asarray(self._sp_widx[rows][:, None, :]),
+                )
+        return PreparedGrid4Sparse(self._sp_dev, self._sp_wdev, self.ns)
+
+    def sparse_tables_mb(self):
+        """Device footprint of the sparse tables (content + window rows)."""
+        if self._sp_dev is None:
+            return 0.0
+        return (self._sp_dev.size + self._sp_wdev.size) * 4 / 1e6
+
     def prepared(self):
         """Incrementally-maintained v4 packed tables (PreparedGrid4).
 
@@ -374,7 +584,11 @@ class RenderGrid3Builder:
         packed row is a pure function of the same raw row, so this twin
         repacks only the rows a chunk install/edit/eviction touched and
         scatters them in place (donated buffers). Bit-identical to the
-        one-shot packer (tests/test_engine_app.py pins it)."""
+        one-shot packer (tests/test_engine_app.py pins it).
+
+        In sparse mode this returns the sparse token instead."""
+        if self.sparse:
+            return self.prepared_sparse()
         from ..ops.wavefront4 import PreparedGrid4, prepare_grid4
 
         rg = self.grid()  # refresh window metas before packing them
