@@ -19,15 +19,24 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-BEST = dict(bounce_steps_per_round=16, bounce_rounds=2,
-            prim_steps_per_round=256, prim_s_seg=4)
+PRIM = dict(prim_steps_per_round=256, prim_s_seg=4,
+            bounce_steps_per_round=16)
 VARIANTS = [
     # (label, kwargs for path_trace3 on top of the shipped config3 set)
     ("ship r16", dict()),
-    ("cand c512", dict(BEST, compact_tiles=512)),
-    ("cand c256", dict(BEST, compact_tiles=256)),
-    ("cand c128", dict(BEST, compact_tiles=128)),
-    ("cand c256 cap1", dict(BEST, compact_tiles=256, bounce_rounds=1)),
+    ("p+w8", dict(PRIM, bounce_w_ins=8)),
+    ("p+w8 s32", dict(PRIM, bounce_w_ins=8, bounce_s_ins=32,
+                      bounce_n_sc=32)),
+    ("p+w8 s64g", dict(PRIM, bounce_w_ins=8, bounce_s_ins=64,
+                       bounce_n_sc=64, bounce_grouped=True)),
+    ("p+w8 s32 seg4", dict(PRIM, bounce_w_ins=8, bounce_s_ins=32,
+                           bounce_n_sc=32, bounce_s_seg=4)),
+    ("p+w8 s32 cap8+c1024",
+     dict(PRIM, bounce_w_ins=8, bounce_s_ins=32, bounce_n_sc=32,
+          bounce_rounds=8, compact_tiles=1024)),
+    ("p+w8 s64g cap6+c1024",
+     dict(PRIM, bounce_w_ins=8, bounce_s_ins=64, bounce_n_sc=64,
+          bounce_grouped=True, bounce_rounds=6, compact_tiles=1024)),
 ]
 
 

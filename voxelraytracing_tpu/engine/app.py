@@ -295,7 +295,11 @@ class EngineApp:
             or self._rg_builder.w != w.size_in_chunks
         ):
             self._rg_builder = RenderGrid3Builder(
-                w.size_in_chunks, self.materials, world_min=w.min_voxel
+                w.size_in_chunks, self.materials, world_min=w.min_voxel,
+                # the engine renders only through prepared(): sparse
+                # tables from 33 chunks (dense ~0.7 GB at 30 but grows
+                # cubically; sparse is tens of MB)
+                sparse=w.size_in_chunks > 32,
             )
             self._rg_min = np.asarray(w.min_chunk).copy()
             self._fast_set_chunks(list(w.chunks.keys()))

@@ -2379,7 +2379,8 @@ def material_lut_rows(color, emission, scatter):
         "interpret", "bounces", "samples", "full_height", "step_cap",
         "v4", "prepacked", "return_cache", "bounce_sub_rounds",
         "bounce_rounds", "compact_tiles", "retry_s_ins", "retry_n_sc",
-        "retry_sub_rounds", "prim_s_seg",
+        "retry_sub_rounds", "prim_s_seg", "bounce_s_ins", "bounce_w_ins",
+        "bounce_n_sc", "bounce_grouped", "bounce_s_seg",
     ),
 )
 def _path_frame(
@@ -2392,7 +2393,9 @@ def _path_frame(
     bounces, samples, full_height=None, y0=0.0, step_cap=None, v4=False,
     prepacked=False, return_cache=False, bounce_sub_rounds=None,
     bounce_rounds=None, compact_tiles=0, retry_s_ins=32, retry_n_sc=64,
-    retry_sub_rounds=None, prim_s_seg=1,
+    retry_sub_rounds=None, prim_s_seg=1, bounce_s_ins=None,
+    bounce_w_ins=None, bounce_n_sc=None, bounce_grouped=False,
+    bounce_s_seg=1,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average).
 
@@ -2528,12 +2531,23 @@ def _path_frame(
             elif v4:
                 ot = jnp.stack([oX, oY, oZ], axis=-1)
                 dt3 = jnp.stack([dX, dY, dZ], axis=-1)
+                bkw = {}
+                if bounce_s_ins is not None:
+                    bkw["s_ins"] = int(bounce_s_ins)
+                if bounce_w_ins is not None:
+                    bkw["w_ins"] = int(bounce_w_ins)
+                if bounce_n_sc is not None:
+                    bkw["n_sc"] = int(bounce_n_sc)
+                if bounce_grouped:
+                    bkw["grouped"] = True
+                if bounce_s_seg != 1:
+                    bkw["s_seg"] = int(bounce_s_seg)
                 ts, fl, wa, we, ids_prev = _trace_frame4(
                     *a4, jnp.zeros(3, f32), inv_view, inv_proj,
                     ot, dt3, alive, b_rounds, cap4,
                     warm_ids=ids_prev, sw_cont_pre=sw_cont_pre,
                     wmeta_pre=wmeta_pre, sub_rounds=b_sub_rounds,
-                    per_ray=True, **k4,
+                    per_ray=True, **bkw, **k4,
                 )
                 if comp_t:
                     # the retry is tiny (comp_t/64 blocks), so its round
@@ -2738,6 +2752,11 @@ def path_trace3(
     retry_steps_per_round=None,
     prim_steps_per_round=None,
     prim_s_seg=1,
+    bounce_s_ins=None,
+    bounce_w_ins=None,
+    bounce_n_sc=None,
+    bounce_grouped=False,
+    bounce_s_seg=1,
     step_cap=None,
     interpret=None,
     v4=False,
@@ -2814,5 +2833,8 @@ def path_trace3(
             else max(int(retry_steps_per_round) // sub_steps, 1)
         ),
         prim_s_seg=int(prim_s_seg),
+        bounce_s_ins=bounce_s_ins, bounce_w_ins=bounce_w_ins,
+        bounce_n_sc=bounce_n_sc, bounce_grouped=bool(bounce_grouped),
+        bounce_s_seg=int(bounce_s_seg),
     )
     return out

@@ -142,6 +142,19 @@ def _interleave_meta(m):
     return jnp.concatenate([out, m[:, 4:]], axis=1)
 
 
+def _wm_full_rows(nw, sparse_ns=0):
+    """Rows of the in-VMEM full window-meta table, or 0 to use the
+    dynamic window cache. Enabled for small worlds (<=128 windows, i.e.
+    <=32-chunk axes at 8 rows of unrolled row-select per classify):
+    kills window-meta serving entirely — the serve bottleneck on
+    incoherent (bounce/shadow) legs, whose blocks fan across dozens of
+    windows against an 8-slot cache fed 2 metas per round."""
+    if sparse_ns:
+        return 0
+    n3 = nw * nw * nw
+    return -(-n3 // 16) if n3 <= 128 else 0
+
+
 S_INS = 16  # default subwindow fetches per in-kernel service round
 #             (= N_SC: serve() only runs when NO ray can march, so a
 #             full-cache replacement evicts only rows nothing can use
@@ -154,6 +167,7 @@ def _march_kernel4(
     s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC, gw_pair=False,
     fused=False, show_steps=False, warm_pre=False, s_seg=1, vb=1,
     warm_seg=1, fused_flags=True, fused_shadow=False, sparse=False,
+    wm_full=0,
 ):
     """One self-serving block program. Ref order:
 
@@ -189,6 +203,7 @@ def _march_kernel4(
     refs = list(refs)
     scal_ref = refs.pop(0)
     gw_ref = refs.pop(0)
+    wmf_ref = refs.pop(0) if wm_full else None
     lut_ref = refs.pop(0) if fused else None
     swc_ref = refs.pop(0)
     wmp_ref = refs.pop(0)
@@ -377,20 +392,43 @@ def _march_kernel4(
                     g_jump = bit_of(gj_row, wg >> 5, wg & 31) != 0
                     g_liq = bit_of(gl_row, wg >> 5, wg & 31) != 0
 
-                wslot = jnp.full((blk, 128), -1, i32)
-                for k in range(N_WC):
-                    wid_k = wid_all[k:k + 1, :]
-                    wslot = jnp.where((w == wid_k) & (wid_k >= 0), i32(k), wslot)
-
                 s_loc = (
                     ((vx >> 4) & 3) + ((vy >> 4) & 3) * 4 + ((vz >> 4) & 3) * 16
                 )
-                # interleaved meta (see _interleave_meta): bit 2i jump, 2i+1 liq
-                # of subwindow i — one gather for both flags. mbase <= 7*8+3 < 128
-                # structurally (wslot < N_WC, s_loc < 64), so the clip is skipped.
-                mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 4)
-                wm_b = jnp.broadcast_to(wm_row, (blk, 128))
-                sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2, bounded=True)
+                if wm_full:
+                    # the WHOLE window-meta table rides in VMEM (small
+                    # worlds: nw³*8 words <= wm_full*128): no window
+                    # cache, no window serving, no meta starvation on
+                    # incoherent legs. Row (w>>4) holds window w's 8
+                    # words at lanes (w&15)*8.. — select the row by an
+                    # unrolled chain, then one lane gather.
+                    wslot = jnp.zeros((blk, 128), i32)  # always "cached"
+                    wrow = w >> 4
+                    wm_b = jnp.broadcast_to(wmf_ref[0:1], (blk, 128))
+                    for r in range(1, wm_full):
+                        wm_b = jnp.where(
+                            wrow == r,
+                            jnp.broadcast_to(wmf_ref[r:r + 1], (blk, 128)),
+                            wm_b,
+                        )
+                    mbase = (w & 15) * 8 + (s_loc >> 4)
+                    sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2,
+                                      bounded=True)
+                else:
+                    wslot = jnp.full((blk, 128), -1, i32)
+                    for k in range(N_WC):
+                        wid_k = wid_all[k:k + 1, :]
+                        wslot = jnp.where(
+                            (w == wid_k) & (wid_k >= 0), i32(k), wslot)
+
+                    # interleaved meta (see _interleave_meta): bit 2i
+                    # jump, 2i+1 liq of subwindow i — one gather for
+                    # both flags. mbase <= 7*8+3 < 128 structurally
+                    # (wslot < N_WC, s_loc < 64), so the clip is skipped.
+                    mbase = jnp.maximum(wslot, 0) * 8 + (s_loc >> 4)
+                    wm_b = jnp.broadcast_to(wm_row, (blk, 128))
+                    sw_pair = pair_of(wm_b, mbase, (s_loc & 15) * 2,
+                                      bounded=True)
                 sw_jump = (sw_pair & 1) != 0
                 sw_liq = (sw_pair & 2) != 0
 
@@ -560,15 +598,17 @@ def _march_kernel4(
                 on both levels is fully served in ONE round (the meta row is 512 B
                 — its DMA wait costs ~nothing next to saving a whole round)."""
                 wid_all, sid_all, wm_row, sm_row = cch
-                (_, _, _, _, _, _, w, g_jump, _, wslot, _, _, _, _, _) = \
-                    classify(t, wid_all, sid_all, wm_row, need_sslot=False)
                 alive = (active_i != 0) & (t < t_exit)
-                wstall = alive & ~g_jump & (wslot < 0)
-                wkey = jnp.where(wstall, w, bigi)
+                wpicks = []
+                if not wm_full:          # else: meta table lives in VMEM
+                    (_, _, _, _, _, _, w, g_jump, _, wslot, _, _, _, _,
+                     _) = classify(t, wid_all, sid_all, wm_row,
+                                   need_sslot=False)
+                    wstall = alive & ~g_jump & (wslot < 0)
+                    wkey = jnp.where(wstall, w, bigi)
 
                 # distinct-min picks (scalar chains) + batched DMA starts
-                wpicks = []
-                for j in range(w_ins):
+                for j in range(w_ins if not wm_full else 0):
                     wj = jnp.min(wkey)
                     ok = wj < bigi
                     wpicks.append((wj, ok))
@@ -981,7 +1021,7 @@ def _march_kernel4(
                 wm_w, sm_w = wm0, sm0
                 wid_w, sid_w = wid0, sid0
                 wpk = []
-                for k in range(N_WC):
+                for k in range(N_WC if not wm_full else 0):
                     widk = warm_ref[sb, 1, k]
                     okk = widk >= 0
                     wpk.append((widk, okk))
@@ -1326,7 +1366,7 @@ def _march4(
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
     n_sc=N_SC, gw_pair=False, lut=None, show_steps=False, T=None,
     warm_gather=False, s_seg=1, vb=1, warm_seg=1, fused_flags=True,
-    fused_shadow=False, sparse=False,
+    fused_shadow=False, sparse=False, wm_full=0,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
@@ -1365,6 +1405,9 @@ def _march4(
         # fetches and in-kernel warm restore
         assert s_seg == 1 and not grouped, (s_seg, grouped)
         assert warm_seg == 1 and not warm_gather, (warm_seg, warm_gather)
+        assert not wm_full, "sparse needs the window cache (widx rows)"
+    if wm_full:
+        assert not warm_gather, "wm_full supersedes the hoisted warm path"
     ids_rows = 3 if sparse else 2
 
     def pspec(p):
@@ -1385,10 +1428,21 @@ def _march4(
         pl.BlockSpec(memory_space=pl.ANY),             # wmeta_pad (HBM)
     ]
     args = [scal, gw2, sw_cont, wmeta_pad]
+    if wm_full:
+        # whole window-meta table as a VMEM input: [wm_full,128] u32,
+        # 16 windows' interleaved words per row
+        nw3 = wmeta_pad.shape[0]
+        wmf = jnp.pad(
+            wmeta_pad[:, 0, :8], ((0, wm_full * 16 - nw3), (0, 0))
+        ).reshape(wm_full, 128)
+        in_specs.insert(2, pl.BlockSpec(
+            (wm_full, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args.insert(2, wmf)
     if fused:
-        in_specs.insert(2, pl.BlockSpec((6, 128), lambda i: (0, 0),
-                                        memory_space=pltpu.VMEM))
-        args.insert(2, lut)
+        li = 3 if wm_full else 2
+        in_specs.insert(li, pl.BlockSpec((6, 128), lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        args.insert(li, lut)
     if per_ray:
         in_specs.append(pspec(6))
         args.append(rays)
@@ -1436,6 +1490,7 @@ def _march4(
         gw_pair=gw_pair, fused=fused, show_steps=show_steps,
         warm_pre=warm_pre, s_seg=s_seg, vb=vb, warm_seg=int(warm_seg),
         fused_flags=fused_flags, fused_shadow=fused_shadow, sparse=sparse,
+        wm_full=int(wm_full),
     )
     u32 = jnp.uint32
     i32 = jnp.int32
@@ -1623,6 +1678,7 @@ def _trace_frame4(
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
         warm_gather=warm_gather, s_seg=s_seg, vb=vb, warm_seg=warm_seg,
         n_sc=n_sc, gw_pair=gw_pair, sparse=bool(sparse_ns),
+        wm_full=_wm_full_rows(nw, sparse_ns),
     )
     ids_out = None
     if warm:
@@ -1747,7 +1803,7 @@ def _bounce_retry4(
         sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
         nw=nw, ns=ns, nsx=1, interpret=interpret, rays=rays,
         s_ins=s_ins, w_ins=w_ins, n_sc=n_sc, gw_pair=gw_pair,
-        s_seg=s_seg,
+        s_seg=s_seg, wm_full=_wm_full_rows(nw),
     )
     fl2 = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
     return (
@@ -1901,6 +1957,7 @@ def _frame_fused4(
         n_sc=n_sc, gw_pair=gw_pair, lut=lut, show_steps=show_steps,
         T=T_pad, fused_flags=with_flags, fused_shadow=fused_shadow,
         sparse=bool(sparse_ns),
+        wm_full=_wm_full_rows(nw, sparse_ns),
     )
     out = list(out)
     pk = out.pop(0)

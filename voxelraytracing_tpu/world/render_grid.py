@@ -183,11 +183,12 @@ class RenderGrid3Builder:
 
     ``sparse``: maintain the v4 packed tables SPARSELY (content rows only
     for non-jump subwindows, uniform-solid rows deduplicated) instead of
-    densely. Auto-enabled past 32 chunks, where the dense table no
-    longer fits a chip (~15 GB at the reference's 80-chunk window,
-    ui.rs:165). Sparse mode skips the dense device planes entirely;
-    render through :meth:`prepared` (which returns the sparse token) —
-    the raw-plane fallback paths are unavailable."""
+    densely. Auto-enabled past 64 chunks, where the dense tables cannot
+    fit a chip at all (~15 GB at the reference's 80-chunk window,
+    ui.rs:165); consumers that only render through :meth:`prepared`
+    (the engine) opt in explicitly from 33 chunks. Sparse mode skips
+    the dense device planes entirely — grid() returns placeholder raw
+    planes, so the v3/per-plane fallback paths are unavailable."""
 
     def __init__(self, size_in_chunks, materials, world_min=(0, 0, 0),
                  sparse=None):
@@ -226,7 +227,7 @@ class RenderGrid3Builder:
         self._dirty_w_pack = set()
         self._prep = None
         # sparse twin state (see class docstring)
-        self.sparse = (self.w > 32) if sparse is None else bool(sparse)
+        self.sparse = (self.w > 64) if sparse is None else bool(sparse)
         self._sp_row = np.full(ns3, -1, np.int64)   # sid -> content row
         self._sp_own = np.zeros(ns3, bool)          # row owned (not canon)
         self._sp_free = []
