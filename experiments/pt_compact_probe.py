@@ -22,21 +22,18 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 PRIM = dict(prim_steps_per_round=256, prim_s_seg=4,
             bounce_steps_per_round=16)
 VARIANTS = [
-    # (label, kwargs for path_trace3 on top of the shipped config3 set)
+    # (label, kwargs for path_trace3 on top of the shipped config3 set;
+    #  wm_full is active for this world — no window serving anywhere)
     ("ship r16", dict()),
-    ("p+w8", dict(PRIM, bounce_w_ins=8)),
-    ("p+w8 s32", dict(PRIM, bounce_w_ins=8, bounce_s_ins=32,
-                      bounce_n_sc=32)),
-    ("p+w8 s64g", dict(PRIM, bounce_w_ins=8, bounce_s_ins=64,
-                       bounce_n_sc=64, bounce_grouped=True)),
-    ("p+w8 s32 seg4", dict(PRIM, bounce_w_ins=8, bounce_s_ins=32,
-                           bounce_n_sc=32, bounce_s_seg=4)),
-    ("p+w8 s32 cap8+c1024",
-     dict(PRIM, bounce_w_ins=8, bounce_s_ins=32, bounce_n_sc=32,
-          bounce_rounds=8, compact_tiles=1024)),
-    ("p+w8 s64g cap6+c1024",
-     dict(PRIM, bounce_w_ins=8, bounce_s_ins=64, bounce_n_sc=64,
-          bounce_grouped=True, bounce_rounds=6, compact_tiles=1024)),
+    ("p b32", dict(PRIM, bounce_rounds=32)),
+    ("p b32+c1024", dict(PRIM, bounce_rounds=32, compact_tiles=1024)),
+    ("p b12+c1024", dict(PRIM, bounce_rounds=12, compact_tiles=1024)),
+    ("p b8+c2048", dict(PRIM, bounce_rounds=8, compact_tiles=2048)),
+    ("p s64g b6+c1024",
+     dict(PRIM, bounce_s_ins=64, bounce_n_sc=64, bounce_grouped=True,
+          bounce_rounds=6, compact_tiles=1024)),
+    ("p bspr24 b24", dict(PRIM, bounce_steps_per_round=24,
+                          bounce_rounds=24)),
 ]
 
 
@@ -106,6 +103,21 @@ def main():
         sustained(label, lambda tok, kw=kw: path_trace3(
             rg3, cam, mats, rounds=16, cache=tok, return_cache=True,
             **{**base, **kw}))
+
+    # quality gate in the SAME process: timing is done, so the single
+    # end-of-process D2H wave can no longer contaminate anything
+    imgs = {}
+    ref = path_trace3(rg3, cam, mats, rounds=64, **base)
+    for label, kw in VARIANTS:
+        imgs[label] = path_trace3(rg3, cam, mats, rounds=16,
+                                  **{**base, **kw})
+    jax.block_until_ready(list(imgs.values()) + [ref])
+    import numpy as np
+    refn = np.asarray(ref)
+    for label, _ in VARIANTS:
+        d = np.abs(np.asarray(imgs[label]) - refn).max(axis=-1)
+        print(f"# gate {label}: frac>1/255 = "
+              f"{float((d > 1.0 / 255.0).mean()):.5f}", flush=True)
 
 
 if __name__ == "__main__":

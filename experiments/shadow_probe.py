@@ -61,15 +61,12 @@ def main():
 
     for label, kw in [
         ("ship shadows", dict(base, shadows=True)),
-        ("sh cap4+c512", dict(base, shadows=True, shadow_rounds=4,
-                              compact_tiles=512)),
-        ("sh cap2+c1024", dict(base, shadows=True, shadow_rounds=2,
+        ("FUSED shadows", dict(base, shadows=True, fused=True)),
+        ("sh cap8+c1024", dict(base, shadows=True, shadow_rounds=8,
                                compact_tiles=1024)),
-        ("sh cap2+c512", dict(base, shadows=True, shadow_rounds=2,
-                              compact_tiles=512)),
+        ("sh cap16+c1024", dict(base, shadows=True, shadow_rounds=16,
+                                compact_tiles=1024)),
         ("sh seg4", dict(base, shadows=True, s_seg=4)),
-        ("sh cap2+c512+seg4", dict(base, shadows=True, shadow_rounds=2,
-                                   compact_tiles=512, s_seg=4)),
         ("primary only (fused)", dict(base, fused=True, s_seg=4)),
         ("primary only (split)", dict(base)),
     ]:

@@ -44,8 +44,12 @@ os.environ["VOXELTPU_COMPCACHE"] = _cache_dir  # subprocess servers too
 from jax._src import compilation_cache as _cc  # noqa: E402
 
 _orig_put = _cc.put_executable_and_time
+# every jit whose program embeds a v4-family Pallas march: serialize OR
+# deserialize of these big executables segfaults PJRT-CPU late-suite
+# (reproduced again 2026-08-21 as a cache-READ crash on _primary_retry4
+# — keep this list in sync when adding jits around _march4)
 _SERIALIZE_CRASHERS = ("frame4", "fused4", "march4", "pt_frame",
-                       "path_frame")
+                       "path_frame", "retry4")
 
 
 def _safe_put(cache_key, module_name, executable, backend, compile_time):
