@@ -19,21 +19,22 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-PRIM = dict(prim_steps_per_round=256, prim_s_seg=4,
-            bounce_steps_per_round=16)
+PRIM = dict(prim_steps_per_round=256, prim_s_seg=4)
+RAMP = dict(bounce_steps_per_round=256, bounce_spin_ramp=1)
 VARIANTS = [
-    # (label, kwargs for path_trace3 on top of the shipped config3 set;
-    #  wm_full is active for this world — no window serving anywhere)
+    # (label, kwargs for path_trace3 on top of the shipped config3 set)
     ("ship r16", dict()),
-    ("p b32", dict(PRIM, bounce_rounds=32)),
-    ("p b32+c1024", dict(PRIM, bounce_rounds=32, compact_tiles=1024)),
-    ("p b12+c1024", dict(PRIM, bounce_rounds=12, compact_tiles=1024)),
-    ("p b8+c2048", dict(PRIM, bounce_rounds=8, compact_tiles=2048)),
-    ("p s64g b6+c1024",
-     dict(PRIM, bounce_s_ins=64, bounce_n_sc=64, bounce_grouped=True,
-          bounce_rounds=6, compact_tiles=1024)),
-    ("p bspr24 b24", dict(PRIM, bounce_steps_per_round=24,
-                          bounce_rounds=24)),
+    ("sort r16", dict(PRIM, bounce_sort=True)),
+    ("ramp r16", dict(PRIM, **RAMP)),
+    ("ramp+sort r16", dict(PRIM, bounce_sort=True, **RAMP)),
+    ("ramp+sort r12+c1024",
+     dict(PRIM, bounce_sort=True, bounce_rounds=12, compact_tiles=1024,
+          **RAMP)),
+    ("ramp+sort+s32 r16",
+     dict(PRIM, bounce_sort=True, bounce_s_ins=32, bounce_n_sc=32,
+          **RAMP)),
+    ("ramp ramp2 r16", dict(PRIM, bounce_steps_per_round=256,
+                            bounce_spin_ramp=2)),
 ]
 
 

@@ -183,3 +183,31 @@ def test_pt_compact_partial_capacity_shapes(diffuse_scene):
     b = np.asarray(path_trace3(rg3, cam, mats, rounds=64,
                                compact_tiles=64, **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pt_bounce_sort_is_bitexact(diffuse_scene):
+    """Block-level direction sorting of bounce rays (bounce_sort) is a
+    pure scheduling change: marching is lane-placement-independent
+    given cache contents, and results restore through the carried
+    index, so frames are bit-identical."""
+    rg3, mats = diffuse_scene
+    cam = CamData.create((30.0, 45.0, 0.0), (32.0, 40.0, 32.0), 70.0,
+                         (256, 64))
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(5),
+              bounces=1, step_cap=500, v4=True, rounds=48)
+    a = np.asarray(path_trace3(rg3, cam, mats, **kw))
+    b = np.asarray(path_trace3(rg3, cam, mats, bounce_sort=True, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pt_spin_ramp_is_bitexact(diffuse_scene):
+    """Ramped in-kernel spin budgets (short early serve-bound rounds,
+    long late step-bound rounds) are schedule-only: bit-identical."""
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(6),
+              bounces=1, step_cap=500, v4=True, rounds=48)
+    a = np.asarray(path_trace3(rg3, CAM, mats, **kw))
+    b = np.asarray(path_trace3(rg3, CAM, mats,
+                               bounce_steps_per_round=256,
+                               bounce_spin_ramp=1, **kw))
+    np.testing.assert_array_equal(a, b)

@@ -2380,7 +2380,8 @@ def material_lut_rows(color, emission, scatter):
         "v4", "prepacked", "return_cache", "bounce_sub_rounds",
         "bounce_rounds", "compact_tiles", "retry_s_ins", "retry_n_sc",
         "retry_sub_rounds", "prim_s_seg", "bounce_s_ins", "bounce_w_ins",
-        "bounce_n_sc", "bounce_grouped", "bounce_s_seg",
+        "bounce_n_sc", "bounce_grouped", "bounce_s_seg", "bounce_sort",
+        "bounce_spin_ramp",
     ),
 )
 def _path_frame(
@@ -2395,7 +2396,7 @@ def _path_frame(
     bounce_rounds=None, compact_tiles=0, retry_s_ins=32, retry_n_sc=64,
     retry_sub_rounds=None, prim_s_seg=1, bounce_s_ins=None,
     bounce_w_ins=None, bounce_n_sc=None, bounce_grouped=False,
-    bounce_s_seg=1,
+    bounce_s_seg=1, bounce_sort=False, bounce_spin_ramp=0,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average).
 
@@ -2529,8 +2530,57 @@ def _path_frame(
             if bounce == 0:
                 ts, fl, wa, we = prim
             elif v4:
-                ot = jnp.stack([oX, oY, oZ], axis=-1)
-                dt3 = jnp.stack([dX, dY, dZ], axis=-1)
+                if bounce_sort:
+                    # Block-level direction sort: boundary() advances
+                    # ONE subwindow per TILE per sub-round, and the
+                    # march is order-invariant within a tile — so
+                    # redistribute rays ACROSS the block's 64 tiles,
+                    # grouping by direction octant (refined by the
+                    # dominant axis): each tile then holds a coherent
+                    # bundle that traverses the same cells. One
+                    # multi-operand lax.sort carries all ray planes
+                    # (no gathers); a second sort by the carried index
+                    # restores pixel order. BIT-EXACT: marching is
+                    # lane-placement-independent given cache contents
+                    # (pinned by tests/test_pathtrace4.py).
+                    i32 = jnp.int32
+                    okey = (
+                        (dX > 0.0).astype(i32)
+                        + ((dY > 0.0).astype(i32) << 1)
+                        + ((dZ > 0.0).astype(i32) << 2)
+                    )
+                    okey = (okey << 2) + jnp.argmax(
+                        jnp.stack([jnp.abs(dX), jnp.abs(dY),
+                                   jnp.abs(dZ)]), axis=0
+                    ).astype(i32)
+                    BL = 64 * 128  # rays per block program
+
+                    def breshape(x):
+                        return x.reshape(-1, BL)
+
+                    ridx = jnp.broadcast_to(
+                        jax.lax.broadcasted_iota(i32, (1, BL), 1),
+                        (T // 64, BL),
+                    )
+                    srt = jax.lax.sort(
+                        (breshape(okey), ridx, breshape(oX),
+                         breshape(oY), breshape(oZ), breshape(dX),
+                         breshape(dY), breshape(dZ),
+                         breshape(alive.astype(i32))),
+                        dimension=-1, num_keys=1, is_stable=True,
+                    )
+                    inv = srt[1]
+                    oXs, oYs, oZs, dXs, dYs, dZs = (
+                        x.reshape(shape) for x in srt[2:8]
+                    )
+                    alive_s = srt[8].reshape(shape) != 0
+                    ot = jnp.stack([oXs, oYs, oZs], axis=-1)
+                    dt3 = jnp.stack([dXs, dYs, dZs], axis=-1)
+                else:
+                    inv = None
+                    alive_s = alive
+                    ot = jnp.stack([oX, oY, oZ], axis=-1)
+                    dt3 = jnp.stack([dX, dY, dZ], axis=-1)
                 bkw = {}
                 if bounce_s_ins is not None:
                     bkw["s_ins"] = int(bounce_s_ins)
@@ -2542,13 +2592,28 @@ def _path_frame(
                     bkw["grouped"] = True
                 if bounce_s_seg != 1:
                     bkw["s_seg"] = int(bounce_s_seg)
+                if bounce_spin_ramp:
+                    bkw["spin_ramp"] = int(bounce_spin_ramp)
                 ts, fl, wa, we, ids_prev = _trace_frame4(
                     *a4, jnp.zeros(3, f32), inv_view, inv_proj,
-                    ot, dt3, alive, b_rounds, cap4,
+                    ot, dt3, alive_s, b_rounds, cap4,
                     warm_ids=ids_prev, sw_cont_pre=sw_cont_pre,
                     wmeta_pre=wmeta_pre, sub_rounds=b_sub_rounds,
                     per_ray=True, **bkw, **k4,
                 )
+                if bounce_sort:
+                    BL = 64 * 128
+                    uns = jax.lax.sort(
+                        (inv, ts.reshape(-1, BL), fl.reshape(-1, BL),
+                         wa.reshape(-1, BL), we.reshape(-1, BL)),
+                        dimension=-1, num_keys=1, is_stable=True,
+                    )
+                    ts = uns[1].reshape(shape)
+                    fl = uns[2].reshape(shape)
+                    wa = uns[3].reshape(shape)
+                    we = uns[4].reshape(shape)
+                    ot = jnp.stack([oX, oY, oZ], axis=-1)
+                    dt3 = jnp.stack([dX, dY, dZ], axis=-1)
                 if comp_t:
                     # the retry is tiny (comp_t/64 blocks), so its round
                     # budget is raised to full convergence — stragglers
@@ -2757,6 +2822,8 @@ def path_trace3(
     bounce_n_sc=None,
     bounce_grouped=False,
     bounce_s_seg=1,
+    bounce_sort=False,
+    bounce_spin_ramp=0,
     step_cap=None,
     interpret=None,
     v4=False,
@@ -2835,6 +2902,7 @@ def path_trace3(
         prim_s_seg=int(prim_s_seg),
         bounce_s_ins=bounce_s_ins, bounce_w_ins=bounce_w_ins,
         bounce_n_sc=bounce_n_sc, bounce_grouped=bool(bounce_grouped),
-        bounce_s_seg=int(bounce_s_seg),
+        bounce_s_seg=int(bounce_s_seg), bounce_sort=bool(bounce_sort),
+        bounce_spin_ramp=int(bounce_spin_ramp),
     )
     return out

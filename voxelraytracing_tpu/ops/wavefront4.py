@@ -167,7 +167,7 @@ def _march_kernel4(
     s_ins, w_ins, grouped=False, warm=False, n_sc=N_SC, gw_pair=False,
     fused=False, show_steps=False, warm_pre=False, s_seg=1, vb=1,
     warm_seg=1, fused_flags=True, fused_shadow=False, sparse=False,
-    wm_full=0,
+    wm_full=0, spin_ramp=0,
 ):
     """One self-serving block program. Ref order:
 
@@ -1165,7 +1165,7 @@ def _march_kernel4(
 
             def mk_round_fns(LG):
                 def sub_round(state):
-                    sr, _, c, rows_c, cch = state
+                    sr, _, c, rows_c, cch, limit = state
 
                     # fixed-point early exit: once no lane marches or
                     # hits, the remaining steps of this sub-round are
@@ -1192,23 +1192,37 @@ def _march_kernel4(
                         c[0], c[1], cch[0], cch[1], cch[2]
                     )
                     return sr + 1, go, c, (tsid, tslot, solid_row,
-                                           liq_row, pid_rows), cch
+                                           liq_row, pid_rows), cch, limit
 
                 def inner_cond(state):
-                    sr, go, _, _, _ = state
-                    return (sr < sub_rounds) & (go != 0)
+                    sr, go = state[0], state[1]
+                    return (sr < state[5]) & (go != 0)
 
                 def round_body(carry):
                     r, c, cch, wctr, sctr = carry
                     # serve this round's stalls, then march until every
-                    # lane stalls again (or the block converges)
+                    # lane stalls again (or the block converges).
+                    # spin_ramp: early rounds are SERVE-bound (cold
+                    # cache — short spins, frequent refills), late
+                    # rounds are STEP-bound (long grazing rays on a
+                    # warm cache — long spins); ramping the in-kernel
+                    # spin budget serves both phases. Schedule-only:
+                    # pixels are bit-exact (cache-content determinism).
+                    if spin_ramp:
+                        limit = jnp.minimum(
+                            jnp.int32(sub_rounds),
+                            (r + 1) * jnp.int32(spin_ramp),
+                        )
+                    else:
+                        limit = jnp.int32(sub_rounds)
                     cch, wctr, sctr = LG["serve"](
                         c[0], c[1], cch, wctr, sctr)
                     rows_c = LG["boundary"](
                         c[0], c[1], cch[0], cch[1], cch[2])
-                    _, _, c, _, _ = jax.lax.while_loop(
+                    _, _, c, _, _, _ = jax.lax.while_loop(
                         inner_cond, sub_round,
-                        (jnp.int32(0), rows_c[5], c, rows_c[:5], cch),
+                        (jnp.int32(0), rows_c[5], c, rows_c[:5], cch,
+                         limit),
                     )
                     return r + 1, c, cch, wctr, sctr
 
@@ -1233,9 +1247,10 @@ def _march_kernel4(
             rows_c0 = boundary(
                 c0[0], c0[1], cch_init[0], cch_init[1], cch_init[2]
             )
-            _, _, c0m, _, _ = jax.lax.while_loop(
+            _, _, c0m, _, _, _ = jax.lax.while_loop(
                 inner_cond, sub_round,
-                (jnp.int32(0), rows_c0[5], c0, rows_c0[:5], cch_init),
+                (jnp.int32(0), rows_c0[5], c0, rows_c0[:5], cch_init,
+                 jnp.int32(sub_rounds)),
             )
             _, c, cch_f, _, _ = jax.lax.while_loop(
                 round_cond, round_body,
@@ -1291,9 +1306,10 @@ def _march_kernel4(
                 rows_s0 = S["boundary"](
                     cs0[0], cs0[1], cch_f[0], cch_f[1], cch_f[2]
                 )
-                _, _, cs0m, _, _ = jax.lax.while_loop(
+                _, _, cs0m, _, _, _ = jax.lax.while_loop(
                     s_icond, s_sub,
-                    (jnp.int32(0), rows_s0[5], cs0, rows_s0[:5], cch_f),
+                    (jnp.int32(0), rows_s0[5], cs0, rows_s0[:5], cch_f,
+                     jnp.int32(sub_rounds)),
                 )
                 _, cs, cch_f, _, _ = jax.lax.while_loop(
                     s_rcond, s_rbody,
@@ -1366,7 +1382,7 @@ def _march4(
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm_ids=None, blk=_BLK,
     n_sc=N_SC, gw_pair=False, lut=None, show_steps=False, T=None,
     warm_gather=False, s_seg=1, vb=1, warm_seg=1, fused_flags=True,
-    fused_shadow=False, sparse=False, wm_full=0,
+    fused_shadow=False, sparse=False, wm_full=0, spin_ramp=0,
 ):
     """state: f32[4, T, 128]; gw2: u32[2,128]; sw_cont: u32[Ns³,7,128];
     wmeta_pad: u32[Nw³,1,128]. Returns state', or (state', ids') when a
@@ -1490,7 +1506,7 @@ def _march4(
         gw_pair=gw_pair, fused=fused, show_steps=show_steps,
         warm_pre=warm_pre, s_seg=s_seg, vb=vb, warm_seg=int(warm_seg),
         fused_flags=fused_flags, fused_shadow=fused_shadow, sparse=sparse,
-        wm_full=int(wm_full),
+        wm_full=int(wm_full), spin_ramp=int(spin_ramp),
     )
     u32 = jnp.uint32
     i32 = jnp.int32
@@ -1546,6 +1562,7 @@ def _march4(
         "interpret", "per_ray", "raw_out", "full_height",
         "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk", "n_sc",
         "warm_gather", "s_seg", "vb", "warm_seg", "sparse_ns",
+        "spin_ramp",
     ),
 )
 def _trace_frame4(
@@ -1557,7 +1574,7 @@ def _trace_frame4(
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
     blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1, vb=1, warm_seg=1,
-    sparse_ns=0,
+    sparse_ns=0, spin_ramp=0,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel).
@@ -1678,7 +1695,7 @@ def _trace_frame4(
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
         warm_gather=warm_gather, s_seg=s_seg, vb=vb, warm_seg=warm_seg,
         n_sc=n_sc, gw_pair=gw_pair, sparse=bool(sparse_ns),
-        wm_full=_wm_full_rows(nw, sparse_ns),
+        wm_full=_wm_full_rows(nw, sparse_ns), spin_ramp=int(spin_ramp),
     )
     ids_out = None
     if warm:
