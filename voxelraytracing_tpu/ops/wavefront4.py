@@ -994,7 +994,7 @@ def _march_kernel4(
                 # inputs: no DMA issue/wait at all — just merge
                 wm_w, sm_w = wm0, sm0
                 wid_w, sid_w = wid0, sid0
-                for k in range(N_WC):
+                for k in range(N_WC if not wm_full else 0):
                     widk = warm_ref[sb, 1, k]
                     okk = widk >= 0
                     mrow = wmpw_ref[sb, k]
@@ -1422,8 +1422,6 @@ def _march4(
         assert s_seg == 1 and not grouped, (s_seg, grouped)
         assert warm_seg == 1 and not warm_gather, (warm_seg, warm_gather)
         assert not wm_full, "sparse needs the window cache (widx rows)"
-    if wm_full:
-        assert not warm_gather, "wm_full supersedes the hoisted warm path"
     ids_rows = 3 if sparse else 2
 
     def pspec(p):
