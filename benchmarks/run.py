@@ -63,11 +63,12 @@ def _report(metric, value, unit, **extra):
 
 
 def _use_v4():
-    """VOXELTPU_TRACER=v4 routes the wavefront configs through the
-    self-serving kernel (ops/wavefront4.py) instead of v3."""
+    """The wavefront configs run the self-serving v4 kernel (the
+    headline tracer) by default; VOXELTPU_TRACER=v3 selects the
+    round-serviced v3 pipeline."""
     import os
 
-    return os.environ.get("VOXELTPU_TRACER", "v3") == "v4"
+    return os.environ.get("VOXELTPU_TRACER", "v4") == "v4"
 
 
 def config1():
@@ -358,11 +359,19 @@ def config3():
     key = jax.random.PRNGKey(0)
     if _use_v4():
         # warm tokens + prepared tables, like an accumulating interactive
-        # renderer. rounds=16 converges on this scene (<=0.28% of pixels
-        # off a rounds=64 reference; quality-gated on chip). The fused
-        # one-launch PT kernel (ops/pathtrace4.py) measured ~11% SLOWER
-        # at equal quality — see its module docstring — so config3 ships
-        # the XLA route.
+        # renderer. rounds=16 converges on this scene (<=0.33% of pixels
+        # off a rounds=64 reference; quality-gated on chip —
+        # experiments/pt_compact_probe.py gate mode re-verifies). The
+        # fused one-launch PT kernel (ops/pathtrace4.py) measured ~11%
+        # SLOWER at equal quality, and every cheaper schedule tried in
+        # round 4 (tight cadences, spin ramps, direction sorting,
+        # aggressive caps) was either truncation or a wash — see
+        # experiments/RESULTS.md; round-cap + compact-resume is
+        # truncation at every tested capacity (the "straggler" population
+        # is 15% of pixels, not a tail — primary_exact_check). Shipped
+        # extra: the bounce compact-resume CLEANUP pass (runs the
+        # rounds-cap leftovers to convergence: quality net-positive,
+        # no truncation risk — overflow keeps the old capped behavior).
         from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
 
         prep = prepare_grid4(rg3)
@@ -372,6 +381,8 @@ def config3():
             img, t2 = path_trace3(
                 rg3, cam, mats, sun_pos=sun, bounces=1, samples=1,
                 key=key, step_cap=500, v4=True, prepared=prep,
+                prim_steps_per_round=256, prim_s_seg=4,
+                compact_tiles=1024,
                 cache=tok["t"], return_cache=True,
             )
             tok["t"] = t2
@@ -699,6 +710,8 @@ def config5():
             img, t2 = path_trace3(
                 rg3, cam, mats, sun_pos=sun, bounces=4, samples=1,
                 key=key, step_cap=500, v4=True, prepared=prep,
+                prim_steps_per_round=256, prim_s_seg=4,
+                compact_tiles=1024,
                 cache=tok["t"], return_cache=True,
             )
             tok["t"] = t2

@@ -211,3 +211,15 @@ def test_pt_spin_ramp_is_bitexact(diffuse_scene):
                                bounce_steps_per_round=256,
                                bounce_spin_ramp=1, **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def test_pt_primary_cap_retry_matches(diffuse_scene):
+    """Primary-leg cap + compact-resume inside the PT route is bit-exact
+    when the capacity covers the stragglers."""
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(2),
+              bounces=1, step_cap=500, v4=True, rounds=64)
+    a = np.asarray(path_trace3(rg3, CAM, mats, **kw))
+    b = np.asarray(path_trace3(rg3, CAM, mats, prim_rounds=1,
+                               prim_compact=64, **kw))
+    np.testing.assert_array_equal(a, b)

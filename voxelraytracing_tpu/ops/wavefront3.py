@@ -2381,7 +2381,7 @@ def material_lut_rows(color, emission, scatter):
         "bounce_rounds", "compact_tiles", "retry_s_ins", "retry_n_sc",
         "retry_sub_rounds", "prim_s_seg", "bounce_s_ins", "bounce_w_ins",
         "bounce_n_sc", "bounce_grouped", "bounce_s_seg", "bounce_sort",
-        "bounce_spin_ramp",
+        "bounce_spin_ramp", "prim_rounds", "prim_compact",
     ),
 )
 def _path_frame(
@@ -2397,6 +2397,7 @@ def _path_frame(
     retry_sub_rounds=None, prim_s_seg=1, bounce_s_ins=None,
     bounce_w_ins=None, bounce_n_sc=None, bounce_grouped=False,
     bounce_s_seg=1, bounce_sort=False, bounce_spin_ramp=0,
+    prim_rounds=None, prim_compact=0,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average).
 
@@ -2480,14 +2481,37 @@ def _path_frame(
             interpret=interpret, raw_out=True, warm=True,
             prepacked=prepacked,
         )
+        p_rounds = rounds if prim_rounds is None else int(prim_rounds)
         prim = _trace_frame4(
-            *a4, origin, inv_view, inv_proj, z, z, z, rounds, cap4,
+            *a4, origin, inv_view, inv_proj, z, z, z, p_rounds, cap4,
             warm_ids=warm_ids, sw_cont_pre=sw_cont_pre,
             wmeta_pre=wmeta_pre, sub_rounds=sub_rounds,
             s_seg=prim_s_seg, **k4,
         )
         ids_prim = prim[4]
         prim = prim[:4]
+        if prim_compact:
+            # primary-leg cap + compact-resume (the primary's stragglers
+            # ARE a thin tail, unlike the bounce population): bit-exact,
+            # measured -15% on the render path (primary_bench_probe)
+            from .wavefront4 import _pack_tables4 as _pt4
+            from .wavefront4 import _primary_retry4
+
+            if prepacked:
+                swc_p, wmp_p = sw_cont_pre, wmeta_pre
+            else:
+                swc_p, wmp_p = _pt4(
+                    wmeta, sw_meta, sw_solid, sw_liq, sw_pid)
+            pts, pfl, pwa, pwe = _primary_retry4(
+                prim[0], prim[1], prim[2], prim[3], origin, inv_view,
+                inv_proj, gw_jump, gw_liq, swc_p, wmp_p,
+                jnp.asarray(cap4, f32),
+                t_c=-(-int(prim_compact) // 64) * 64,
+                rounds=max(rounds, 64), sub_rounds=sub_rounds,
+                sub_steps=sub_steps, v=v, interpret=interpret,
+                width=width, height=height,
+            )
+            prim = (pts, pfl, pwa, pwe)
         b_sub_rounds = (
             sub_rounds if bounce_sub_rounds is None else bounce_sub_rounds
         )
@@ -2824,6 +2848,8 @@ def path_trace3(
     bounce_s_seg=1,
     bounce_sort=False,
     bounce_spin_ramp=0,
+    prim_rounds=None,
+    prim_compact=0,
     step_cap=None,
     interpret=None,
     v4=False,
@@ -2904,5 +2930,6 @@ def path_trace3(
         bounce_n_sc=bounce_n_sc, bounce_grouped=bool(bounce_grouped),
         bounce_s_seg=int(bounce_s_seg), bounce_sort=bool(bounce_sort),
         bounce_spin_ramp=int(bounce_spin_ramp),
+        prim_rounds=prim_rounds, prim_compact=int(prim_compact),
     )
     return out
