@@ -326,9 +326,13 @@ def config2():
         prep = prepare_grid4(rg3)
 
         def frame():
+            # fused=True with shadows runs the shadow leg INSIDE the
+            # primary launch (one kernel launch per shadowed frame,
+            # bit-exact vs the split dispatches; measured +6.6% —
+            # experiments/shadow_probe.py)
             img, tok2 = render_frame4(
                 rg3, cam, mats.color, sun_pos=sun, shadows=True,
-                rounds=64, step_cap=500, steps_per_round=256,
+                fused=True, rounds=64, step_cap=500, steps_per_round=256,
                 prepared=prep, cache=tok["t"], return_cache=True,
             )
             tok["t"] = tok2

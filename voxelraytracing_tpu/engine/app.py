@@ -492,6 +492,7 @@ class EngineApp:
                 sun_intensity=s.sun_intensity, shadows=s.shadows,
                 shadow_ambient=s.shadow_ambient,
                 show_steps=s.show_step_count, with_flags=True,
+                fused=True,   # one launch/frame; shadow leg in-kernel
                 prepared=self._v4_prepared,
                 cache=cache, return_cache=True,
             )
