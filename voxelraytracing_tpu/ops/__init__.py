@@ -16,6 +16,8 @@ from .wavefront3 import (
     unpack_rgba8,
 )
 from .wavefront4 import (
+    PreparedGrid4,
+    PreparedGrid4Sparse,
     path_trace4,
     prepare_grid4,
     render_frame4,
@@ -30,6 +32,8 @@ __all__ = [
     "build_render_grid3_host",
     "path_trace3",
     "path_trace4",
+    "PreparedGrid4",
+    "PreparedGrid4Sparse",
     "path_trace_fused4",
     "prepare_grid4",
     "render_frame3",
