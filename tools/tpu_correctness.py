@@ -118,9 +118,13 @@ def render_probe(out_path):
             (30.0, (np.degrees(ang) + 180.0) % 360.0, 0.0), eye, 70.0,
             (W, H),
         )
+        # rounds is only a safety bound (converged blocks exit early);
+        # 4x headroom keeps BOTH platforms fully converged — at 2x, one
+        # orbit view left platform-divergent unconverged residue (fp32
+        # op-order differences perturb the serve schedule near the cap)
         io, tok = render_frame4(
             rg3, cam, mats.color, sun_pos=(1000.0, 2500.0, 500.0),
-            rounds=2 * ROUNDS, fused=True, cache=tok, return_cache=True,
+            rounds=4 * ROUNDS, fused=True, cache=tok, return_cache=True,
         )
         orbit.append(io)
     # ONE D2H at the very end of the process

@@ -31,6 +31,26 @@ step cap) are identical to v3 — the executable spec of the reference
 kernel (ray_tracer.wgsl:182-291). Agreement with the v3/SVO tracers is
 pinned by tests/test_wavefront4.py.
 
+Round-4 machinery (all pixel-exact by construction or by test):
+
+  * ``wm_full`` — for worlds <=128 windows the whole interleaved
+    window-meta table rides in VMEM (16 windows per 128-lane row): no
+    window cache, serving, or warm restore at all;
+  * ``fused_shadow`` — with ``fused=True, shadows=True`` the hard-shadow
+    leg (ray_tracer's shade consumes it; _shadow_prep4 semantics) runs
+    INSIDE the primary launch: hit rays rebase toward the sun and
+    re-march on the primary leg's warm cache (one launch per frame,
+    measured +6.6% at 720p vs the split dispatches);
+  * ``_bounce_retry4`` / ``_primary_retry4`` — cap + tile-compacted
+    resume for straggler re-batching. Bit-exact ONLY when the capacity
+    covers every straggler tile; on real frames the "stragglers" under
+    aggressive caps are 15% of pixels, so shipped configs use full
+    budgets and the retry only as a convergence CLEANUP pass;
+  * ``spin_ramp`` — in-kernel spin budget grows with the round index
+    (serve-bound early, step-bound late); schedule-only;
+  * SPARSE tables (``PreparedGrid4Sparse``) — see its docstring; covers
+    the reference's 80-chunk window slider (ui.rs:165).
+
 CAUTION (axon runtime): a long in-kernel DMA loop is the pattern that once
 wedged the device tunnel (experiments/v35_virt_probe.py; see
 docs/TPU_NOTES.md). v4 avoids that probe's grid=(1,) virtualization and
