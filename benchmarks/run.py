@@ -611,6 +611,13 @@ def config4c():
         )
 
     b.prepared()  # initial full pack
+    # warm the incremental-repack programs (dirty-row scatter jits)
+    # BEFORE the timed loop: their first compile is tens of seconds on
+    # this remote-compile runtime and lands inside the first streamed
+    # column otherwise
+    c0, g0 = col_cells(0)
+    b.set_chunks(c0, g0)
+    jax.block_until_ready(b.prepared().sw_cont)
 
     def frame(tok, fx):
         rg = b.grid()                       # dirty-row upload if changed
@@ -644,11 +651,24 @@ def config4c():
             last, tok = frame(tok, fx)
             frames += 1
         jax.block_until_ready(last)         # sync once per column
+    # FICTION GUARD: this runtime can defer execution so that
+    # block_until_ready forces nothing (docs/TPU_NOTES.md, the round-1
+    # enqueue-rate fiction; observed again in round 4 as a 1376 Mrays/s
+    # reading), and conversely a device->host read after sustained
+    # dispatch can stall tens of seconds (a tunnel pathology, not frame
+    # cost). Neither bound alone is honest: report the conservative
+    # guarded number (one end-of-window D2H forces all deferred work,
+    # absorbing any one-time stall) as the metric, with the unguarded
+    # enqueue-rate bound alongside. Safe here: 4c is its own subprocess
+    # and nothing times after this.
+    dt_enq = time.perf_counter() - t0
+    assert np.asarray(last).any()
     dt = time.perf_counter() - t0
     _report(
         "config4_flythrough", frames / dt, "frames/s",
         chunks_per_s=round(chunks / dt, 1),
         mrays_per_s=round(1920 * 1080 * frames / dt / 1e6, 1),
+        fps_unguarded=round(frames / dt_enq, 1),
     )
 
     # Same fly-through at the reference slider's 80-chunk ceiling
@@ -662,6 +682,9 @@ def config4c():
         b8.set_chunks(c, gg)
     p8 = b8.prepared()
     jax.block_until_ready(p8.sw_cont)
+    c0, g0 = col_cells(0)
+    b8.set_chunks(c0, g0)          # warm the sparse dirty-repack jits
+    jax.block_until_ready(b8.prepared().sw_cont)
 
     def frame8(tok, fx):
         rg = b8.grid()
@@ -687,12 +710,15 @@ def config4c():
             last, tok = frame8(tok, fx)
             frames += 1
         jax.block_until_ready(last)
+    dt_enq = time.perf_counter() - t0
+    assert np.asarray(last).any()           # fiction guard (see above)
     dt = time.perf_counter() - t0
     _report(
         "config4_flythrough_w80", frames / dt, "frames/s",
         chunks_per_s=round(chunks / dt, 1),
         mrays_per_s=round(1920 * 1080 * frames / dt / 1e6, 1),
         tables_mb=round(b8.sparse_tables_mb(), 1),
+        fps_unguarded=round(frames / dt_enq, 1),
     )
 
 
