@@ -20,21 +20,10 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 PRIM = dict(prim_steps_per_round=256, prim_s_seg=4)
-RAMP = dict(bounce_steps_per_round=256, bounce_spin_ramp=1)
 VARIANTS = [
-    # (label, kwargs for path_trace3 on top of the shipped config3 set)
-    ("ship r16", dict()),
-    ("sort r16", dict(PRIM, bounce_sort=True)),
-    ("ramp r16", dict(PRIM, **RAMP)),
-    ("ramp+sort r16", dict(PRIM, bounce_sort=True, **RAMP)),
-    ("ramp+sort r12+c1024",
-     dict(PRIM, bounce_sort=True, bounce_rounds=12, compact_tiles=1024,
-          **RAMP)),
-    ("ramp+sort+s32 r16",
-     dict(PRIM, bounce_sort=True, bounce_s_ins=32, bounce_n_sc=32,
-          **RAMP)),
-    ("ramp ramp2 r16", dict(PRIM, bounce_steps_per_round=256,
-                            bounce_spin_ramp=2)),
+    # bounce legs back on the dynamic window cache (use_wm_full=False)
+    ("ship r16", dict(PRIM)),
+    ("ship r20", dict(PRIM, rounds=20)),
 ]
 
 
@@ -62,8 +51,8 @@ def main():
         imgs = {}
         ref = path_trace3(rg3, cam, mats, rounds=64, **base)
         for label, kw in VARIANTS:
-            imgs[label] = path_trace3(rg3, cam, mats, rounds=16,
-                                      **{**base, **kw})
+            imgs[label] = path_trace3(
+                rg3, cam, mats, **{**base, "rounds": 16, **kw})
         jax.block_until_ready(list(imgs.values()) + [ref])
         # single end-of-process D2H wave
         refn = np.asarray(ref)
@@ -102,16 +91,16 @@ def main():
 
     for label, kw in VARIANTS:
         sustained(label, lambda tok, kw=kw: path_trace3(
-            rg3, cam, mats, rounds=16, cache=tok, return_cache=True,
-            **{**base, **kw}))
+            rg3, cam, mats, cache=tok, return_cache=True,
+            **{**base, "rounds": 16, **kw}))
 
     # quality gate in the SAME process: timing is done, so the single
     # end-of-process D2H wave can no longer contaminate anything
     imgs = {}
     ref = path_trace3(rg3, cam, mats, rounds=64, **base)
     for label, kw in VARIANTS:
-        imgs[label] = path_trace3(rg3, cam, mats, rounds=16,
-                                  **{**base, **kw})
+        imgs[label] = path_trace3(
+            rg3, cam, mats, **{**base, "rounds": 16, **kw})
     jax.block_until_ready(list(imgs.values()) + [ref])
     import numpy as np
     refn = np.asarray(ref)

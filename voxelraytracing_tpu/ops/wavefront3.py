@@ -2618,12 +2618,21 @@ def _path_frame(
                     bkw["s_seg"] = int(bounce_s_seg)
                 if bounce_spin_ramp:
                     bkw["spin_ramp"] = int(bounce_spin_ramp)
+                # use_wm_full=False: the in-VMEM window table lets
+                # incoherent rays march deeper between serves, widening
+                # each round's subwindow want-set — measured 4.6x the
+                # unconverged residual at equal rounds on the bounce
+                # legs (1.32% vs 0.29%, pt_compact_probe r7) with no
+                # speed gain there; the dynamic window cache keeps the
+                # round-3 convergence schedule. The coherent PRIMARY
+                # keeps wm_full (it is part of the 156->167 Mrays/s
+                # headline gain).
                 ts, fl, wa, we, ids_prev = _trace_frame4(
                     *a4, jnp.zeros(3, f32), inv_view, inv_proj,
                     ot, dt3, alive_s, b_rounds, cap4,
                     warm_ids=ids_prev, sw_cont_pre=sw_cont_pre,
                     wmeta_pre=wmeta_pre, sub_rounds=b_sub_rounds,
-                    per_ray=True, **bkw, **k4,
+                    per_ray=True, use_wm_full=False, **bkw, **k4,
                 )
                 if bounce_sort:
                     BL = 64 * 128

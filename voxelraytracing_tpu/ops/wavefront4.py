@@ -1580,7 +1580,7 @@ def _march4(
         "interpret", "per_ray", "raw_out", "full_height",
         "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk", "n_sc",
         "warm_gather", "s_seg", "vb", "warm_seg", "sparse_ns",
-        "spin_ramp",
+        "spin_ramp", "use_wm_full",
     ),
 )
 def _trace_frame4(
@@ -1592,7 +1592,7 @@ def _trace_frame4(
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
     blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1, vb=1, warm_seg=1,
-    sparse_ns=0, spin_ramp=0,
+    sparse_ns=0, spin_ramp=0, use_wm_full=True,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel).
@@ -1713,7 +1713,8 @@ def _trace_frame4(
         s_ins=s_ins, w_ins=w_ins, grouped=grouped, warm_ids=wtok, blk=blk,
         warm_gather=warm_gather, s_seg=s_seg, vb=vb, warm_seg=warm_seg,
         n_sc=n_sc, gw_pair=gw_pair, sparse=bool(sparse_ns),
-        wm_full=_wm_full_rows(nw, sparse_ns), spin_ramp=int(spin_ramp),
+        wm_full=_wm_full_rows(nw, sparse_ns) if use_wm_full else 0,
+        spin_ramp=int(spin_ramp),
     )
     ids_out = None
     if warm:
