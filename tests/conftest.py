@@ -36,24 +36,51 @@ os.environ["VOXELTPU_COMPCACHE"] = _cache_dir  # subprocess servers too
 # programs when they compile late in the suite (~100 live executables in
 # the process; reproducible with a fresh cache and with zstandard
 # removed, so it is the serialize itself, not compression — standalone
-# runs of the same tests are fine). Exclude that family from
-# persistent-cache WRITES: never serialized -> never crashes, and reads
-# simply miss (they recompile each suite run — the suite runs them in
-# interpret mode at tiny shapes, so the loss is small) instead of
-# killing the whole run with SIGSEGV.
+# runs of the same tests are fine; round 4 also reproduced the
+# DESERIALIZE direction as a cache-READ crash on _primary_retry4).
+# Exclude that family from persistent-cache WRITES: never serialized ->
+# never crashes, and reads simply miss instead of killing the run.
+#
+# STRUCTURAL detection (round 5 — replaces a jit-name list that rotted
+# on rename): every crasher embeds the v4 self-serving Pallas march,
+# whose `pl.when` service branches lower (interpret mode) to HLO
+# `conditional` ops — absent from the whole safe v3/v1/v2 tier
+# (measured: the tiny v3 _render_frame and v4 _frame_fused4 programs
+# are both ~2.2 MB of HLO proto, so SIZE does not discriminate; the
+# opcode-set diff is exactly {conditional, dynamic-slice}). The rule:
+# skip writes for modules that are big AND carry a conditional. Big
+# benign lax.cond users are also skipped — a recompile, not a failure.
 from jax._src import compilation_cache as _cc  # noqa: E402
 
 _orig_put = _cc.put_executable_and_time
-# every jit whose program embeds a v4-family Pallas march: serialize OR
-# deserialize of these big executables segfaults PJRT-CPU late-suite
-# (reproduced again 2026-08-21 as a cache-READ crash on _primary_retry4
-# — keep this list in sync when adding jits around _march4)
-_SERIALIZE_CRASHERS = ("frame4", "fused4", "march4", "pt_frame",
-                       "path_frame", "retry4")
+
+
+_COND_RE = None
+
+
+def _embeds_kernel_conditional(executable):
+    global _COND_RE
+    try:
+        m = executable.hlo_modules()[0]
+        proto = m.as_serialized_hlo_module_proto()
+        if len(proto) <= (256 << 10):
+            return False  # small programs never hit the serializer bug
+        if _COND_RE is None:
+            import re
+
+            # opcode-anchored: `%x = ty conditional(` — metadata
+            # op_name strings don't match this shape (verified: the
+            # v3-vs-v4 opcode-set diff is exactly {conditional,
+            # dynamic-slice}; proto BYTES also contain the substring
+            # for safe v3 modules, so the text scan is required)
+            _COND_RE = re.compile(r"=\s+\S+\s+conditional\(")
+        return _COND_RE.search(m.to_string()) is not None
+    except Exception:
+        return True  # can't inspect -> don't risk the serializer
 
 
 def _safe_put(cache_key, module_name, executable, backend, compile_time):
-    if any(m in str(module_name) for m in _SERIALIZE_CRASHERS):
+    if _embeds_kernel_conditional(executable):
         return None
     return _orig_put(cache_key, module_name, executable, backend,
                      compile_time)

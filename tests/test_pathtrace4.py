@@ -200,6 +200,38 @@ def test_pt_bounce_sort_is_bitexact(diffuse_scene):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pt_bounce_rebin_is_bitexact(diffuse_scene):
+    """Global tile-level spatial re-binning of bounce rays
+    (bounce_rebin) is a pure scheduling change: whole 128-ray tiles are
+    permuted across block programs by origin-subwindow key and results
+    restore through the inverse permutation, so frames are
+    bit-identical — with and without the direction-octant subkey, the
+    synthetic warm token, and the bounce-leg wm_full table."""
+    rg3, mats = diffuse_scene
+    cam = CamData.create((30.0, 45.0, 0.0), (32.0, 40.0, 32.0), 70.0,
+                         (256, 64))
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(5),
+              bounces=1, step_cap=500, v4=True, rounds=48)
+    a = np.asarray(path_trace3(rg3, cam, mats, **kw))
+    b = np.asarray(path_trace3(rg3, cam, mats, bounce_rebin=1, **kw))
+    c = np.asarray(path_trace3(rg3, cam, mats, bounce_rebin=2,
+                               bounce_wm_full=True, **kw))
+    d = np.asarray(path_trace3(rg3, cam, mats, bounce_rebin=3, **kw))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(a, d)
+
+
+def test_pt_bounce_rebin_two_bounces(mirror_scene):
+    """Every bounce leg re-bins independently (per-leg keys + token)."""
+    rg3, mats = mirror_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(0),
+              bounces=2, step_cap=500, v4=True, rounds=64)
+    a = np.asarray(path_trace3(rg3, CAM, mats, **kw))
+    b = np.asarray(path_trace3(rg3, CAM, mats, bounce_rebin=3, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pt_spin_ramp_is_bitexact(diffuse_scene):
     """Ramped in-kernel spin budgets (short early serve-bound rounds,
     long late step-bound rounds) are schedule-only: bit-identical."""

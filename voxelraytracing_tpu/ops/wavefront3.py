@@ -2382,6 +2382,7 @@ def material_lut_rows(color, emission, scatter):
         "retry_sub_rounds", "prim_s_seg", "bounce_s_ins", "bounce_w_ins",
         "bounce_n_sc", "bounce_grouped", "bounce_s_seg", "bounce_sort",
         "bounce_spin_ramp", "prim_rounds", "prim_compact",
+        "bounce_rebin", "bounce_wm_full",
     ),
 )
 def _path_frame(
@@ -2397,7 +2398,8 @@ def _path_frame(
     retry_sub_rounds=None, prim_s_seg=1, bounce_s_ins=None,
     bounce_w_ins=None, bounce_n_sc=None, bounce_grouped=False,
     bounce_s_seg=1, bounce_sort=False, bounce_spin_ramp=0,
-    prim_rounds=None, prim_compact=0,
+    prim_rounds=None, prim_compact=0, bounce_rebin=0,
+    bounce_wm_full=False,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average).
 
@@ -2554,7 +2556,157 @@ def _path_frame(
             if bounce == 0:
                 ts, fl, wa, we = prim
             elif v4:
-                if bounce_sort:
+                rperm = None
+                if bounce_rebin:
+                    # GLOBAL tile-level spatial re-binning. The serve
+                    # cost of a bounce leg is set by each 64-tile block
+                    # program's DISTINCT-subwindow want-set: scattered
+                    # bounce rays fan one block across dozens of
+                    # subwindows, and the in-kernel cache replays a
+                    # full fetch wave per block. Block-LOCAL direction
+                    # sorting (bounce_sort) cannot shrink that set — it
+                    # only rearranges lanes within the same block. This
+                    # pass instead permutes whole 128-ray TILES across
+                    # the frame, sorting by the subwindow id of each
+                    # tile's bounce origins (adjacent pixels hit nearby
+                    # voxels, so a tile's origins share a subwindow):
+                    # after the sort, a block's tiles all start in the
+                    # same few subwindows. Tile permutation is a ROW
+                    # gather, which runs at ~HBM speed on this runtime
+                    # (unlike element gathers — docs/TPU_NOTES.md), so
+                    # the rebin costs ~2 ms of bandwidth, not a 2M-lane
+                    # sort. BIT-EXACT: marching is lane/block-placement
+                    # independent given cache contents, and results
+                    # restore through the inverse permutation (pinned
+                    # by tests/test_pathtrace4.py).
+                    i32 = jnp.int32
+                    ns_k = v // SW
+                    vxk = jnp.floor(oX).astype(i32)
+                    vyk = jnp.floor(oY).astype(i32)
+                    vzk = jnp.floor(oZ).astype(i32)
+                    s_ray = ((vxk >> 4) + (vyk >> 4) * ns_k
+                             + (vzk >> 4) * ns_k * ns_k)
+                    key_ray = jnp.where(alive, s_ray, jnp.int32(_BIGI))
+                    tkey = jnp.min(key_ray, axis=1)              # [T]
+                    if bounce_rebin >= 2:
+                        # secondary key: octant of the tile's mean
+                        # bounce direction — same-subwindow runs are
+                        # further grouped by traversal direction
+                        am = alive.astype(f32)
+                        mdx = jnp.sum(dX * am, axis=1)
+                        mdy = jnp.sum(dY * am, axis=1)
+                        mdz = jnp.sum(dZ * am, axis=1)
+                        okt = ((mdx > 0).astype(i32)
+                               + ((mdy > 0).astype(i32) << 1)
+                               + ((mdz > 0).astype(i32) << 2))
+                        skey_t = jnp.where(
+                            tkey < _BIGI, tkey * 8 + okt,
+                            jnp.int32(_BIGI))
+                    else:
+                        skey_t = tkey
+                    # (the binned leg runs with trust_active=True —
+                    # tile validity is positional in the kernel, and
+                    # permuted rays sit at arbitrary tile positions;
+                    # `alive` is already False on padded tiles, so the
+                    # caller-side mask is authoritative)
+                    rperm = jnp.argsort(skey_t, stable=True)
+                    rinv = jnp.argsort(rperm, stable=True)
+
+                    def rp(x):
+                        return jnp.take(x, rperm, axis=0)
+
+                    inv = None
+                    alive_s = rp(alive)
+                    ot = rp(jnp.stack([oX, oY, oZ], axis=-1))
+                    dt3 = rp(jnp.stack([dX, dY, dZ], axis=-1))
+                    if bounce_rebin >= 3:
+                        # ...plus an in-block LANE sort on the SPATIAL
+                        # key (sid, octant): the march serializes
+                        # INSIDE a tile too — boundary() targets ONE
+                        # subwindow per tile per cycle (at_ts), so a
+                        # tile whose diffuse lanes span K subwindows
+                        # pays K service cycles. After the row rebin a
+                        # block holds few distinct sids; this sort
+                        # makes each 128-lane tile (mostly) single-sid
+                        # and direction-coherent. (Round-4's
+                        # bounce_sort used a direction-only key and
+                        # measured a wash — the spatial half is what
+                        # shrinks the per-tile want-set.)
+                        s_rp = rp(key_ray)           # BIGI for dead
+                        dxs = dt3[..., 0]
+                        dys = dt3[..., 1]
+                        dzs = dt3[..., 2]
+                        okt_l = ((dxs > 0).astype(i32)
+                                 + ((dys > 0).astype(i32) << 1)
+                                 + ((dzs > 0).astype(i32) << 2))
+                        lkey = jnp.where(
+                            s_rp < _BIGI, s_rp * 8 + okt_l,
+                            jnp.int32(_BIGI))
+                        BL = _BLK * 128
+
+                        def br(x):
+                            return x.reshape(-1, BL)
+
+                        lidx = jnp.broadcast_to(
+                            jax.lax.broadcasted_iota(i32, (1, BL), 1),
+                            (T // _BLK, BL),
+                        )
+                        srt = jax.lax.sort(
+                            (br(lkey), lidx,
+                             br(ot[..., 0]), br(ot[..., 1]),
+                             br(ot[..., 2]), br(dxs), br(dys), br(dzs),
+                             br(alive_s.astype(i32))),
+                            dimension=-1, num_keys=1, is_stable=True,
+                        )
+                        lane_inv = srt[1]
+                        ot = jnp.stack(
+                            [x.reshape(T, 128) for x in srt[2:5]],
+                            axis=-1)
+                        dt3 = jnp.stack(
+                            [x.reshape(T, 128) for x in srt[5:8]],
+                            axis=-1)
+                        alive_s = srt[8].reshape(T, 128) != 0
+                    # Synthetic warm token from the binned keys: after
+                    # the sort, block b's want-set is (mostly) the
+                    # sorted run of sids covering its 64 tiles — sample
+                    # them at stride 64/n_sc, drop consecutive
+                    # duplicates, and hand the kernel a round-0
+                    # prefetch list. Wrong/missing entries only cost a
+                    # re-serve (warm tokens carry no geometry).
+                    skt = jnp.take(tkey, rperm)
+                    nB = T // _BLK
+                    n_sc_b = int(bounce_n_sc) if bounce_n_sc else N_SC
+                    stp_ = max(_BLK // min(n_sc_b, _BLK), 1)
+                    samp = skt.reshape(nB, _BLK)[:, ::stp_][:, :n_sc_b]
+                    samp = jnp.where(samp >= _BIGI, -1, samp)
+                    sprev = jnp.concatenate(
+                        [jnp.full((nB, 1), -1, i32), samp[:, :-1]],
+                        axis=1)
+                    samp = jnp.where(
+                        (samp == sprev) & (sprev >= 0), -1, samp)
+                    nw_k = ns_k // 4
+                    sxs = samp % ns_k
+                    sys_ = (samp // ns_k) % ns_k
+                    szs = samp // (ns_k * ns_k)
+                    wsamp = jnp.where(
+                        samp >= 0,
+                        (sxs >> 2) + (sys_ >> 2) * nw_k
+                        + (szs >> 2) * nw_k * nw_k, -1)
+                    wprev = jnp.concatenate(
+                        [jnp.full((nB, 1), -1, i32), wsamp[:, :-1]],
+                        axis=1)
+                    wrow = jnp.where(
+                        (wsamp == wprev) & (wprev >= 0), -1, wsamp
+                    )[:, :N_WC]
+
+                    def padlane(x):
+                        return jnp.pad(
+                            x, ((0, 0), (0, 128 - x.shape[1])),
+                            constant_values=-1)
+
+                    rebin_tok = jnp.stack(
+                        [padlane(samp), padlane(wrow)], axis=1)
+                elif bounce_sort:
                     # Block-level direction sort: boundary() advances
                     # ONE subwindow per TILE per sub-round, and the
                     # march is order-invariant within a tile — so
@@ -2627,14 +2779,47 @@ def _path_frame(
                 # round-3 convergence schedule. The coherent PRIMARY
                 # keeps wm_full (it is part of the 156->167 Mrays/s
                 # headline gain).
-                ts, fl, wa, we, ids_prev = _trace_frame4(
+                ts, fl, wa, we, ids_b = _trace_frame4(
                     *a4, jnp.zeros(3, f32), inv_view, inv_proj,
                     ot, dt3, alive_s, b_rounds, cap4,
-                    warm_ids=ids_prev, sw_cont_pre=sw_cont_pre,
+                    warm_ids=(rebin_tok if rperm is not None
+                              else ids_prev),
+                    sw_cont_pre=sw_cont_pre,
                     wmeta_pre=wmeta_pre, sub_rounds=b_sub_rounds,
-                    per_ray=True, use_wm_full=False, **bkw, **k4,
+                    per_ray=True, use_wm_full=bool(bounce_wm_full),
+                    trust_active=rperm is not None,
+                    **bkw, **k4,
                 )
-                if bounce_sort:
+                if rperm is None:
+                    # binned legs build their own token per leg; the
+                    # kernel's returned ids are in binned block order
+                    # and would mislead the next leg
+                    ids_prev = ids_b
+                if rperm is not None:
+                    if bounce_rebin >= 3:
+                        # lane-unsort within each block first
+                        BL = _BLK * 128
+                        uns = jax.lax.sort(
+                            (lane_inv, ts.reshape(-1, BL),
+                             fl.reshape(-1, BL), wa.reshape(-1, BL),
+                             we.reshape(-1, BL)),
+                            dimension=-1, num_keys=1, is_stable=True,
+                        )
+                        ts = uns[1].reshape(shape)
+                        fl = uns[2].reshape(shape)
+                        wa = uns[3].reshape(shape)
+                        we = uns[4].reshape(shape)
+
+                    def runsort(x):
+                        return jnp.take(x, rinv, axis=0)
+
+                    ts = runsort(ts)
+                    fl = runsort(fl)
+                    wa = runsort(wa)
+                    we = runsort(we)
+                    ot = jnp.stack([oX, oY, oZ], axis=-1)
+                    dt3 = jnp.stack([dX, dY, dZ], axis=-1)
+                elif bounce_sort:
                     BL = 64 * 128
                     uns = jax.lax.sort(
                         (inv, ts.reshape(-1, BL), fl.reshape(-1, BL),
@@ -2857,6 +3042,8 @@ def path_trace3(
     bounce_s_seg=1,
     bounce_sort=False,
     bounce_spin_ramp=0,
+    bounce_rebin=0,
+    bounce_wm_full=False,
     prim_rounds=None,
     prim_compact=0,
     step_cap=None,
@@ -2939,6 +3126,8 @@ def path_trace3(
         bounce_n_sc=bounce_n_sc, bounce_grouped=bool(bounce_grouped),
         bounce_s_seg=int(bounce_s_seg), bounce_sort=bool(bounce_sort),
         bounce_spin_ramp=int(bounce_spin_ramp),
+        bounce_rebin=int(bounce_rebin),
+        bounce_wm_full=bool(bounce_wm_full),
         prim_rounds=prim_rounds, prim_compact=int(prim_compact),
     )
     return out

@@ -1580,7 +1580,7 @@ def _march4(
         "interpret", "per_ray", "raw_out", "full_height",
         "s_ins", "w_ins", "grouped", "warm", "prepacked", "blk", "n_sc",
         "warm_gather", "s_seg", "vb", "warm_seg", "sparse_ns",
-        "spin_ramp", "use_wm_full",
+        "spin_ramp", "use_wm_full", "trust_active",
     ),
 )
 def _trace_frame4(
@@ -1592,7 +1592,7 @@ def _trace_frame4(
     per_ray=False, raw_out=False, full_height=None, y0=0.0,
     s_ins=S_INS, w_ins=W_INS, grouped=False, warm=False, prepacked=False,
     blk=_BLK, n_sc=N_SC, warm_gather=False, s_seg=1, vb=1, warm_seg=1,
-    sparse_ns=0, spin_ramp=0, use_wm_full=True,
+    sparse_ns=0, spin_ramp=0, use_wm_full=True, trust_active=False,
 ):
     """One v4 frame: a single self-serving kernel launch, then the same
     finish as v3 (palette ids are decoded in-kernel).
@@ -1681,7 +1681,14 @@ def _trace_frame4(
         oxr, oyr, ozr = ot[..., 0], ot[..., 1], ot[..., 2]
         dx, dy, dz = dt3[..., 0], dt3[..., 1], dt3[..., 2]
         rays = jnp.stack([oxr, oyr, ozr, dx, dy, dz])
-        valid = _tile_valid(tx, ty, T_pad)
+        if trust_active:
+            # caller certifies active0 is authoritative (False on padded
+            # tiles): rays may sit at ANY tile position — required by
+            # the PT route's global re-binning, which permutes rays
+            # across tiles (wavefront3._path_frame bounce_rebin)
+            valid = jnp.ones(shape, bool)
+        else:
+            valid = _tile_valid(tx, ty, T_pad)
         inside = (
             (oxr > 0.0) & (oxr < v)
             & (oyr > 0.0) & (oyr < v)
