@@ -554,24 +554,28 @@ def config4b():
             window_chunks=w, tables_mb=round(mem_mb, 1))
 
 
-def config4c():
-    """End-to-end interactive fly-through in ONE process: chunk streaming
-    (incremental RenderGrid3 install/evict + dirty-row upload) overlapped
-    with v4 fused rendering at 1080p, camera moving every frame — the
-    reference's actual config-4 scenario (client/src/world.rs:126-183
-    scrolling + main.rs:681-721 fly loop). Worldgen is pre-staged from a
-    CPU subprocess (the real engine receives chunks over TCP from the
-    server process, so generation is not part of this pipeline's cost;
-    its rate is config4a's number). Reports frames/s with chunks/s."""
+def config4ck():
+    """ONE guarded fly-through window: argv = builder window W, number of
+    streamed columns. Runs the streaming loop for that many columns
+    (4 frames/column), ends with a single D2H guard, and prints one raw
+    JSON line with the enqueue time and the guarded total. Every window
+    runs in its OWN process (spawned by config4c): the end-of-window D2H
+    both (a) forces all deferred work and (b) drops the process into the
+    permanent ~83 ms/dispatch degraded mode (docs/TPU_NOTES.md), so
+    nothing may be timed after it in the same process — round 4's W=80
+    number was measured AFTER the W=30 guard in one process and was
+    poisoned. See config4c for how the windows combine into the metric."""
     import jax
 
     from voxelraytracing_tpu.ops.camera import CamData
     from voxelraytracing_tpu.resources.packs import Resources, builtin_respack_path
     from voxelraytracing_tpu.world.render_grid import RenderGrid3Builder
-    from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4, render_frame4
+    from voxelraytracing_tpu.ops.wavefront4 import render_frame4
 
+    W = int(sys.argv[2])
+    n_cols = int(sys.argv[3])
     NX, NY, NZ = 32, 3, 8                  # staged strip (chunks)
-    W = 32                                 # builder window (chunks)
+    assert n_cols <= NX - 9
     res = Resources.load_from(builtin_respack_path())
     dp, sp = res.datapacks["terra"], res.stylepacks["terra"]
     mats = sp.material_table(dp.voxels)
@@ -593,7 +597,7 @@ def config4c():
                 grids.append(g[n])
         return cells, np.asarray(grids)
 
-    # prefill the first 8 columns (the visible slab at spawn); the 32-
+    # prefill the first 8 columns (the visible slab at spawn); the
     # window covers the whole strip, so streaming = install + upload
     # (no eviction — the engine evicts only when the window slides past
     # its own width, world.rs:58-88)
@@ -636,7 +640,6 @@ def config4c():
     jax.block_until_ready(img)
 
     frames_per_col = 4
-    n_cols = NX - 9
     chunks = 0
     frames = 0
     t0 = time.perf_counter()
@@ -651,75 +654,103 @@ def config4c():
             last, tok = frame(tok, fx)
             frames += 1
         jax.block_until_ready(last)         # sync once per column
-    # FICTION GUARD: this runtime can defer execution so that
-    # block_until_ready forces nothing (docs/TPU_NOTES.md, the round-1
-    # enqueue-rate fiction; observed again in round 4 as a 1376 Mrays/s
-    # reading), and conversely a device->host read after sustained
-    # dispatch can stall tens of seconds (a tunnel pathology, not frame
-    # cost). Neither bound alone is honest: report the conservative
-    # guarded number (one end-of-window D2H forces all deferred work,
-    # absorbing any one-time stall) as the metric, with the unguarded
-    # enqueue-rate bound alongside. Safe here: 4c is its own subprocess
-    # and nothing times after this.
-    dt_enq = time.perf_counter() - t0
-    assert np.asarray(last).any()
-    dt = time.perf_counter() - t0
+    t_enq = time.perf_counter() - t0
+    assert np.asarray(last).any()           # the single end-of-window D2H
+    t_total = time.perf_counter() - t0
+    extra = {}
+    if b.sparse:
+        extra["tables_mb"] = round(b.sparse_tables_mb(), 1)
     _report(
-        "config4_flythrough", frames / dt, "frames/s",
-        chunks_per_s=round(chunks / dt, 1),
-        mrays_per_s=round(1920 * 1080 * frames / dt / 1e6, 1),
-        fps_unguarded=round(frames / dt_enq, 1),
+        "config4ck_window", t_total, "s",
+        w=W, n_cols=n_cols, frames=frames, chunks=chunks,
+        t_enq=round(t_enq, 3), **extra,
     )
 
-    # Same fly-through at the reference slider's 80-chunk ceiling
-    # (ui.rs:165) on SPARSE packed tables — the dense tables would be
-    # ~15 GB and never fit the chip.
-    W8 = 80
-    b8 = RenderGrid3Builder(W8, mats, world_min=np.asarray(mn) * 32)
-    assert b8.sparse
-    for i in range(8):
-        c, gg = col_cells(i)
-        b8.set_chunks(c, gg)
-    p8 = b8.prepared()
-    jax.block_until_ready(p8.sw_cont)
-    c0, g0 = col_cells(0)
-    b8.set_chunks(c0, g0)          # warm the sparse dirty-repack jits
-    jax.block_until_ready(b8.prepared().sw_cont)
 
-    def frame8(tok, fx):
-        rg = b8.grid()
-        return render_frame4(
-            rg, cam_at(fx), lut, rounds=64, step_cap=500,
-            steps_per_round=256, prepared=b8.prepared(), cache=tok,
-            return_cache=True, fused=True,
+def config4c():
+    """End-to-end interactive fly-through (chunk streaming — incremental
+    RenderGrid3 install + dirty-row upload — overlapped with v4 fused
+    1080p rendering, camera moving every frame: the reference's actual
+    config-4 scenario, client/src/world.rs:126-183 scrolling +
+    main.rs:681-721 fly loop), measured with a SLOPE instrument.
+
+    Why not a single timed window: on this runtime the two obvious
+    instruments disagree by up to 150x on streaming workloads — the
+    unguarded enqueue rate can be fiction (deferred execution;
+    block_until_ready forces nothing), and a guarded window's single
+    end-of-window D2H can stall for a minute for reasons unrelated to
+    frame cost (docs/TPU_NOTES.md). The slope instrument runs the SAME
+    guarded window at a SHORT and a LONG column count in FRESH processes
+    (config4ck) and takes per-frame cost from the difference:
+
+        fps = (frames_L - frames_S) / (t_L - t_S)
+
+    Whatever part of the D2H stall is frame-count-independent cancels in
+    the difference; whatever part scales with frames IS deferred frame
+    work and is correctly billed. Two repeats of each length give 4
+    pairwise slopes — reported as median with min/max spread, with every
+    raw window and the enqueue-rate bound alongside."""
+    import itertools
+    import os
+    import subprocess
+
+    reps = int(os.environ.get("VOXELTPU_FLY_REPS", "2"))
+    S_COLS, L_COLS = 6, 23
+    for w, metric in ((32, "config4_flythrough"),
+                      (80, "config4_flythrough_w80")):
+        runs = {S_COLS: [], L_COLS: []}
+        for n_cols in (S_COLS, L_COLS):
+            for _ in range(reps):
+                r = subprocess.run(
+                    [sys.executable, __file__, "4ck", str(w), str(n_cols)],
+                    capture_output=True, text=True, timeout=3600,
+                )
+                rec = None
+                for ln in (r.stdout or "").splitlines():
+                    try:
+                        d = json.loads(ln)
+                    except ValueError:
+                        continue
+                    if d.get("metric") == "config4ck_window":
+                        rec = d
+                if rec is None:
+                    print(json.dumps({
+                        "metric": metric, "error":
+                        f"window rc={r.returncode}",
+                        "stderr": (r.stderr or "")[-400:]}),
+                        file=sys.stderr)
+                    continue
+                runs[n_cols].append(rec)
+        if not runs[S_COLS] or not runs[L_COLS]:
+            raise RuntimeError(f"flythrough w={w}: missing windows")
+        slopes = []          # frames/s from each (short, long) pairing
+        for s, l in itertools.product(runs[S_COLS], runs[L_COLS]):
+            df = l["frames"] - s["frames"]
+            dt = l["value"] - s["value"]
+            if dt > 0:
+                slopes.append(df / dt)
+        slopes.sort()
+        fps = slopes[len(slopes) // 2]
+        long0 = runs[L_COLS][0]
+        fps_enq = long0["frames"] / long0["t_enq"]
+        chunks_per_frame = long0["chunks"] / long0["frames"]
+        extra = {}
+        if "tables_mb" in long0:
+            extra["tables_mb"] = long0["tables_mb"]
+        _report(
+            metric, fps, "frames/s",
+            method="slope",
+            slope_spread=[round(slopes[0], 2), round(slopes[-1], 2)],
+            chunks_per_s=round(fps * chunks_per_frame, 1),
+            mrays_per_s=round(1920 * 1080 * fps / 1e6, 1),
+            fps_unguarded=round(fps_enq, 1),
+            windows=[
+                {"n_cols": k, "t_total": round(r["value"], 3),
+                 "t_enq": r["t_enq"], "frames": r["frames"]}
+                for k in (S_COLS, L_COLS) for r in runs[k]
+            ],
+            **extra,
         )
-
-    img, tok = frame8(None, 1.0)
-    img, tok = frame8(tok, 1.0)
-    jax.block_until_ready(img)
-    chunks = frames = 0
-    t0 = time.perf_counter()
-    fx = 1.0
-    last = img
-    for col in range(8, 8 + n_cols):
-        cells, gg = col_cells(col)
-        b8.set_chunks(cells, gg)
-        chunks += len(cells)
-        for f in range(frames_per_col):
-            fx += 0.25
-            last, tok = frame8(tok, fx)
-            frames += 1
-        jax.block_until_ready(last)
-    dt_enq = time.perf_counter() - t0
-    assert np.asarray(last).any()           # fiction guard (see above)
-    dt = time.perf_counter() - t0
-    _report(
-        "config4_flythrough_w80", frames / dt, "frames/s",
-        chunks_per_s=round(chunks / dt, 1),
-        mrays_per_s=round(1920 * 1080 * frames / dt / 1e6, 1),
-        tables_mb=round(b8.sparse_tables_mb(), 1),
-        fps_unguarded=round(frames / dt_enq, 1),
-    )
 
 
 def config5():
@@ -772,7 +803,7 @@ def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     configs = {
         "1": config1, "2": config2, "3": config3, "4": config4, "5": config5,
-        "4a": config4a, "4b": config4b, "4c": config4c,
+        "4a": config4a, "4b": config4b, "4c": config4c, "4ck": config4ck,
     }
     if which == "all":
         # each config in its own process: config1 pins the CPU backend and

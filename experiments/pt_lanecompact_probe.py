@@ -1,0 +1,116 @@
+"""Config3 (1080p 1-bounce PT) LANE-compacted straggler retry probe.
+
+Round-4/5 established that the bounce leg's ~85 ms is NOT serve
+incoherence (wm_full, block direction sort, and global tile re-binning
+all measured neutral-to-worse — experiments/RESULTS.md, pt_rebin_probe)
+but the straggler TAIL: an early cap leaves ~15% of rays active spread
+so thinly that >50% of tiles hold one, so tile-granular compaction
+cannot compress and uncapped legs spin most blocks for the full round
+budget. compact_lanes packs active rays to each block's leading tiles
+with a per-block lane sort FIRST, making the tile compaction collapse
+15%-of-rays into ~16%-of-tiles — a dense straggler resume launch.
+
+  time mode (default): sustained ms/frame per variant, NO device
+      readback at any point (docs/TPU_NOTES.md D2H poison).
+  gate mode (`gate` arg): renders one frame per variant plus rounds=64
+      AND rounds=256 references (VERDICT r4 item 6: validate the r64
+      gate), single end-of-process D2H wave, reports frac >1/255.
+
+Run: PYTHONPATH=/root/repo timeout 2400 python experiments/pt_lanecompact_probe.py [gate]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+PRIM = dict(prim_steps_per_round=256, prim_s_seg=4)
+LC = dict(compact_lanes=True)
+VARIANTS = [
+    ("ship r16", dict(PRIM)),
+    ("cap2 lc3072", dict(PRIM, bounce_rounds=2, compact_tiles=3072, **LC)),
+    ("cap3 lc2048", dict(PRIM, bounce_rounds=3, compact_tiles=2048, **LC)),
+    ("cap4 lc1536", dict(PRIM, bounce_rounds=4, compact_tiles=1536, **LC)),
+    ("cap2 lc3072 sins64", dict(PRIM, bounce_rounds=2, compact_tiles=3072,
+                                retry_s_ins=64, **LC)),
+]
+
+
+def main():
+    gate = len(sys.argv) > 1 and sys.argv[1] == "gate"
+
+    import jax
+
+    from benchmarks.run import _preset_world3
+    from voxelraytracing_tpu.ops.camera import CamData
+    from voxelraytracing_tpu.ops.wavefront3 import path_trace3
+    from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
+
+    print(f"# devices={jax.devices()}", flush=True)
+    rg3, mats, eye = _preset_world3(8)
+    cam = CamData.create((30.0, 45.0, 0.0), eye, 70.0, (1920, 1080))
+    sun = (eye[0] + 900, 2500.0, eye[2] + 300)
+    key = jax.random.PRNGKey(0)
+    prep = prepare_grid4(rg3)
+    base = dict(sun_pos=sun, bounces=1, samples=1, key=key, step_cap=500,
+                v4=True, prepared=prep)
+
+    if gate:
+        import numpy as np
+
+        imgs = {}
+        ref = path_trace3(rg3, cam, mats, rounds=64, **base)
+        ref256 = path_trace3(rg3, cam, mats, rounds=256, **base)
+        for label, kw in VARIANTS:
+            imgs[label] = path_trace3(
+                rg3, cam, mats, **{**base, "rounds": 16, **kw})
+        jax.block_until_ready(list(imgs.values()) + [ref, ref256])
+        refn = np.asarray(ref)
+        ref256n = np.asarray(ref256)
+        d = np.abs(refn - ref256n).max(axis=-1)
+        print(f"# gate r64-vs-r256: frac>1/255 = "
+              f"{float((d > 1.0 / 255.0).mean()):.6f}  "
+              f"max = {float(d.max()):.6f}", flush=True)
+        for label, _ in VARIANTS:
+            v = np.asarray(imgs[label])
+            d = np.abs(v - refn).max(axis=-1)
+            d256 = np.abs(v - ref256n).max(axis=-1)
+            print(f"# gate {label}: frac>1/255 vs r64 = "
+                  f"{float((d > 1.0 / 255.0).mean()):.5f}  vs r256 = "
+                  f"{float((d256 > 1.0 / 255.0).mean()):.5f}", flush=True)
+        return
+
+    def sustained(label, mk):
+        tok = {"t": None}
+
+        def one():
+            img, t2 = mk(tok["t"])
+            tok["t"] = t2
+            return img
+
+        r = one()
+        r = one()
+        jax.block_until_ready(r)
+        frames = 0
+        t0 = time.perf_counter()
+        while True:
+            for _ in range(8):
+                r = one()
+            frames += 8
+            jax.block_until_ready(r)
+            el = time.perf_counter() - t0
+            if el > 3.0 and frames >= 16:
+                break
+        ms = el / frames * 1e3
+        mr = 2 * 1920 * 1080 / (el / frames) / 1e6
+        print(f"# {label}: {ms:.2f} ms/frame  ({mr:.1f} Mrays/s)",
+              flush=True)
+
+    for label, kw in VARIANTS:
+        sustained(label, lambda tok, kw=kw: path_trace3(
+            rg3, cam, mats, cache=tok, return_cache=True,
+            **{**base, "rounds": 16, **kw}))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,6 +170,36 @@ def test_pt_compact_retry_specular_two_bounces(mirror_scene):
     np.testing.assert_array_equal(a, b)
 
 
+def test_pt_compact_lanes_matches_uncapped(diffuse_scene):
+    """Lane-level compaction (compact_lanes: per-block active-first lane
+    sort before the tile compaction, wavefront4._bounce_retry4
+    lane_compact) is bit-exact vs a plain high-rounds leg: the sort is a
+    pure placement change (marching is lane-placement-independent given
+    cache contents) and results restore through the carried index. A
+    tiny capacity that would overflow at tile granularity suffices once
+    lanes are packed."""
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(3),
+              bounces=1, step_cap=500, v4=True)
+    a = np.asarray(path_trace3(rg3, CAM, mats, rounds=64, **kw))
+    b = np.asarray(path_trace3(rg3, CAM, mats, rounds=64,
+                               bounce_rounds=2, compact_tiles=64,
+                               compact_lanes=True, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pt_compact_lanes_specular_two_bounces(mirror_scene):
+    """Lane compaction composes with multi-leg capped bounces."""
+    rg3, mats = mirror_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(0),
+              bounces=2, step_cap=500, v4=True)
+    a = np.asarray(path_trace3(rg3, CAM, mats, rounds=64, **kw))
+    b = np.asarray(path_trace3(rg3, CAM, mats, rounds=64,
+                               bounce_rounds=2, compact_tiles=64,
+                               compact_lanes=True, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pt_compact_partial_capacity_shapes(diffuse_scene):
     """A compaction capacity smaller than the tile count exercises the
     partial gather/scatter path; with an uncapped first leg the retry is

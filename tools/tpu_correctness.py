@@ -21,12 +21,16 @@ fused shade) and the 1-bounce path tracer on its v4 route (path_trace3
 v4=True). Pass criteria: hit masks ≤0.2% apart (fp32 order of ops
 differs between Mosaic and the CPU path at grazing boundaries), voxel ids
 exact where both hit, shaded RGBA8 within 2/255 on ≥99.8% of pixels;
-path-traced radiance within 2/255 on ≥98% of pixels. The PT bound is
-looser than the primary-ray bound because a bounce AMPLIFIES fp32
-order-of-ops divergence chaotically: a 1-ulp difference in the primary
-hit t puts the scatter origin in a different voxel cell, and the whole
-secondary path differs — measured on-chip: terrain cam 98.9% exact-ish,
-sky/water cams 100%, primary-ray products bit-identical.
+path-traced radiance within 2/255 on ≥99.5% of pixels. The PT bound is
+slightly looser than the primary-ray bound because a bounce AMPLIFIES
+fp32 order-of-ops divergence chaotically: a 1-ulp difference in the
+primary hit t can move the scatter origin across a voxel boundary, and
+the whole secondary path differs. The dominant instance of this — the
+hit point lying exactly ON an integer voxel face in the crossing axis,
+where floor() is knife-edge — is now killed deterministically by
+snapping that coordinate to its integer face before the bounce rebase
+(wavefront3._path_frame / pathtrace4, round-5); the residual is rays
+whose secondary march grazes other cell boundaries.
 """
 
 import json
@@ -180,7 +184,7 @@ def compare(tpu_path, cpu_path):
         pt_frac_ok = float((dpt <= 2.0 / 255.0).mean())
         cam_ok = (
             hit_mm <= 0.002 and vox_mm == 0 and img_frac_ok >= 0.998
-            and img4_frac_ok >= 0.998 and pt_frac_ok >= 0.98
+            and img4_frac_ok >= 0.998 and pt_frac_ok >= 0.995
         )
         ok &= cam_ok
         report["cams"].append(

@@ -652,10 +652,25 @@ def _pt_kernel4(
         ndy = jnp.where(okn, ndy / nnm, ny)
         ndz = jnp.where(okn, ndz / nnm, nz)
 
-        # rebase: new origin at the hit point, nudged along the normal
-        pxh = ox + dX * t + nx * _EPS_N
-        pyh = oy + dY * t + ny * _EPS_N
-        pzh = oz + dZ * t + nz * _EPS_N
+        # rebase: new origin at the hit point, nudged along the normal.
+        # The crossing-axis coordinate is snapped to its integer face
+        # first (floor(x+0.5), bit-identical to wavefront3._path_frame's
+        # rebase): the hit point lies ON that face by construction, so
+        # an unsnapped floor() downstream is knife-edge under 1-ulp
+        # cross-platform t differences — the PT chaos documented in
+        # tools/tpu_correctness.py.
+        pxh = ox + dX * t
+        pyh = oy + dY * t
+        pzh = oz + dZ * t
+        pxh = jnp.where(
+            ((axm >> 0) & 1) != 0, jnp.floor(pxh + 0.5), pxh)
+        pyh = jnp.where(
+            ((axm >> 1) & 1) != 0, jnp.floor(pyh + 0.5), pyh)
+        pzh = jnp.where(
+            ((axm >> 2) & 1) != 0, jnp.floor(pzh + 0.5), pzh)
+        pxh = pxh + nx * _EPS_N
+        pyh = pyh + ny * _EPS_N
+        pzh = pzh + nz * _EPS_N
         ox = jnp.where(bounce, pxh, ox)
         oy = jnp.where(bounce, pyh, oy)
         oz = jnp.where(bounce, pzh, oz)

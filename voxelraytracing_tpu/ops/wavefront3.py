@@ -2382,7 +2382,7 @@ def material_lut_rows(color, emission, scatter):
         "retry_sub_rounds", "prim_s_seg", "bounce_s_ins", "bounce_w_ins",
         "bounce_n_sc", "bounce_grouped", "bounce_s_seg", "bounce_sort",
         "bounce_spin_ramp", "prim_rounds", "prim_compact",
-        "bounce_rebin", "bounce_wm_full",
+        "bounce_rebin", "bounce_wm_full", "compact_lanes",
     ),
 )
 def _path_frame(
@@ -2399,7 +2399,7 @@ def _path_frame(
     bounce_w_ins=None, bounce_n_sc=None, bounce_grouped=False,
     bounce_s_seg=1, bounce_sort=False, bounce_spin_ramp=0,
     prim_rounds=None, prim_compact=0, bounce_rebin=0,
-    bounce_wm_full=False,
+    bounce_wm_full=False, compact_lanes=False,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average).
 
@@ -2846,6 +2846,7 @@ def _path_frame(
                         sub_steps=sub_steps,
                         v=v, interpret=interpret,
                         s_ins=retry_s_ins, n_sc=retry_n_sc,
+                        lane_compact=compact_lanes,
                     )
             else:
                 ot = jnp.stack([oX, oY, oZ], axis=-1)
@@ -2982,10 +2983,33 @@ def _path_frame(
             ndy = jnp.where(ok, ndy / nnm, ny)
             ndz = jnp.where(ok, ndz / nnm, nz)
 
+            # Rebase at the hit point. The crossing-axis coordinate of
+            # o + d*t lies ON an integer voxel face BY CONSTRUCTION (t
+            # solves the face crossing), so floor() of it downstream is
+            # knife-edge: a 1-ulp cross-platform difference in t moves
+            # the scatter origin into a different voxel cell and the
+            # whole secondary path diverges chaotically (the on-chip PT
+            # pixel-agreement gap, tools/tpu_correctness.py). Snap that
+            # coordinate to its integer face — round() is maximally
+            # STABLE exactly where floor() is maximally fragile — before
+            # the eps nudge, making the scatter origin platform-stable.
+            # floor(x+0.5) (not jnp.round) so the fused kernel
+            # (ops/pathtrace4.py, Mosaic) can use the bit-identical
+            # formula. Bit-exactness across routes is pinned by
+            # tests/test_pathtrace4.py.
             eps = 4.0 * 1e-3
-            oX = oX + dX * ts + nx * eps
-            oY = oY + dY * ts + ny * eps
-            oZ = oZ + dZ * ts + nz * eps
+            px = oX + dX * ts
+            py = oY + dY * ts
+            pz = oZ + dZ * ts
+            px = jnp.where(
+                ((ax >> 0) & 1) != 0, jnp.floor(px + 0.5), px)
+            py = jnp.where(
+                ((ax >> 1) & 1) != 0, jnp.floor(py + 0.5), py)
+            pz = jnp.where(
+                ((ax >> 2) & 1) != 0, jnp.floor(pz + 0.5), pz)
+            oX = px + nx * eps
+            oY = py + ny * eps
+            oZ = pz + nz * eps
             dX, dY, dZ = ndx, ndy, ndz
 
         return lr, lg, lb
@@ -3044,6 +3068,7 @@ def path_trace3(
     bounce_spin_ramp=0,
     bounce_rebin=0,
     bounce_wm_full=False,
+    compact_lanes=False,
     prim_rounds=None,
     prim_compact=0,
     step_cap=None,
@@ -3128,6 +3153,7 @@ def path_trace3(
         bounce_spin_ramp=int(bounce_spin_ramp),
         bounce_rebin=int(bounce_rebin),
         bounce_wm_full=bool(bounce_wm_full),
+        compact_lanes=bool(compact_lanes),
         prim_rounds=prim_rounds, prim_compact=int(prim_compact),
     )
     return out

@@ -1769,14 +1769,14 @@ def _trace_frame4(
     jax.jit,
     static_argnames=(
         "t_c", "rounds", "sub_rounds", "sub_steps", "v", "interpret",
-        "s_ins", "w_ins", "n_sc", "s_seg",
+        "s_ins", "w_ins", "n_sc", "s_seg", "lane_compact",
     ),
 )
 def _bounce_retry4(
     ts, fl, wa, we, ot, dt3, gw_jump, gw_liq, sw_cont, wmeta_pad,
     step_cap,
     *, t_c, rounds, sub_rounds, sub_steps, v, interpret,
-    s_ins=32, w_ins=W_INS, n_sc=64, s_seg=1,
+    s_ins=32, w_ins=W_INS, n_sc=64, s_seg=1, lane_compact=False,
 ):
     """Compact-and-resume pass for rays left unconverged by a capped leg.
 
@@ -1798,12 +1798,55 @@ def _bounce_retry4(
         incoherent wants;
       * results row-scatter back over the full-frame planes.
 
+    ``lane_compact``: when the straggler POPULATION is large (an early
+    bounce-leg cap leaves ~15% of rays active, scattered so thinly that
+    >50% of tiles hold at least one — tile compaction alone cannot
+    compress that, experiments/RESULTS.md), first run a per-block
+    active-first LANE sort ([T/64, 64*128] multi-operand lax.sort — no
+    element gathers): active rays pack into each block's leading tiles,
+    so the tile compaction above collapses 15%-of-rays from ~55% of
+    tiles into ~16% of tiles. Results lane-unsort through the carried
+    index after the row scatter-back. Bit-exact for the same reason the
+    rebin/sort passes are: marching is lane-placement-independent given
+    cache contents (pinned by tests/test_pathtrace4.py).
+
     Marching is cache-content-deterministic, so resume-after-cap equals
     one uncapped march bit-exactly (pinned by tests/test_pathtracer.py).
     Overflow beyond ``t_c`` keeps its capped state (rare; shades as the
     rounds-cap miss, same as before this pass existed).
     """
     f32, i32 = jnp.float32, jnp.int32
+    lane_inv = None
+    if lane_compact:
+        T = ts.shape[0]
+        # sort granularity = the kernel's 64-tile block when the frame
+        # is block-shaped; small (test) frames sort as one span — any
+        # placement is equally correct, only locality differs
+        blt = 64 if T % 64 == 0 else T
+        BL = blt * 128
+        nB = T // blt
+
+        def br(x):
+            return x.reshape(nB, BL)
+
+        lkey = jnp.where((fl & 1) != 0, 0, 1).astype(i32)
+        lidx = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(i32, (1, BL), 1), (nB, BL)
+        )
+        srt = jax.lax.sort(
+            (br(lkey), lidx, br(ts), br(fl), br(wa), br(we),
+             br(ot[..., 0]), br(ot[..., 1]), br(ot[..., 2]),
+             br(dt3[..., 0]), br(dt3[..., 1]), br(dt3[..., 2])),
+            dimension=-1, num_keys=1, is_stable=True,
+        )
+        lane_inv = srt[1]
+        shp = (T, 128)
+        ts = srt[2].reshape(shp)
+        fl = srt[3].reshape(shp)
+        wa = srt[4].reshape(shp)
+        we = srt[5].reshape(shp)
+        ot = jnp.stack([x.reshape(shp) for x in srt[6:9]], axis=-1)
+        dt3 = jnp.stack([x.reshape(shp) for x in srt[9:12]], axis=-1)
     act = (fl & 1) != 0
     tile_bad = jnp.any(act, axis=1)
     order = jnp.argsort(
@@ -1849,12 +1892,26 @@ def _bounce_retry4(
         s_seg=s_seg, wm_full=_wm_full_rows(nw),
     )
     fl2 = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
-    return (
-        ts.at[sel].set(st[0]),
-        fl.at[sel].set(fl2),
-        wa.at[sel].set(st[2]),
-        we.at[sel].set(st[3]),
-    )
+    ts = ts.at[sel].set(st[0])
+    fl = fl.at[sel].set(fl2)
+    wa = wa.at[sel].set(st[2])
+    we = we.at[sel].set(st[3])
+    if lane_inv is not None:
+        T = ts.shape[0]
+        blt = 64 if T % 64 == 0 else T
+        BL = blt * 128
+        nB = T // blt
+        uns = jax.lax.sort(
+            (lane_inv, ts.reshape(nB, BL), fl.reshape(nB, BL),
+             wa.reshape(nB, BL), we.reshape(nB, BL)),
+            dimension=-1, num_keys=1, is_stable=True,
+        )
+        shp = (T, 128)
+        ts = uns[1].reshape(shp)
+        fl = uns[2].reshape(shp)
+        wa = uns[3].reshape(shp)
+        we = uns[4].reshape(shp)
+    return (ts, fl, wa, we)
 
 
 @partial(
