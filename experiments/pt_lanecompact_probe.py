@@ -25,14 +25,22 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 PRIM = dict(prim_steps_per_round=256, prim_s_seg=4)
-LC = dict(compact_lanes=True)
+# round-1 findings (2026-08-21): ship 113.2 ms; active-key lane compact:
+#   cap2 lc3072 89.3 / cap3 lc2048 83.4 / cap4 lc1536 84.2 /
+#   cap2 lc3072 sins64 99.5 — lane compaction is the first real config3
+#   win (36.6 -> 49.7 Mrays/s); wider retry serve hurts.
+# round-2 findings: spatial key loses to the plain active key (87.3 vs
+# 83.2 ms — the wider sort key costs more than resume coherence buys);
+# the primary cap+compact stacks (sp+pc512: 79.7). Round 3 sweeps spin
+# budgets on the active-key + prim-compact combo.
+BASEBEST = dict(PRIM, bounce_rounds=3, compact_tiles=2048,
+                compact_lanes=1, prim_rounds=2, prim_compact=512)
 VARIANTS = [
-    ("ship r16", dict(PRIM)),
-    ("cap2 lc3072", dict(PRIM, bounce_rounds=2, compact_tiles=3072, **LC)),
-    ("cap3 lc2048", dict(PRIM, bounce_rounds=3, compact_tiles=2048, **LC)),
-    ("cap4 lc1536", dict(PRIM, bounce_rounds=4, compact_tiles=1536, **LC)),
-    ("cap2 lc3072 sins64", dict(PRIM, bounce_rounds=2, compact_tiles=3072,
-                                retry_s_ins=64, **LC)),
+    ("best", dict(BASEBEST)),
+    ("best rspr128", dict(BASEBEST, retry_steps_per_round=128)),
+    ("best rspr256", dict(BASEBEST, retry_steps_per_round=256)),
+    ("best bspr64", dict(BASEBEST, bounce_steps_per_round=64)),
+    ("best bspr32", dict(BASEBEST, bounce_steps_per_round=32)),
 ]
 
 

@@ -67,6 +67,18 @@ def main():
         ("sh cap16+c1024", dict(base, shadows=True, shadow_rounds=16,
                                 compact_tiles=1024)),
         ("sh seg4", dict(base, shadows=True, s_seg=4)),
+        # round 5: lane-compacted shadow retry (active lanes packed to
+        # the block front before tile compaction — big straggler
+        # populations compress; see _bounce_retry4 lane_compact)
+        ("sh cap2+lc1536 seg4", dict(base, shadows=True, shadow_rounds=2,
+                                     compact_tiles=1536,
+                                     compact_lanes=True, s_seg=4)),
+        ("sh cap4+lc1024 seg4", dict(base, shadows=True, shadow_rounds=4,
+                                     compact_tiles=1024,
+                                     compact_lanes=True, s_seg=4)),
+        ("sh cap8+lc768 seg4", dict(base, shadows=True, shadow_rounds=8,
+                                    compact_tiles=768,
+                                    compact_lanes=True, s_seg=4)),
         ("primary only (fused)", dict(base, fused=True, s_seg=4)),
         ("primary only (split)", dict(base)),
     ]:

@@ -186,6 +186,12 @@ def test_pt_compact_lanes_matches_uncapped(diffuse_scene):
                                bounce_rounds=2, compact_tiles=64,
                                compact_lanes=True, **kw))
     np.testing.assert_array_equal(a, b)
+    # spatial sort key (compact_lanes=2): same compaction, coherent
+    # resume tiles — still a pure placement change
+    c = np.asarray(path_trace3(rg3, CAM, mats, rounds=64,
+                               bounce_rounds=2, compact_tiles=64,
+                               compact_lanes=2, **kw))
+    np.testing.assert_array_equal(a, c)
 
 
 def test_pt_compact_lanes_specular_two_bounces(mirror_scene):

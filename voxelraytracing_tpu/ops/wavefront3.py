@@ -3153,7 +3153,7 @@ def path_trace3(
         bounce_spin_ramp=int(bounce_spin_ramp),
         bounce_rebin=int(bounce_rebin),
         bounce_wm_full=bool(bounce_wm_full),
-        compact_lanes=bool(compact_lanes),
+        compact_lanes=int(compact_lanes),
         prim_rounds=prim_rounds, prim_compact=int(prim_compact),
     )
     return out

@@ -1829,7 +1829,30 @@ def _bounce_retry4(
         def br(x):
             return x.reshape(nB, BL)
 
-        lkey = jnp.where((fl & 1) != 0, 0, 1).astype(i32)
+        if lane_compact >= 2:
+            # spatial key: actives sort by (current subwindow, direction
+            # octant) — same sort cost as the plain active key, but the
+            # compacted resume tiles come out spatially coherent, so the
+            # resume launch's per-tile serve want-sets shrink. (Dead
+            # lanes still sink to the back: their key is BIG.)
+            n_sub = sw_cont.shape[0]
+            ns_k = int(round(n_sub ** (1 / 3)))
+            while ns_k * ns_k * ns_k < n_sub:
+                ns_k += 1
+            px = ot[..., 0] + dt3[..., 0] * ts
+            py = ot[..., 1] + dt3[..., 1] * ts
+            pz = ot[..., 2] + dt3[..., 2] * ts
+            sx = jnp.clip(jnp.floor(px).astype(i32) >> 4, 0, ns_k - 1)
+            sy = jnp.clip(jnp.floor(py).astype(i32) >> 4, 0, ns_k - 1)
+            sz = jnp.clip(jnp.floor(pz).astype(i32) >> 4, 0, ns_k - 1)
+            sid = sx + sy * ns_k + sz * ns_k * ns_k
+            okt = ((dt3[..., 0] > 0).astype(i32)
+                   + ((dt3[..., 1] > 0).astype(i32) << 1)
+                   + ((dt3[..., 2] > 0).astype(i32) << 2))
+            lkey = jnp.where(
+                (fl & 1) != 0, sid * 8 + okt, jnp.int32(_BIGI))
+        else:
+            lkey = jnp.where((fl & 1) != 0, 0, 1).astype(i32)
         lidx = jnp.broadcast_to(
             jax.lax.broadcasted_iota(i32, (1, BL), 1), (nB, BL)
         )
@@ -1918,14 +1941,14 @@ def _bounce_retry4(
     jax.jit,
     static_argnames=(
         "t_c", "rounds", "sub_rounds", "sub_steps", "v", "interpret",
-        "width", "height", "s_ins", "w_ins", "n_sc",
+        "width", "height", "s_ins", "w_ins", "n_sc", "lane_compact",
     ),
 )
 def _primary_retry4(
     ts, fl, wa, we, origin, inv_view, inv_proj, gw_jump, gw_liq,
     sw_cont, wmeta_pad, step_cap,
     *, t_c, rounds, sub_rounds, sub_steps, v, interpret, width, height,
-    s_ins=32, w_ins=W_INS, n_sc=64,
+    s_ins=32, w_ins=W_INS, n_sc=64, lane_compact=False,
 ):
     """Primary-leg flavor of :func:`_bounce_retry4`: the primary march
     synthesizes rays in-kernel, so the resume launch re-derives them
@@ -1951,7 +1974,7 @@ def _primary_retry4(
         ts, fl, wa, we, ot, dt3, gw_jump, gw_liq, sw_cont, wmeta_pad,
         step_cap, t_c=t_c, rounds=rounds, sub_rounds=sub_rounds,
         sub_steps=sub_steps, v=v, interpret=interpret, s_ins=s_ins,
-        w_ins=w_ins, n_sc=n_sc,
+        w_ins=w_ins, n_sc=n_sc, lane_compact=lane_compact,
     )
 
 
@@ -2361,6 +2384,7 @@ def render_frame4(
     shadow_rounds=None,
     compact_tiles=0,
     primary_rounds=None,
+    compact_lanes=False,
 ):
     """One shaded frame through the v4 self-serving path -> u32[H,W] RGBA8.
 
@@ -2493,6 +2517,7 @@ def render_frame4(
             t_c=-(-int(compact_tiles) // 64) * 64, rounds=rounds,
             sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
             interpret=bool(interpret), width=width, height=height,
+            lane_compact=int(compact_lanes),
         )
 
     sh_fl = fl  # unused when shadows=False (static in _shade_fin4)
@@ -2525,6 +2550,7 @@ def render_frame4(
                 t_c=-(-int(compact_tiles) // 64) * 64, rounds=rounds,
                 sub_rounds=sub_rounds, sub_steps=sub_steps, v=v,
                 interpret=bool(interpret),
+                lane_compact=int(compact_lanes),
             )
     else:
         ids_s = wc_s  # no shadow pass: pass the caller's token through
