@@ -33,14 +33,30 @@ PRIM = dict(prim_steps_per_round=256, prim_s_seg=4)
 # 83.2 ms — the wider sort key costs more than resume coherence buys);
 # the primary cap+compact stacks (sp+pc512: 79.7). Round 3 sweeps spin
 # budgets on the active-key + prim-compact combo.
+# round-3: best 75.95; rspr128/256 hurt (79/83); bspr64 78.3;
+# bspr32 75.4 — tighter capped-leg spin helps (stragglers land in the
+# resume anyway). Round 4: push cadence/cap further + a prim-only
+# breakdown leg.
 BASEBEST = dict(PRIM, bounce_rounds=3, compact_tiles=2048,
-                compact_lanes=1, prim_rounds=2, prim_compact=512)
+                compact_lanes=1, prim_rounds=2, prim_compact=512,
+                bounce_steps_per_round=32)
+# round-4: best32 76.5; cap2/b24/rnsc128 all worse (83.7/79.6/81.0);
+# prim-only pc512 = 21.0 ms — the bounce machinery is ~54 ms. Round 5:
+# two-level recursion inside the retry (cap the 32-block resume, re-
+# compact its leftovers in compacted space).
+# round-5: recursion lands — best32 75.7; rec r8 tc512 65.7; r4 tc768
+# 66.9; r12 tc384 71.5; rec r8 tc256 64.8 (64.0 Mrays/s). Gate the
+# candidates.
 VARIANTS = [
-    ("best", dict(BASEBEST)),
-    ("best rspr128", dict(BASEBEST, retry_steps_per_round=128)),
-    ("best rspr256", dict(BASEBEST, retry_steps_per_round=256)),
-    ("best bspr64", dict(BASEBEST, bounce_steps_per_round=64)),
-    ("best bspr32", dict(BASEBEST, bounce_steps_per_round=32)),
+    ("best32", dict(BASEBEST)),
+    ("rec r8 tc512", dict(BASEBEST, retry_rounds1=8,
+                          compact_tiles2=512)),
+    ("rec r8 tc256", dict(BASEBEST, retry_rounds1=8,
+                          compact_tiles2=256)),
+    ("rec r8 tc192", dict(BASEBEST, retry_rounds1=8,
+                          compact_tiles2=192)),
+    ("rec r6 tc256", dict(BASEBEST, retry_rounds1=6,
+                          compact_tiles2=256)),
 ]
 
 

@@ -194,6 +194,23 @@ def test_pt_compact_lanes_matches_uncapped(diffuse_scene):
     np.testing.assert_array_equal(a, c)
 
 
+def test_pt_compact_recursion_matches_uncapped(diffuse_scene):
+    """Two-level retry (compact_tiles2: the resume launch itself capped
+    at retry_rounds1 rounds, its leftovers re-compacted in compacted
+    space and run to the full budget) is bit-exact when both capacities
+    cover their stragglers — each level is the same cache-content-
+    deterministic cap+resume argument applied once more."""
+    rg3, mats = diffuse_scene
+    kw = dict(sun_pos=SUN, samples=1, key=jax.random.PRNGKey(3),
+              bounces=1, step_cap=500, v4=True)
+    a = np.asarray(path_trace3(rg3, CAM, mats, rounds=64, **kw))
+    b = np.asarray(path_trace3(rg3, CAM, mats, rounds=64,
+                               bounce_rounds=2, compact_tiles=64,
+                               compact_lanes=1, retry_rounds1=1,
+                               compact_tiles2=64, **kw))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pt_compact_lanes_specular_two_bounces(mirror_scene):
     """Lane compaction composes with multi-leg capped bounces."""
     rg3, mats = mirror_scene

@@ -2383,6 +2383,7 @@ def material_lut_rows(color, emission, scatter):
         "bounce_n_sc", "bounce_grouped", "bounce_s_seg", "bounce_sort",
         "bounce_spin_ramp", "prim_rounds", "prim_compact",
         "bounce_rebin", "bounce_wm_full", "compact_lanes",
+        "retry_rounds1", "compact_tiles2",
     ),
 )
 def _path_frame(
@@ -2399,7 +2400,8 @@ def _path_frame(
     bounce_w_ins=None, bounce_n_sc=None, bounce_grouped=False,
     bounce_s_seg=1, bounce_sort=False, bounce_spin_ramp=0,
     prim_rounds=None, prim_compact=0, bounce_rebin=0,
-    bounce_wm_full=False, compact_lanes=False,
+    bounce_wm_full=False, compact_lanes=False, retry_rounds1=8,
+    compact_tiles2=0,
 ):
     """Path-traced frame -> f32[H,W,3] linear radiance (sample average).
 
@@ -2847,6 +2849,9 @@ def _path_frame(
                         v=v, interpret=interpret,
                         s_ins=retry_s_ins, n_sc=retry_n_sc,
                         lane_compact=compact_lanes,
+                        rounds1=int(retry_rounds1),
+                        t_c2=(-(-int(compact_tiles2) // 64) * 64
+                              if compact_tiles2 else 0),
                     )
             else:
                 ot = jnp.stack([oX, oY, oZ], axis=-1)
@@ -3069,6 +3074,8 @@ def path_trace3(
     bounce_rebin=0,
     bounce_wm_full=False,
     compact_lanes=False,
+    retry_rounds1=8,
+    compact_tiles2=0,
     prim_rounds=None,
     prim_compact=0,
     step_cap=None,
@@ -3154,6 +3161,8 @@ def path_trace3(
         bounce_rebin=int(bounce_rebin),
         bounce_wm_full=bool(bounce_wm_full),
         compact_lanes=int(compact_lanes),
+        retry_rounds1=int(retry_rounds1),
+        compact_tiles2=int(compact_tiles2),
         prim_rounds=prim_rounds, prim_compact=int(prim_compact),
     )
     return out

@@ -1769,7 +1769,8 @@ def _trace_frame4(
     jax.jit,
     static_argnames=(
         "t_c", "rounds", "sub_rounds", "sub_steps", "v", "interpret",
-        "s_ins", "w_ins", "n_sc", "s_seg", "lane_compact",
+        "s_ins", "w_ins", "n_sc", "s_seg", "lane_compact", "rounds1",
+        "t_c2",
     ),
 )
 def _bounce_retry4(
@@ -1777,6 +1778,7 @@ def _bounce_retry4(
     step_cap,
     *, t_c, rounds, sub_rounds, sub_steps, v, interpret,
     s_ins=32, w_ins=W_INS, n_sc=64, s_seg=1, lane_compact=False,
+    rounds1=8, t_c2=0,
 ):
     """Compact-and-resume pass for rays left unconverged by a capped leg.
 
@@ -1909,11 +1911,84 @@ def _bounce_retry4(
     )
     st = _march4(
         scal, gw2, sw_cont, wmeta_pad, state0,
-        sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
+        sub_rounds=sub_rounds, sub_steps=sub_steps,
+        rounds_cap=(rounds1 if t_c2 else rounds),
         nw=nw, ns=ns, nsx=1, interpret=interpret, rays=rays,
         s_ins=s_ins, w_ins=w_ins, n_sc=n_sc, gw_pair=gw_pair,
         s_seg=s_seg, wm_full=_wm_full_rows(nw),
     )
+    if t_c2:
+        # SECOND-LEVEL recursion, still in compacted space (sorts here
+        # are t_c/T the cost of the frame-level ones): the resume
+        # launch's own per-block round loop waits for ITS slowest ray,
+        # so cap it at ``rounds1``, lane-compact the leftovers into
+        # ``t_c2`` dense tiles, and run only those to the full budget.
+        st1, st_rays = st, rays
+        fl1 = jax.lax.bitcast_convert_type(st1[1], i32) - _FL_BIAS
+        tce = int(st1[0].shape[0])      # = min(t_c, T) after the gather
+        blt2 = 64 if tce % 64 == 0 else tce
+        BL2 = blt2 * 128
+        nB2 = tce // blt2
+
+        def br2(x):
+            return x.reshape(nB2, BL2)
+
+        lkey2 = jnp.where((fl1 & 1) != 0, 0, 1).astype(i32)
+        lidx2 = jnp.broadcast_to(
+            jax.lax.broadcasted_iota(i32, (1, BL2), 1), (nB2, BL2)
+        )
+        srt2 = jax.lax.sort(
+            (br2(lkey2), lidx2, br2(st1[0]), br2(fl1), br2(st1[2]),
+             br2(st1[3]), br2(st_rays[0]), br2(st_rays[1]),
+             br2(st_rays[2]), br2(st_rays[3]), br2(st_rays[4]),
+             br2(st_rays[5])),
+            dimension=-1, num_keys=1, is_stable=True,
+        )
+        shp2 = (tce, 128)
+        lane_inv2 = srt2[1]
+        ts1 = srt2[2].reshape(shp2)
+        fl1s = srt2[3].reshape(shp2)
+        wa1 = srt2[4].reshape(shp2)
+        we1 = srt2[5].reshape(shp2)
+        rays1 = [x.reshape(shp2) for x in srt2[6:12]]
+        bad2 = jnp.any((fl1s & 1) != 0, axis=1)
+        order2 = jnp.argsort(
+            jnp.where(bad2, 0, 1).astype(i32), stable=True)
+        sel2 = order2[:t_c2]
+
+        def g2(x):
+            return jnp.take(x, sel2, axis=0)
+
+        state2 = jnp.stack([
+            g2(ts1),
+            jax.lax.bitcast_convert_type(g2(fl1s) + _FL_BIAS, f32),
+            g2(wa1),
+            g2(we1),
+        ])
+        rays2 = jnp.stack([g2(r) for r in rays1])
+        st2 = _march4(
+            scal, gw2, sw_cont, wmeta_pad, state2,
+            sub_rounds=sub_rounds, sub_steps=sub_steps, rounds_cap=rounds,
+            nw=nw, ns=ns, nsx=1, interpret=interpret, rays=rays2,
+            s_ins=s_ins, w_ins=w_ins, n_sc=n_sc, gw_pair=gw_pair,
+            s_seg=s_seg, wm_full=_wm_full_rows(nw),
+        )
+        ts1 = ts1.at[sel2].set(st2[0])
+        fl1s = fl1s.at[sel2].set(
+            jax.lax.bitcast_convert_type(st2[1], i32) - _FL_BIAS)
+        wa1 = wa1.at[sel2].set(st2[2])
+        we1 = we1.at[sel2].set(st2[3])
+        uns2 = jax.lax.sort(
+            (lane_inv2, br2(ts1), br2(fl1s), br2(wa1), br2(we1)),
+            dimension=-1, num_keys=1, is_stable=True,
+        )
+        st = (
+            uns2[1].reshape(shp2),
+            jax.lax.bitcast_convert_type(
+                uns2[2].reshape(shp2) + _FL_BIAS, f32),
+            uns2[3].reshape(shp2),
+            uns2[4].reshape(shp2),
+        )
     fl2 = jax.lax.bitcast_convert_type(st[1], i32) - _FL_BIAS
     ts = ts.at[sel].set(st[0])
     fl = fl.at[sel].set(fl2)
