@@ -61,13 +61,19 @@ def main():
     for label, kw in [
         ("fused ship s_seg4", dict(base, fused=True, s_seg=4)),
         ("split s_seg4", dict(base, s_seg=4)),
-        ("split cap1+c1024 seg4", dict(base, s_seg=4, primary_rounds=1,
-                                       compact_tiles=1024)),
-        ("split cap1+c512 seg4", dict(base, s_seg=4, primary_rounds=1,
-                                      compact_tiles=512)),
         ("split cap2+c512 seg4", dict(base, s_seg=4, primary_rounds=2,
                                       compact_tiles=512)),
-        ("fused vb4 s_seg4", dict(base, fused=True, s_seg=4, vb=4)),
+        # round 5: lane-compacted primary retry (config3's winning
+        # architecture applied to the render path)
+        ("split cap1+lc1024 seg4", dict(base, s_seg=4, primary_rounds=1,
+                                        compact_tiles=1024,
+                                        compact_lanes=True)),
+        ("split cap2+lc512 seg4", dict(base, s_seg=4, primary_rounds=2,
+                                       compact_tiles=512,
+                                       compact_lanes=True)),
+        ("split cap2+lc768 seg4", dict(base, s_seg=4, primary_rounds=2,
+                                       compact_tiles=768,
+                                       compact_lanes=True)),
     ]:
         try:
             bench_like(label, kw)

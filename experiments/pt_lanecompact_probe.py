@@ -45,18 +45,37 @@ BASEBEST = dict(PRIM, bounce_rounds=3, compact_tiles=2048,
 # two-level recursion inside the retry (cap the 32-block resume, re-
 # compact its leftovers in compacted space).
 # round-5: recursion lands — best32 75.7; rec r8 tc512 65.7; r4 tc768
-# 66.9; r12 tc384 71.5; rec r8 tc256 64.8 (64.0 Mrays/s). Gate the
-# candidates.
+# 66.9; r12 tc384 71.5; rec r8 tc256 64.8 (64.0 Mrays/s). BUT the warm
+# gate caught ~14.5% truncation across all of them: the prim retry was
+# tile-granular (pc512 overflows — lane_compact wasn't plumbed to it)
+# and lc2048 < the ~310K bounce straggler population at a 96-step cap.
+# Round 6: decompose and gate HONEST capacities.
+# round-6 gate decomposition (warm): r16 plain 0.29% (sane);
+# prim cap2+pc512+lc = 12.4% TRUNCATION — capped serve rounds starve
+# content-hungry blocks regardless of warm tokens (a block wanting K
+# subwindows needs ~K/s_ins serve rounds; warmth only covers the first
+# cache-full), and 512 tiles of lane capacity < the 250K-ray leftover.
+# Prim caps are OUT. bounce cap3 lc2816 rec512 = 2.8% — still 8x over
+# budget. Round 7: bounce-only, larger capacities/budgets.
 VARIANTS = [
-    ("best32", dict(BASEBEST)),
-    ("rec r8 tc512", dict(BASEBEST, retry_rounds1=8,
-                          compact_tiles2=512)),
-    ("rec r8 tc256", dict(BASEBEST, retry_rounds1=8,
-                          compact_tiles2=256)),
-    ("rec r8 tc192", dict(BASEBEST, retry_rounds1=8,
-                          compact_tiles2=192)),
-    ("rec r6 tc256", dict(BASEBEST, retry_rounds1=6,
-                          compact_tiles2=256)),
+    ("cap3 lc2816 norec b32", dict(PRIM, bounce_rounds=3,
+                                   compact_tiles=2816, compact_lanes=1,
+                                   bounce_steps_per_round=32)),
+    ("cap3 lc4096 rec1024 b32", dict(PRIM, bounce_rounds=3,
+                                     compact_tiles=4096, compact_lanes=1,
+                                     bounce_steps_per_round=32,
+                                     retry_rounds1=8,
+                                     compact_tiles2=1024)),
+    ("cap4 lc2816 rec768 b48", dict(PRIM, bounce_rounds=4,
+                                    compact_tiles=2816, compact_lanes=1,
+                                    retry_rounds1=8, compact_tiles2=768)),
+    ("cap6 lc2048 rec512 b48", dict(PRIM, bounce_rounds=6,
+                                    compact_tiles=2048, compact_lanes=1,
+                                    retry_rounds1=8, compact_tiles2=512)),
+    ("cap4 lc4096 rec1024 b48", dict(PRIM, bounce_rounds=4,
+                                     compact_tiles=4096, compact_lanes=1,
+                                     retry_rounds1=8,
+                                     compact_tiles2=1024)),
 ]
 
 
@@ -86,8 +105,18 @@ def main():
         ref = path_trace3(rg3, cam, mats, rounds=64, **base)
         ref256 = path_trace3(rg3, cam, mats, rounds=256, **base)
         for label, kw in VARIANTS:
+            # gate the WARM frame — the thing the time mode measures and
+            # the engine ships (tokens carried frame to frame). A COLD
+            # frame under prim_rounds=2/pc512 truncates ~28% of pixels
+            # (first gate run, 2026-08-21): the primary's cold straggler
+            # population is frame-sized, not tail-sized — which is why
+            # the ship config must drop the caps when cache=None.
+            _, tok = path_trace3(
+                rg3, cam, mats, return_cache=True,
+                **{**base, "rounds": 16, **kw})
             imgs[label] = path_trace3(
-                rg3, cam, mats, **{**base, "rounds": 16, **kw})
+                rg3, cam, mats, cache=tok,
+                **{**base, "rounds": 16, **kw})
         jax.block_until_ready(list(imgs.values()) + [ref, ref256])
         refn = np.asarray(ref)
         ref256n = np.asarray(ref256)

@@ -308,3 +308,9 @@ def test_pt_primary_cap_retry_matches(diffuse_scene):
     b = np.asarray(path_trace3(rg3, CAM, mats, prim_rounds=1,
                                prim_compact=64, **kw))
     np.testing.assert_array_equal(a, b)
+    # lane-compacted primary retry (compact_lanes plumbs through the
+    # prim_compact path too — the round-5 gate caught its absence as
+    # tile-capacity truncation)
+    c = np.asarray(path_trace3(rg3, CAM, mats, prim_rounds=1,
+                               prim_compact=64, compact_lanes=1, **kw))
+    np.testing.assert_array_equal(a, c)

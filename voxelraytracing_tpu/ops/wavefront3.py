@@ -2514,6 +2514,7 @@ def _path_frame(
                 rounds=max(rounds, 64), sub_rounds=sub_rounds,
                 sub_steps=sub_steps, v=v, interpret=interpret,
                 width=width, height=height,
+                lane_compact=int(compact_lanes),
             )
             prim = (pts, pfl, pwa, pwe)
         b_sub_rounds = (
