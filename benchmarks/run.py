@@ -363,33 +363,40 @@ def config3():
     key = jax.random.PRNGKey(0)
     if _use_v4():
         # warm tokens + prepared tables, like an accumulating interactive
-        # renderer. rounds=16 converges on this scene (<=0.33% of pixels
-        # off a rounds=64 reference; quality-gated on chip —
-        # experiments/pt_compact_probe.py gate mode re-verifies). The
-        # fused one-launch PT kernel (ops/pathtrace4.py) measured ~11%
-        # SLOWER at equal quality, and every cheaper schedule tried in
-        # round 4 (tight cadences, spin ramps, direction sorting,
-        # aggressive caps) was either truncation or a wash — see
-        # experiments/RESULTS.md; round-cap + compact-resume is
-        # truncation at every tested capacity (the "straggler" population
-        # is 15% of pixels, not a tail — primary_exact_check). Shipped
-        # extra: the bounce compact-resume CLEANUP pass (runs the
-        # rounds-cap leftovers to convergence: quality net-positive,
-        # no truncation risk) is available and used by the on-chip
-        # correctness harness; the timed config ships without it
-        # (measured ~5% frame cost for a 0.2%-of-pixels convergence
-        # gain — tools/tpu_correctness.py carries the quality story).
+        # renderer. Round-5 ship: BOUNCE cap + lane-compacted two-level
+        # straggler retry (wavefront4._bounce_retry4 lane_compact +
+        # rounds1/t_c2) — cap the bounce leg early, pack the still-
+        # active rays to each block's leading tiles with a per-block
+        # lane sort, tile-compact them into a dense resume launch, and
+        # recurse once more in compacted space. Bit-exact vs an
+        # uncapped leg when capacities cover the population (CPU-
+        # pinned); capacities here are the HONEST set quality-gated on
+        # chip against bit-identical rounds=64==rounds=256 references
+        # (<=0.35% of pixels >1/255, the round-3 budget —
+        # experiments/pt_lanecompact_probe.py gate mode re-verifies,
+        # WARM frames, which is what this config times). PRIMARY caps
+        # are deliberately absent: capped serve rounds starve content-
+        # hungry blocks regardless of warm tokens (12% truncation,
+        # round-5 gate decomposition). The fused one-launch PT kernel
+        # (ops/pathtrace4.py) measured ~11% slower at equal quality in
+        # round 4; schedule-level knobs (cadences, spin ramps,
+        # direction sorts, tile re-binning) are all measured dead ends
+        # — experiments/RESULTS.md.
         from voxelraytracing_tpu.ops.wavefront4 import prepare_grid4
 
         prep = prepare_grid4(rg3)
         tok = {"t": None}
+        pt_kw = dict(
+            bounce_rounds=4, compact_tiles=4096, compact_lanes=1,
+            retry_rounds1=4, compact_tiles2=1536,
+        )
 
         def frame():
             img, t2 = path_trace3(
                 rg3, cam, mats, sun_pos=sun, bounces=1, samples=1,
                 key=key, step_cap=500, v4=True, prepared=prep,
                 prim_steps_per_round=256, prim_s_seg=4,
-                cache=tok["t"], return_cache=True,
+                cache=tok["t"], return_cache=True, **pt_kw,
             )
             tok["t"] = t2
             return img

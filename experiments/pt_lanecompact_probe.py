@@ -57,25 +57,33 @@ BASEBEST = dict(PRIM, bounce_rounds=3, compact_tiles=2048,
 # cache-full), and 512 tiles of lane capacity < the 250K-ray leftover.
 # Prim caps are OUT. bounce cap3 lc2816 rec512 = 2.8% — still 8x over
 # budget. Round 7: bounce-only, larger capacities/budgets.
+# round-7 gate (warm): cap3 lc2816 norec 2.7% ~= rec512 2.8% — the
+# 2.8% was LEVEL-1 overflow (cap3@b32 leaves >360K rays). With b48
+# budgets: cap4 lc2816 rec768 1.07%, cap6 lc2048 rec512 0.53%,
+# cap4 lc4096 rec1024 0.34% (~budget). Round 8: time the honest set.
+# round-8 honest timings: cap4 lc4096 rec1024 94.7; lc5120 97.3;
+# cap5 lc3584 rec1024 93.3 (44.5 Mrays/s); cap6 95.6; cap8 103.3 —
+# most of the 64.8 was truncation; honest best ~93. Round 9: pace the
+# levels (smaller rounds1 pushes work into cheap dense level-2 blocks).
+# round-9 NOTE: the first timing process of this sweep degraded mid-run
+# (448 ms stall-mode first variant, then 0.99-1.25 ms enqueue-fiction
+# readings — docs/TPU_NOTES.md). Fresh re-run: r8 tc1024 94.4;
+# cap5 r4 tc1536 93.3; cap4 lc4096 r4 tc1536 90.8 (45.7 Mrays/s);
+# cap5 r6 92.9; cap4 r2 tc2048 94.9. Round 10: final SHIP gate —
+# capacity headroom around the winner (the 0.33% budget needs margin).
 VARIANTS = [
-    ("cap3 lc2816 norec b32", dict(PRIM, bounce_rounds=3,
-                                   compact_tiles=2816, compact_lanes=1,
-                                   bounce_steps_per_round=32)),
-    ("cap3 lc4096 rec1024 b32", dict(PRIM, bounce_rounds=3,
-                                     compact_tiles=4096, compact_lanes=1,
-                                     bounce_steps_per_round=32,
-                                     retry_rounds1=8,
-                                     compact_tiles2=1024)),
-    ("cap4 lc2816 rec768 b48", dict(PRIM, bounce_rounds=4,
-                                    compact_tiles=2816, compact_lanes=1,
-                                    retry_rounds1=8, compact_tiles2=768)),
-    ("cap6 lc2048 rec512 b48", dict(PRIM, bounce_rounds=6,
-                                    compact_tiles=2048, compact_lanes=1,
-                                    retry_rounds1=8, compact_tiles2=512)),
-    ("cap4 lc4096 rec1024 b48", dict(PRIM, bounce_rounds=4,
-                                     compact_tiles=4096, compact_lanes=1,
-                                     retry_rounds1=8,
-                                     compact_tiles2=1024)),
+    ("cap4 lc4096 r4 tc1536", dict(PRIM, bounce_rounds=4,
+                                   compact_tiles=4096, compact_lanes=1,
+                                   retry_rounds1=4,
+                                   compact_tiles2=1536)),
+    ("cap4 lc4608 r4 tc1536", dict(PRIM, bounce_rounds=4,
+                                   compact_tiles=4608, compact_lanes=1,
+                                   retry_rounds1=4,
+                                   compact_tiles2=1536)),
+    ("cap4 lc4096 r4 tc2048", dict(PRIM, bounce_rounds=4,
+                                   compact_tiles=4096, compact_lanes=1,
+                                   retry_rounds1=4,
+                                   compact_tiles2=2048)),
 ]
 
 
