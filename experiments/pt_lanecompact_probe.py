@@ -71,19 +71,27 @@ BASEBEST = dict(PRIM, bounce_rounds=3, compact_tiles=2048,
 # cap5 r4 tc1536 93.3; cap4 lc4096 r4 tc1536 90.8 (45.7 Mrays/s);
 # cap5 r6 92.9; cap4 r2 tc2048 94.9. Round 10: final SHIP gate —
 # capacity headroom around the winner (the 0.33% budget needs margin).
+# round-10 gate: all three candidates at an IDENTICAL 0.352% vs the
+# cold r64 ref — capacity-invariant, so NOT overflow truncation; the
+# suspect is the known ~0.3% r16 warm-vs-cold schedule floor. Round 11
+# adds a WARM r64 reference to separate cap error from that floor.
+# round-11 gate: r64cold-vs-r64warm = 0.0001 (converged refs agree
+# warm/cold); r16 plain 0.290%; cap4 lc4096 r4 tc1536 0.352% vs either
+# ref — the residual is cap-chain-induced (capacity-invariant), 0.02pp
+# over the 0.33% budget. Round 12: higher caps for compliance.
 VARIANTS = [
-    ("cap4 lc4096 r4 tc1536", dict(PRIM, bounce_rounds=4,
-                                   compact_tiles=4096, compact_lanes=1,
+    ("cap5 lc3584 r4 tc1536", dict(PRIM, bounce_rounds=5,
+                                   compact_tiles=3584, compact_lanes=1,
                                    retry_rounds1=4,
                                    compact_tiles2=1536)),
-    ("cap4 lc4608 r4 tc1536", dict(PRIM, bounce_rounds=4,
-                                   compact_tiles=4608, compact_lanes=1,
+    ("cap6 lc3072 r4 tc1024", dict(PRIM, bounce_rounds=6,
+                                   compact_tiles=3072, compact_lanes=1,
                                    retry_rounds1=4,
-                                   compact_tiles2=1536)),
-    ("cap4 lc4096 r4 tc2048", dict(PRIM, bounce_rounds=4,
+                                   compact_tiles2=1024)),
+    ("cap5 lc4096 r6 tc1536", dict(PRIM, bounce_rounds=5,
                                    compact_tiles=4096, compact_lanes=1,
-                                   retry_rounds1=4,
-                                   compact_tiles2=2048)),
+                                   retry_rounds1=6,
+                                   compact_tiles2=1536)),
 ]
 
 
@@ -112,6 +120,14 @@ def main():
         imgs = {}
         ref = path_trace3(rg3, cam, mats, rounds=64, **base)
         ref256 = path_trace3(rg3, cam, mats, rounds=256, **base)
+        # WARM rounds=64 reference: at a full budget every ray converges,
+        # so if marching is geometry-determined the warm result must be
+        # bit-equal to the cold one — printed as its own check. The warm
+        # candidates' residual vs refw then isolates CAP-induced error
+        # from the known ~0.3% r16 warm-vs-cold schedule floor.
+        _, tokw = path_trace3(rg3, cam, mats, rounds=64,
+                              return_cache=True, **base)
+        refw = path_trace3(rg3, cam, mats, rounds=64, cache=tokw, **base)
         for label, kw in VARIANTS:
             # gate the WARM frame — the thing the time mode measures and
             # the engine ships (tokens carried frame to frame). A COLD
@@ -125,20 +141,25 @@ def main():
             imgs[label] = path_trace3(
                 rg3, cam, mats, cache=tok,
                 **{**base, "rounds": 16, **kw})
-        jax.block_until_ready(list(imgs.values()) + [ref, ref256])
+        jax.block_until_ready(list(imgs.values()) + [ref, ref256, refw])
         refn = np.asarray(ref)
         ref256n = np.asarray(ref256)
+        refwn = np.asarray(refw)
         d = np.abs(refn - ref256n).max(axis=-1)
         print(f"# gate r64-vs-r256: frac>1/255 = "
+              f"{float((d > 1.0 / 255.0).mean()):.6f}  "
+              f"max = {float(d.max()):.6f}", flush=True)
+        d = np.abs(refn - refwn).max(axis=-1)
+        print(f"# gate r64cold-vs-r64warm: frac>1/255 = "
               f"{float((d > 1.0 / 255.0).mean()):.6f}  "
               f"max = {float(d.max()):.6f}", flush=True)
         for label, _ in VARIANTS:
             v = np.asarray(imgs[label])
             d = np.abs(v - refn).max(axis=-1)
-            d256 = np.abs(v - ref256n).max(axis=-1)
+            dw = np.abs(v - refwn).max(axis=-1)
             print(f"# gate {label}: frac>1/255 vs r64 = "
-                  f"{float((d > 1.0 / 255.0).mean()):.5f}  vs r256 = "
-                  f"{float((d256 > 1.0 / 255.0).mean()):.5f}", flush=True)
+                  f"{float((d > 1.0 / 255.0).mean()):.5f}  vs r64warm = "
+                  f"{float((dw > 1.0 / 255.0).mean()):.5f}", flush=True)
         return
 
     def sustained(label, mk):
