@@ -386,8 +386,10 @@ def config3():
 
         prep = prepare_grid4(rg3)
         tok = {"t": None}
+        # gated 0.251% (<=0.33% budget) vs bit-identical r64==r256 refs;
+        # 93.3 ms/frame measured (cap4/lc4096 was 90.8 but gated 0.352%)
         pt_kw = dict(
-            bounce_rounds=4, compact_tiles=4096, compact_lanes=1,
+            bounce_rounds=5, compact_tiles=3584, compact_lanes=1,
             retry_rounds1=4, compact_tiles2=1536,
         )
 
